@@ -1,0 +1,124 @@
+package graft.dims
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Generic SCD Type-2 merge (reference ETL/etl.py:170-263).
+  *
+  * The reference walks incoming rows one by one, probing the dimension with
+  * `SELECT ... WHERE natural_key = ? AND current_flag = 1` and issuing
+  * `UPDATE` (expiry, etl.py:197-201) + `INSERT` (new version). Spark has no
+  * point UPDATE, so the idiomatic pattern is a snapshot rewrite: read the
+  * current snapshot, compute the merged next snapshot, overwrite
+  * (SURVEY.md §1.6). One equi-join + one union; with the dimension small
+  * relative to facts the join side broadcasts, and at 100 TB the dimension
+  * rewrite is still dwarfed by the fact load it serves.
+  *
+  * Semantics per the reference:
+  *  - change detection compares tracked columns null-safely (etl.py:195, 243)
+  *  - expired versions get `end_date = runDate - 1 day`, `current_flag = 0`
+  *    (etl.py:196-201)
+  *  - new versions/new members get `start_date` from `startForNew` — the
+  *    user dim seeds it with `join_date` while the product dim uses the run
+  *    date (etl.py:188-189 vs 236-237); changed members always restart at
+  *    `runDate`
+  *  - surrogate keys are dense and assigned in natural-key order past the
+  *    previous max (AUTOINCREMENT parity, SURVEY.md §7.4) — a window over
+  *    the handful of NEW rows only, so the single-partition sort is bounded
+  *    by daily change volume, not table size.
+  *
+  * @param naturalKey  business key column names
+  * @param tracked     columns whose change triggers a new version
+  * @param skName      surrogate-key column present in `current`
+  */
+final case class Scd2(naturalKey: Seq[String], tracked: Seq[String], skName: String) {
+
+  private val meta = Seq("start_date", "end_date", "current_flag")
+
+  /** Next snapshot given the current one and today's extract.
+    *
+    * `current` columns: skName ++ naturalKey ++ tracked ++ meta.
+    * `incoming` columns: naturalKey ++ tracked.
+    * `startForNew`: start_date for members not in the dimension yet,
+    * evaluated against `incoming`'s columns (e.g. `col("join_date")` or
+    * `lit(runDate)`).
+    */
+  def merge(current: DataFrame, incoming: DataFrame, runDate: String,
+            startForNew: Column): DataFrame = {
+    val run = to_date(lit(runDate))
+    val attrs = naturalKey ++ tracked
+
+    val history = current.filter(col("current_flag") === 0)
+    val cur = current.filter(col("current_flag") === 1)
+
+    val inc = incoming.select(attrs.map(c => col(c).as(s"in_$c")) :+ startForNew.as("in_start"): _*)
+
+    val joined = cur.join(
+      inc,
+      naturalKey.map(k => col(k) === col(s"in_$k")).reduce(_ && _),
+      "full_outer"
+    )
+
+    val matched = joined.filter(naturalKey.map(k => col(k).isNotNull).reduce(_ && _) &&
+      naturalKey.map(k => col(s"in_$k").isNotNull).reduce(_ && _))
+    val changed = tracked.map(c => !(col(c) <=> col(s"in_$c"))).reduce(_ || _)
+
+    // 1. untouched current rows: no incoming row, or incoming identical
+    val unchanged = joined
+      .filter(naturalKey.map(k => col(k).isNotNull).reduce(_ && _))
+      .filter(naturalKey.map(k => col(s"in_$k").isNull).reduce(_ && _) || !changed)
+      .select(cur.columns.map(col): _*)
+
+    // 2. expired versions of changed members
+    val expired = matched.filter(changed)
+      .select(cur.columns.map(col): _*)
+      .withColumn("end_date", date_sub(run, 1))
+      .withColumn("current_flag", lit(0))
+
+    // 3. fresh versions: changed members restart at runDate ...
+    val reversioned = matched.filter(changed).select(
+      naturalKey.map(k => col(s"in_$k").as(k)) ++
+        tracked.map(c => col(s"in_$c").as(c)) :+
+        run.as("start_date"): _*
+    )
+    // ... and unseen members enter with the policy start date
+    val brandNew = joined
+      .filter(naturalKey.map(k => col(k).isNull).reduce(_ && _))
+      .select(
+        naturalKey.map(k => col(s"in_$k").as(k)) ++
+          tracked.map(c => col(s"in_$c").as(c)) :+
+          to_date(col("in_start")).as("start_date"): _*
+      )
+
+    // dense SKs continue past the previous max, ordered by natural key
+    // (reference AUTOINCREMENT follows the ORDER BY <key> extract, etl.py:150)
+    val maxSk = current.agg(coalesce(max(col(skName)), lit(0L)).as("max_sk"))
+    val skWindow = Window.orderBy(naturalKey.map(col): _*)
+    val fresh = reversioned.unionByName(brandNew)
+      .withColumn("rn", row_number().over(skWindow))
+      .crossJoin(broadcast(maxSk))
+      .select(
+        (col("max_sk") + col("rn")).cast("long").as(skName) +:
+          (naturalKey ++ tracked).map(col) :+
+          col("start_date") :+
+          lit(null).cast("date").as("end_date") :+
+          lit(1).as("current_flag"): _*
+      )
+
+    history.unionByName(unchanged).unionByName(expired).unionByName(fresh)
+  }
+
+  /** Bootstrap a version-1 snapshot from a bare extract. */
+  def init(extract: DataFrame, startDate: Column): DataFrame = {
+    val attrs = naturalKey ++ tracked
+    extract
+      .withColumn(skName, row_number().over(Window.orderBy(naturalKey.map(col): _*)).cast("long"))
+      .select(
+        col(skName) +: attrs.map(col) :+
+          to_date(startDate).as("start_date") :+
+          lit(null).cast("date").as("end_date") :+
+          lit(1).as("current_flag"): _*
+      )
+  }
+}

@@ -1,0 +1,59 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The reference's two-level deduplication for fact loads plus change-only
+  * snapshot capture (reference ETL/etl.py:285-302, 308-311, 362-378).
+  */
+object Dedup {
+
+  /** Level 1 — incremental anti-join against the target: drop incoming rows
+    * whose id is already loaded (reference builds a Python set of
+    * `transaction_id`s, etl.py:308-311; SURVEY.md J5). Fidelity note: the
+    * reference keys this on `transaction_id` ALONE even though the fact PK
+    * is composite — reproduced here by letting callers pass just the id
+    * columns. The loaded-keys projection is a distinct on the key only, so
+    * at scale the build side stays key-sized and AQE broadcasts it when it
+    * fits.
+    */
+  def antiJoinExisting(incoming: DataFrame, existingKeys: DataFrame, keys: Seq[String]): DataFrame =
+    incoming.join(existingKeys.select(keys.map(col): _*).distinct(), keys, "left_anti")
+
+  /** Level 2 — in-batch first-wins dedup on the composite PK (the reference
+    * relies on the PK constraint raising IntegrityError per duplicate row,
+    * etl.py:362-378; SURVEY.md J6). `order` reproduces the reference's
+    * iteration order (extract `ORDER BY transaction_id`) so "first" is
+    * deterministic. Returns (kept, dups) from ONE window pass — dups become
+    * `duplicate_tx_id` warnings.
+    */
+  def firstWins(df: DataFrame, pk: Seq[String], order: Seq[Column]): (DataFrame, DataFrame) = {
+    val w = Window.partitionBy(pk.map(col): _*).orderBy(order: _*)
+    val ranked = df.withColumn("dedup_rn", row_number().over(w))
+    (ranked.filter(col("dedup_rn") === 1).drop("dedup_rn"),
+      ranked.filter(col("dedup_rn") > 1).drop("dedup_rn"))
+  }
+
+  /** Change-only snapshot: keep a row only when its value differs from the
+    * key's previous value in time order (reference's stock history — "last
+    * recorded stock per product, insert only if changed", etl.py:285-302;
+    * SURVEY.md P5/W1). One shuffle on the key; `lag` is null for the first
+    * row per key, which always records (null-safe inequality).
+    */
+  def changedOnly(df: DataFrame, key: Seq[String], time: Seq[Column], value: Column): DataFrame = {
+    val w = Window.partitionBy(key.map(col): _*).orderBy(time: _*)
+    df.withColumn("prev_value", lag(value, 1).over(w))
+      .filter(!(col("prev_value") <=> value))
+      .drop("prev_value")
+  }
+
+  /** Exact content dedup by hash cluster: groups rows by `contentHash`
+    * (e.g. md5 of normalized text), keeps the smallest `id` as the cluster
+    * representative, and reports cluster size. A single hash-aggregate:
+    * map-side partials make this scan-bound at 100 TB.
+    */
+  def exactClusters(df: DataFrame, id: Column, contentHash: Column): DataFrame =
+    df.groupBy(contentHash.as("content_hash"))
+      .agg(min(id).as("keep_id"), count(lit(1)).as("n_members"))
+}

@@ -1,0 +1,143 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for large-scale corpus pipelines: normalization,
+  * tokenization, shingling, 64-bit content hashing, MinHash signatures, LSH
+  * banding, SimHash, language-ID and quality heuristics.
+  *
+  * Everything here is a pure `Column` expression built from Spark built-ins
+  * (string functions + higher-order array functions) — no UDFs, so every
+  * operator stays inside whole-stage codegen and distributes trivially: all
+  * of these are narrow per-row transforms; the only shuffles in the dedup
+  * pipelines built on top are the groupBys on hash/band keys.
+  *
+  * Hash parity note: `hash64` is the first 60 bits of md5, which any engine
+  * reproduces bit-for-bit (md5 is standardized) — unlike engine-private
+  * hashes (`xxhash64`, DuckDB `hash()`), this makes results verifiable
+  * across systems.
+  */
+object TextOps {
+
+  /** lower-case, trim, collapse runs of whitespace to single spaces. */
+  def normText(c: Column): Column =
+    regexp_replace(lower(trim(c)), "\\s+", " ")
+
+  /** whitespace tokens of the normalized text. */
+  def tokens(c: Column): Column = split(normText(c), " ")
+
+  /** Deterministic 60-bit non-negative hash from md5 (cross-engine stable). */
+  def hash64(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** `n`-word shingles as space-joined strings (empty array when the doc is
+    * shorter than `n` words). */
+  def shingles(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, n)))
+    ).otherwise(array().cast("array<string>"))
+
+  /** MinHash signature of `k` permutations over a shingle array: element `i`
+    * is `min over shingles of hash64(i || '|' || shingle)` — the standard
+    * "k independent hash functions" construction keyed by the seed index.
+    * Null-safe: empty shingle set yields nulls (callers filter short docs).
+    */
+  def minhash(shingleArr: Column, k: Int): Column =
+    transform(sequence(lit(0), lit(k - 1)),
+      i => array_min(transform(shingleArr, s => hash64(concat(i.cast("string"), lit("|"), s)))))
+
+  /** LSH band keys: the signature split into `bands` groups of `rowsPerBand`
+    * and each group hashed to one string key. Two docs collide on a band iff
+    * that slice of their signatures is identical — the classic
+    * banding amplification. Returns `array<string>` of length `bands`,
+    * elements prefixed by band index so keys from different bands never
+    * collide in a global groupBy.
+    */
+  def lshBands(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => concat(b.cast("string"), lit(":"),
+        md5(concat_ws(",", transform(slice(sig, b * rowsPerBand + 1, rowsPerBand),
+          x => x.cast("string"))))))
+
+  /** Jaccard similarity of two string arrays treated as SETS (inputs need
+    * not be distinct; both sides are deduped). Exact ratio of two small
+    * integers — deterministic across engines. */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    val union = size(array_union(a, b)).cast("double")
+    when(union === 0, lit(0.0)).otherwise(inter / union)
+  }
+
+  /** `bits`-wide SimHash over the DISTINCT tokens of a doc: bit `j` of the
+    * result is 1 iff the sum over tokens of (bit `j` of hash64(token) ? +1
+    * : -1) is positive. Near-duplicate docs land at small Hamming distance.
+    */
+  def simhash(toks: Column, bits: Int): Column = {
+    val distinctToks = array_distinct(toks)
+    val hashes = transform(distinctToks, t => hash64(t))
+    val bitCols = (0 until bits).map { j =>
+      val vote = aggregate(hashes, lit(0L),
+        (acc, h) => acc + (shiftright(h, j).bitwiseAND(lit(1L)) * 2 - 1))
+      when(vote > 0, lit(1L) << j).otherwise(lit(0L))
+    }
+    bitCols.reduce(_ + _)
+  }
+
+  /** Hamming distance between two simhash values (popcount of xor). */
+  def hamming(a: Column, b: Column, bits: Int): Column =
+    (0 until bits).map { j =>
+      shiftright(a.bitwiseXOR(b), j).bitwiseAND(lit(1L))
+    }.reduce(_ + _)
+
+  /** Marker-token language-ID heuristic: score each candidate language by
+    * how many of its marker words occur in the doc's token set; highest
+    * score wins, ties broken by language-code order. A real system swaps in
+    * character-n-gram profiles; the *shape* (per-row score + argmax, no
+    * shuffle) is the scale path.
+    */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "nicht", "ist"),
+    "en" -> Seq("the", "a", "of", "and", "is", "to"),
+    "es" -> Seq("el", "la", "los", "que", "es", "y"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "que"),
+    "zh" -> Seq("de5", "shi4", "le5", "bu4", "wo3", "zai4")
+  )
+
+  def langId(toks: Column): Column = {
+    val distinctToks = array_distinct(toks)
+    val scored = langMarkers.map { case (lang, markers) =>
+      val score = markers.map(m => when(array_contains(distinctToks, m), 1).otherwise(0))
+        .reduce(_ + _)
+      (lang, score)
+    }
+    // argmax with deterministic lang-code tie-break: fold left keeping the
+    // strictly-greater score so earlier codes win ties
+    scored.tail.foldLeft((lit(scored.head._1), scored.head._2)) {
+      case ((bestLang, bestScore), (lang, score)) =>
+        (when(score > bestScore, lit(lang)).otherwise(bestLang),
+          when(score > bestScore, score).otherwise(bestScore))
+    }._1
+  }
+
+  val stopwords: Seq[String] =
+    Seq("the", "a", "of", "and", "is", "to", "in", "it", "that", "on")
+
+  /** Heuristic quality features + composite score, all exact-arithmetic
+    * ratios of integers (cross-engine deterministic after round). */
+  def qualityFeatures(text: Column): Seq[(String, Column)] = {
+    val toks = tokens(text)
+    val nTok = size(toks)
+    val nChar = length(normText(text))
+    val nStop = size(filter(toks, t => t.isin(stopwords.map(lit(_)): _*)))
+    val nAlpha = length(regexp_replace(normText(text), "[^a-z]", ""))
+    Seq(
+      "n_tokens" -> nTok,
+      "n_chars_norm" -> nChar,
+      "stopword_ratio" -> round(nStop.cast("double") / nTok, 6),
+      "alpha_ratio" -> round(nAlpha.cast("double") / nChar, 6),
+      "avg_token_len" -> round((nChar - (nTok - 1)).cast("double") / nTok, 6)
+    )
+  }
+}

@@ -1,0 +1,88 @@
+package graft.vector
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Embedding-similarity primitives: cosine via higher-order array functions
+  * (codegen'd — no UDF), brute-force top-k as the exact baseline, and
+  * sign-random-projection LSH bucketing as the 100 TB path.
+  *
+  * Scale design: brute force is O(|Q| × |C|) and only acceptable when the
+  * query side is small enough to broadcast; the LSH variant buckets the
+  * corpus once (narrow per-row transform + one shuffle on bucket id) so
+  * candidate generation is a bucket-local join — the standard
+  * approximate-NN layout for billions of vectors.
+  */
+object VectorOps {
+
+  /** Cast to double before accumulating: float32 accumulation is not
+    * reproducible across engines; double is (≤ 1 ulp for 64-dim dots). */
+  private def d(c: Column): Column = transform(c, x => x.cast("double"))
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(d(a), d(b), (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column =
+    sqrt(aggregate(d(a), lit(0.0), (acc, x) => acc + x * x))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact top-k neighbors for each query vector (brute force baseline).
+    * `queries`/`corpus`: (id, vec). The query side is broadcast — valid by
+    * construction for an interactive top-k (|Q| small); the corpus side
+    * streams, so the join is a single pass over the corpus with no shuffle
+    * of the big side, then one shuffle of |Q|×|C| slimmed (id,id,cos)
+    * triples for the per-query top-k window.
+    */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col("id").as("query_id"), col("vec").as("qv")))
+    val c = corpus.select(col("id").as("neighbor_id"), col("vec").as("cv"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    c.join(q, col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qv"), col("cv")).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Deterministic pseudo-random hyperplane component for plane `p`,
+    * dimension `i`: md5-derived value in [-1, 1). Deterministic everywhere —
+    * any engine can rebuild the same planes (no RNG state to ship).
+    */
+  def planeComponent(p: Int, i: Column): Column =
+    conv(substring(md5(concat(lit(s"$p|"), i.cast("string"))), 1, 12), 16, 10)
+      .cast("double") / lit(math.pow(2.0, 47)) - 1.0
+
+  /** Sign-random-projection bucket id: bit `p` of the result is 1 iff
+    * dot(plane_p, vec) > 0. Vectors in the same bucket are cosine-close with
+    * high probability; `nPlanes` tunes bucket granularity (2^nPlanes
+    * buckets). Pure per-row expression — scales linearly.
+    */
+  def srpBucket(vec: Column, nPlanes: Int): Column = {
+    val vd = d(vec)
+    (0 until nPlanes).map { p =>
+      val proj = aggregate(
+        zip_with(vd, sequence(lit(0), size(vd) - 1), (x, i) => x * planeComponent(p, i)),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj > 0, lit(1L) << p).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** Bucketed ANN: exact cosine evaluated only on bucket-colliding pairs.
+    * Returns candidate pairs (id_a < id_b) with their cosine — the
+    * IVF/LSH-style recall-for-throughput trade, with the pair join
+    * co-partitioned by bucket id.
+    */
+  def lshCandidatePairs(vecs: DataFrame, nPlanes: Int, minCos: Double): DataFrame = {
+    val b = vecs.select(col("id"), col("vec"), srpBucket(col("vec"), nPlanes).as("bucket"))
+    val l = b.select(col("bucket"), col("id").as("id_a"), col("vec").as("va"))
+    val r = b.select(col("bucket"), col("id").as("id_b"), col("vec").as("vb"))
+    l.join(r, Seq("bucket")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), cosine(col("va"), col("vb")).as("cos"))
+      .filter(col("cos") >= minCos)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+      .distinct()
+  }
+}
