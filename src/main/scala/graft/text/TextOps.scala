@@ -36,7 +36,7 @@ object TextOps {
   def shingles(toks: Column, n: Int): Column =
     when(size(toks) >= n,
       transform(sequence(lit(0), size(toks) - n),
-        i => concat_ws(" ", slice(toks, i + 1, n)))
+        i => concat_ws(" ", slice(toks, i + 1, lit(n))))
     ).otherwise(array().cast("array<string>"))
 
   /** MinHash signature of `k` permutations over a shingle array: element `i`
@@ -58,7 +58,7 @@ object TextOps {
   def lshBands(sig: Column, bands: Int, rowsPerBand: Int): Column =
     transform(sequence(lit(0), lit(bands - 1)),
       b => concat(b.cast("string"), lit(":"),
-        md5(concat_ws(",", transform(slice(sig, b * rowsPerBand + 1, rowsPerBand),
+        md5(concat_ws(",", transform(slice(sig, b * rowsPerBand + 1, lit(rowsPerBand)),
           x => x.cast("string"))))))
 
   /** Jaccard similarity of two string arrays treated as SETS (inputs need
@@ -80,7 +80,7 @@ object TextOps {
     val bitCols = (0 until bits).map { j =>
       val vote = aggregate(hashes, lit(0L),
         (acc, h) => acc + (shiftright(h, j).bitwiseAND(lit(1L)) * 2 - 1))
-      when(vote > 0, lit(1L) << j).otherwise(lit(0L))
+      when(vote > 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
     }
     bitCols.reduce(_ + _)
   }

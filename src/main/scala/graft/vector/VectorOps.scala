@@ -66,7 +66,7 @@ object VectorOps {
       val proj = aggregate(
         zip_with(vd, sequence(lit(0), size(vd) - 1), (x, i) => x * planeComponent(p, i)),
         lit(0.0), (acc, x) => acc + x)
-      when(proj > 0, lit(1L) << p).otherwise(lit(0L))
+      when(proj > 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
     }.reduce(_ + _)
   }
 
