@@ -1,8 +1,9 @@
 package graft.dims
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 /** Generic SCD Type-2 merge (reference ETL/etl.py:170-263).
   *
@@ -17,6 +18,9 @@ import org.apache.spark.sql.functions._
   *
   * Semantics per the reference:
   *  - change detection compares tracked columns null-safely (etl.py:195, 243)
+  *  - `passthrough` columns are carried into new versions from the incoming
+  *    row but do NOT trigger versioning (dim_user carries join_date while
+  *    comparing only name/email, etl.py:188-201)
   *  - expired versions get `end_date = runDate - 1 day`, `current_flag = 0`
   *    (etl.py:196-201)
   *  - new versions/new members get `start_date` from `startForNew` — the
@@ -24,22 +28,26 @@ import org.apache.spark.sql.functions._
   *    date (etl.py:188-189 vs 236-237); changed members always restart at
   *    `runDate`
   *  - surrogate keys are dense and assigned in natural-key order past the
-  *    previous max (AUTOINCREMENT parity, SURVEY.md §7.4) — a window over
-  *    the handful of NEW rows only, so the single-partition sort is bounded
-  *    by daily change volume, not table size.
+  *    previous max (AUTOINCREMENT parity, SURVEY.md §7.4) — in [[merge]]
+  *    that window spans only the day's NEW rows, so the single-partition
+  *    sort is bounded by daily change volume, not table size; [[init]]
+  *    (whole-table) uses a range-partitioned zipWithIndex instead.
   *
   * @param naturalKey  business key column names
   * @param tracked     columns whose change triggers a new version
+  * @param passthrough columns carried into versions but never compared
   * @param skName      surrogate-key column present in `current`
   */
-final case class Scd2(naturalKey: Seq[String], tracked: Seq[String], skName: String) {
+final case class Scd2(naturalKey: Seq[String], tracked: Seq[String], skName: String,
+                      passthrough: Seq[String] = Nil) {
 
-  private val meta = Seq("start_date", "end_date", "current_flag")
+  private def attrs = naturalKey ++ tracked ++ passthrough
 
   /** Next snapshot given the current one and today's extract.
     *
-    * `current` columns: skName ++ naturalKey ++ tracked ++ meta.
-    * `incoming` columns: naturalKey ++ tracked.
+    * `current` columns: skName ++ naturalKey ++ tracked ++ passthrough ++
+    * (start_date, end_date, current_flag).
+    * `incoming` columns: naturalKey ++ tracked ++ passthrough.
     * `startForNew`: start_date for members not in the dimension yet,
     * evaluated against `incoming`'s columns (e.g. `col("join_date")` or
     * `lit(runDate)`).
@@ -47,7 +55,6 @@ final case class Scd2(naturalKey: Seq[String], tracked: Seq[String], skName: Str
   def merge(current: DataFrame, incoming: DataFrame, runDate: String,
             startForNew: Column): DataFrame = {
     val run = to_date(lit(runDate))
-    val attrs = naturalKey ++ tracked
 
     val history = current.filter(col("current_flag") === 0)
     val cur = current.filter(col("current_flag") === 1)
@@ -78,17 +85,13 @@ final case class Scd2(naturalKey: Seq[String], tracked: Seq[String], skName: Str
 
     // 3. fresh versions: changed members restart at runDate ...
     val reversioned = matched.filter(changed).select(
-      naturalKey.map(k => col(s"in_$k").as(k)) ++
-        tracked.map(c => col(s"in_$c").as(c)) :+
-        run.as("start_date"): _*
+      attrs.map(c => col(s"in_$c").as(c)) :+ run.as("start_date"): _*
     )
     // ... and unseen members enter with the policy start date
     val brandNew = joined
       .filter(naturalKey.map(k => col(k).isNull).reduce(_ && _))
       .select(
-        naturalKey.map(k => col(s"in_$k").as(k)) ++
-          tracked.map(c => col(s"in_$c").as(c)) :+
-          to_date(col("in_start")).as("start_date"): _*
+        attrs.map(c => col(s"in_$c").as(c)) :+ to_date(col("in_start")).as("start_date"): _*
       )
 
     // dense SKs continue past the previous max, ordered by natural key
@@ -100,7 +103,7 @@ final case class Scd2(naturalKey: Seq[String], tracked: Seq[String], skName: Str
       .crossJoin(broadcast(maxSk))
       .select(
         (col("max_sk") + col("rn")).cast("long").as(skName) +:
-          (naturalKey ++ tracked).map(col) :+
+          attrs.map(col) :+
           col("start_date") :+
           lit(null).cast("date").as("end_date") :+
           lit(1).as("current_flag"): _*
@@ -109,16 +112,25 @@ final case class Scd2(naturalKey: Seq[String], tracked: Seq[String], skName: Str
     history.unionByName(unchanged).unionByName(expired).unionByName(fresh)
   }
 
-  /** Bootstrap a version-1 snapshot from a bare extract. */
+  /** Bootstrap a version-1 snapshot from a bare extract.
+    *
+    * SKs are dense 1..n in natural-key order WITHOUT a global window: the
+    * extract is range-partitioned on the key (globally ordered partitions),
+    * sorted within partitions, and numbered with `zipWithIndex` — each
+    * partition computes its offset from partition sizes, so the whole-table
+    * initial load never funnels through one task (VERDICT r1 "What's wrong"
+    * #5).
+    */
   def init(extract: DataFrame, startDate: Column): DataFrame = {
-    val attrs = naturalKey ++ tracked
-    extract
-      .withColumn(skName, row_number().over(Window.orderBy(naturalKey.map(col): _*)).cast("long"))
-      .select(
-        col(skName) +: attrs.map(col) :+
-          to_date(startDate).as("start_date") :+
-          lit(null).cast("date").as("end_date") :+
-          lit(1).as("current_flag"): _*
-      )
+    val spark = extract.sparkSession
+    val base = extract
+      .select(attrs.map(col) :+ to_date(startDate).as("start_date"): _*)
+      .repartitionByRange(naturalKey.map(col): _*)
+      .sortWithinPartitions(naturalKey.map(col): _*)
+    val schema = StructType(StructField(skName, LongType, nullable = false) +: base.schema.fields)
+    val numbered = base.rdd.zipWithIndex.map { case (r, i) => Row.fromSeq((i + 1L) +: r.toSeq) }
+    spark.createDataFrame(numbered, schema)
+      .withColumn("end_date", lit(null).cast("date"))
+      .withColumn("current_flag", lit(1))
   }
 }

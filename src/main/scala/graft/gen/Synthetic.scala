@@ -1,0 +1,130 @@
+package graft.gen
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic synthetic OLTP data (reference OLTP/scripts/populate.py +
+  * generate_invalid.py) — the positive corpus plus the 14-type adversarial
+  * corpus (registry at generate_invalid.py:423-438), used by the
+  * end-to-end pipeline tests to reproduce the demo.ipynb acceptance
+  * battery (SURVEY §5).
+  *
+  * All randomness is md5-derived from (seed, row id): fully deterministic,
+  * reproducible on any engine, and generated distributed via
+  * `spark.range` — no driver-side loops.
+  */
+object Synthetic {
+
+  /** Deterministic uniform double in [0,1) keyed by (seed, tag, id). */
+  def rnd(tag: String, id: Column, seed: Int = 42): Column =
+    conv(substring(md5(concat_ws("|", lit(seed), lit(tag), id)), 1, 12), 16, 10)
+      .cast("double") / math.pow(2.0, 48)
+
+  private def pick(tag: String, id: Column, choices: Seq[String]): Column = {
+    val n = choices.length
+    val idx = floor(rnd(tag, id) * n).cast("int")
+    choices.zipWithIndex.foldLeft(lit(choices.head)) { case (acc, (c, i)) =>
+      when(idx === i, lit(c)).otherwise(acc)
+    }
+  }
+
+  def users(spark: SparkSession, n: Int): DataFrame =
+    spark.range(1, n + 1).select(
+      col("id").as("user_id"),
+      concat(lit("User "), col("id")).as("name"),
+      concat(lit("user"), col("id"), lit("@example.com")).as("email"),
+      date_format(date_add(to_date(lit("2024-01-01")),
+        floor(rnd("join", col("id")) * 700).cast("int")), "yyyy-MM-dd").as("join_date"))
+
+  val categories: Seq[String] = Seq("electronics", "clothing", "home", "sports", "books")
+
+  def products(spark: SparkSession, n: Int): DataFrame =
+    spark.range(1, n + 1).select(
+      col("id").as("product_id"),
+      concat(lit("Product "), col("id")).as("name"),
+      pick("cat", col("id"), categories).as("category"),
+      round(lit(10.0) + rnd("price", col("id")) * 90.0, 2).as("price"),
+      floor(rnd("stock", col("id")) * 100).cast("int").as("stock"))
+
+  val paymentTypes: Seq[String] = Seq("Visa", "MasterCard", "Wire Transfer", "Other")
+  val statuses: Seq[String] = Seq("Success", "Failed")
+
+  /** Valid transactions for one day, price = round(unit_price * qty, 2)
+    * like populate.py:263-264 (`price` is the line TOTAL). ~20% of ids
+    * repeat with a second product — the multi-product pattern
+    * (populate.py:178, 287-290). */
+  def transactions(spark: SparkSession, n: Int, day: String, nUsers: Int, nProducts: Int,
+                   firstId: Long = 1): DataFrame = {
+    val base = spark.range(firstId, firstId + n).select(
+      col("id").as("transaction_id"),
+      lit(day).as("date"),
+      (floor(rnd("u", col("id")) * nUsers) + 1).cast("long").as("user_id"),
+      (floor(rnd("p", col("id")) * nProducts) + 1).cast("long").as("product_id"),
+      (floor(rnd("q", col("id")) * 5) + 1).cast("int").as("quantity"),
+      pick("pay", col("id"), paymentTypes).as("payment_type"),
+      pick("st", col("id"), statuses).as("status"))
+    val multi = base.filter(rnd("multi", col("transaction_id")) < 0.2)
+      .withColumn("product_id",
+        (((col("product_id") + floor(rnd("p2", col("transaction_id")) * (nProducts - 1))) % nProducts) + 1).cast("long"))
+    base.unionByName(multi)
+      .withColumn("unit_price", round(lit(10.0) + rnd("price", col("product_id")) * 90.0, 2))
+      .withColumn("price", round(col("unit_price") * col("quantity"), 2))
+      .drop("unit_price")
+      .select("transaction_id", "date", "user_id", "product_id", "quantity",
+        "price", "payment_type", "status")
+  }
+
+  /** The 14-type adversarial corpus (generate_invalid.py:423-438): rows
+    * keyed `kind` ∈ {orphan_user, orphan_product, qty_zero, qty_negative,
+    * price_mismatch, invalid_payment, invalid_status, bad_date, duplicate,
+    * empty_name_user, bad_email_user, null_joindate_user,
+    * excessive_price_product, negative_stock_product}. Returns
+    * (users, products, transactions) extras to union onto the valid data. */
+  def invalid(spark: SparkSession, day: String, nUsers: Int, nProducts: Int,
+              perKind: Int = 2): (DataFrame, DataFrame, DataFrame) = {
+    def ids(tag: String, base: Long) = spark.range(base, base + perKind).select(col("id"))
+
+    val badUsers =
+      ids("emptyname", 9000).select(col("id").as("user_id"), lit("").as("name"),
+        concat(lit("u"), col("id"), lit("@example.com")).as("email"), lit(day).as("join_date"))
+      .unionByName(ids("bademail", 9100).select(col("id").as("user_id"),
+        concat(lit("User "), col("id")).as("name"), lit("not-an-email").as("email"),
+        lit(day).as("join_date")))
+      .unionByName(ids("nulljoin", 9200).select(col("id").as("user_id"),
+        concat(lit("User "), col("id")).as("name"),
+        concat(lit("u"), col("id"), lit("@example.com")).as("email"),
+        lit(null).cast("string").as("join_date")))
+
+    val badProducts =
+      ids("overprice", 9000).select(col("id").as("product_id"),
+        concat(lit("Product "), col("id")).as("name"), lit("electronics").as("category"),
+        lit(15000.0).as("price"), lit(10).as("stock"))
+      .unionByName(ids("negstock", 9100).select(col("id").as("product_id"),
+        concat(lit("Product "), col("id")).as("name"), lit("home").as("category"),
+        lit(25.0).as("price"), lit(-5).as("stock")))
+
+    def tx(idBase: Long, mutate: DataFrame => DataFrame): DataFrame =
+      mutate(spark.range(idBase, idBase + perKind).select(
+        col("id").as("transaction_id"), lit(day).as("date"),
+        (floor(rnd("u", col("id")) * nUsers) + 1).cast("long").as("user_id"),
+        (floor(rnd("p", col("id")) * nProducts) + 1).cast("long").as("product_id"),
+        lit(2).as("quantity"), lit(50.0).as("price"),
+        lit("Visa").as("payment_type"), lit("Success").as("status")))
+
+    val badTx = Seq[DataFrame](
+      tx(9000, _.withColumn("user_id", col("user_id") + 100000)), // orphan_user
+      tx(9100, _.withColumn("product_id", col("product_id") + 100000)), // orphan_product
+      tx(9200, _.withColumn("quantity", lit(0))), // qty_zero
+      tx(9300, _.withColumn("quantity", lit(-3))), // qty_negative
+      tx(9400, _.withColumn("price", lit(0.01))), // price_mismatch (warning)
+      tx(9500, _.withColumn("payment_type", lit("Bitcoin"))), // invalid_payment_type
+      tx(9600, _.withColumn("status", lit("Pending"))), // invalid_status
+      tx(9700, _.withColumn("date", { // dd-MM-yyyy — unparseable by contract
+        val Array(y, m, d) = day.split("-"); lit(s"$d-$m-$y")
+      })),
+      tx(9800, identity).withColumn("transaction_id", col("transaction_id") - 9800 + 1) // duplicate ids
+    ).reduce(_ unionByName _)
+
+    (badUsers, badProducts, badTx)
+  }
+}

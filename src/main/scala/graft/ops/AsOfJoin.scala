@@ -11,19 +11,21 @@ import org.apache.spark.sql.functions._
   *
   * Two physical shapes, chosen by the caller to match data size:
   *
-  *  1. [[pitLookup]] — fact × SCD2 dimension. Non-equi join (range predicate
-  *     on the validity window) + window top-1 tie-break. The dimension side
-  *     is broadcast: Catalyst plans a BroadcastHashJoin on the equi part of
-  *     the condition with the range residual as a filter, so the fact side
-  *     never shuffles — the right plan when dims are millions of rows and
-  *     facts are 100 TB.
+  *  1. [[pitLookup]] — fact × SCD2 dimension, dimension small enough to
+  *     broadcast. The dimension is pre-collapsed to ONE row per natural key
+  *     holding a start_date-sorted array of its versions; the join is then a
+  *     plain broadcast hash equi-join on the key and the version pick is a
+  *     per-row higher-order `filter` + `element_at(…, -1)` over the array.
+  *     The fact side never shuffles and never sorts — zero exchanges beyond
+  *     the broadcast itself, which is the plan you want when facts are
+  *     100 TB and dims are millions of rows.
   *
   *  2. [[asOfUnion]] — big × big (e.g. event stream vs event stream), where
   *     a range join would explode. Union the two inputs tagged by side and
   *     run ONE window `last(value, ignoreNulls) over (partition by key
-  *     order by time, tiebreak)`: each left row picks up the most recent
-  *     right value with `time_r <= time_l`. Exactly one shuffle on the key,
-  *     no pair blowup — the merge-sort formulation of as-of join.
+  *     order by time, side, tiebreak)`: each left row picks up the most
+  *     recent right value with `time_r <= time_l`. Exactly one shuffle on
+  *     the key, no pair blowup — the merge-sort formulation of as-of join.
   */
 object AsOfJoin {
 
@@ -34,23 +36,32 @@ object AsOfJoin {
     * @param factKey  fact natural-key column
     * @param dimKey   dim natural-key column (name in `dim`)
     * @param factDate fact's own event date column
-    * @param factRowId unique fact row id for the top-1 window
-    * @param dimCols  columns to carry from the matched dim version
+    * @param dimCols  columns to carry from the matched dim version, emitted
+    *                 as `pit_<col>`
     * Unmatched fact rows survive with null dim columns (the reference logs
     * them as `orphan_*` warnings and skips them — callers split on null).
+    * If several versions share a start_date the later struct (field-wise
+    * comparison past start_date) wins — deterministic.
     */
   def pitLookup(fact: DataFrame, dim: DataFrame, factKey: Column, dimKey: String,
-                factDate: Column, factRowId: Column, dimCols: Seq[String]): DataFrame = {
-    val d = broadcast(dim.select((dimKey +: "start_date" +: "end_date" +: dimCols).distinct
-      .map(c => col(c).as(s"pit_$c")): _*))
-    val cond = factKey === col(s"pit_$dimKey") &&
-      col("pit_start_date") <= to_date(factDate) &&
-      (col("pit_end_date").isNull || col("pit_end_date") >= to_date(factDate))
-    val w = Window.partitionBy(factRowId).orderBy(col("pit_start_date").desc)
-    fact.join(d, cond, "left_outer")
-      .withColumn("pit_rn", row_number().over(w))
-      .filter(col("pit_rn") === 1)
-      .drop("pit_rn", s"pit_$dimKey", "pit_start_date", "pit_end_date")
+                factDate: Column, dimCols: Seq[String]): DataFrame = {
+    val attrCols = dimCols.filterNot(Seq(dimKey, "start_date", "end_date").contains)
+    // one row per key: versions sorted by start_date ascending (struct sort
+    // compares start_date first), so element_at(filtered, -1) is the
+    // latest valid version
+    val versions = dim
+      .groupBy(col(dimKey).as("pit_key"))
+      .agg(sort_array(collect_list(struct(
+        (col("start_date") +: col("end_date") +: attrCols.map(col)): _*
+      ))).as("pit_versions"))
+    val matched = filter(col("pit_versions"), v =>
+      v.getField("start_date") <= to_date(factDate) &&
+        (v.getField("end_date").isNull || v.getField("end_date") >= to_date(factDate)))
+    val pick = element_at(matched, -1)
+    fact.join(broadcast(versions), factKey === col("pit_key"), "left_outer")
+      .withColumn("pit_hit", pick)
+      .select(fact.columns.map(col) ++
+        attrCols.map(c => col("pit_hit").getField(c).as(s"pit_$c")): _*)
   }
 
   /** For every left row: the most recent right row with
@@ -58,10 +69,13 @@ object AsOfJoin {
     * right side as `asof_<col>` (null when no prior right row exists).
     *
     * Both inputs shuffle once on `key`; within each partition Spark sorts by
-    * (time, side) and the `last(..., ignoreNulls=true)` running window does
-    * the as-of matching in a single pass. Right rows at exactly the same
-    * timestamp sort BEFORE left rows (side 0 < 1), i.e. the match is
-    * inclusive (`<=`), mirroring the reference's `start_date <= tx_date`.
+    * (time, side, values) and the `last(..., ignoreNulls=true)` running
+    * window does the as-of matching in a single pass. Right rows at exactly
+    * the same timestamp sort BEFORE left rows (side 0 < 1), i.e. the match
+    * is inclusive (`<=`), mirroring the reference's `start_date <= tx_date`.
+    * Right rows tied on (key, time) are broken by the value struct itself
+    * (field-wise max wins) so the result is deterministic across runs and
+    * partitionings.
     */
   def asOfUnion(left: DataFrame, right: DataFrame, key: String, leftTime: String,
                 rightTime: String, valueCols: Seq[String]): DataFrame = {
@@ -77,7 +91,7 @@ object AsOfJoin {
     val r2 = rightTagged.withColumn("asof_left",
       lit(null).cast(l2.schema("asof_left").dataType)).select(l2.columns.map(col): _*)
     val w = Window.partitionBy("asof_key")
-      .orderBy(col("asof_ts"), col("asof_side"))
+      .orderBy(col("asof_ts"), col("asof_side"), col("asof_vals"))
       .rowsBetween(Window.unboundedPreceding, 0)
     val matched = l2.unionByName(r2)
       .withColumn("asof_match", last(col("asof_vals"), ignoreNulls = true).over(w))

@@ -43,9 +43,13 @@ object Dedup {
     */
   def changedOnly(df: DataFrame, key: Seq[String], time: Seq[Column], value: Column): DataFrame = {
     val w = Window.partitionBy(key.map(col): _*).orderBy(time: _*)
+    // row_number (not the lag null-test) keeps the first row per key even
+    // when its value is null: lag yields null there and `null <=> null`
+    // would otherwise drop it. Both windows share one shuffle+sort.
     df.withColumn("prev_value", lag(value, 1).over(w))
-      .filter(!(col("prev_value") <=> value))
-      .drop("prev_value")
+      .withColumn("chg_rn", row_number().over(w))
+      .filter(col("chg_rn") === 1 || !(col("prev_value") <=> value))
+      .drop("prev_value", "chg_rn")
   }
 
   /** Exact content dedup by hash cluster: groups rows by `contentHash`

@@ -1,0 +1,189 @@
+package graft.pipeline
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+import graft.audit.Audit
+import graft.dims.{DimDate, Scd2}
+import graft.facts.{StockHistory, TxLoad}
+import graft.schemas.Schemas
+import graft.validate.{Rules, Validator}
+
+/** The flagship pipeline — one daily incremental ETL run, the Spark
+  * re-expression of `ETL.etl.main(today)` (reference ETL/etl.py:402-559):
+  *
+  *   extract(raw OLTP, `--today`) → validate (data contract, one pass per
+  *   entity, cross-entity joins) → SCD2 dim upserts (snapshot rewrite) →
+  *   change-only stock snapshot → PIT fact-transaction load → audit
+  *   (error log + run log) — each stage an independent write (L2), the
+  *   run row last (L1).
+  *
+  * Storage is a parquet "warehouse" directory per table. Dimensions are
+  * read-modify-OVERWRITE via a staging dir + atomic move (Spark cannot
+  * update in place; SURVEY §1.6); facts and logs are appends. Idempotent
+  * re-runs come from the anti-join (J5) + change-only (P5) semantics, not
+  * from storage transactions — proven by the two-run test suite.
+  */
+final class EtlRun(spark: SparkSession, warehouse: String) {
+
+  private def path(t: String) = s"$warehouse/$t"
+
+  /** Read a warehouse table, yielding an empty typed frame when absent. */
+  def table(name: String, schema: StructType): DataFrame = {
+    val p = Paths.get(path(name))
+    if (Files.exists(p) && Files.list(p).anyMatch(f => f.getFileName.toString.endsWith(".parquet")))
+      spark.read.schema(schema).parquet(path(name))
+    else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+  }
+
+  /** Overwrite-via-staging: write next to `<table>__staging`, swap dirs. */
+  private def overwrite(df: DataFrame, name: String): Unit = {
+    val staging = path(s"${name}__staging")
+    df.write.mode("overwrite").parquet(staging)
+    val target = Paths.get(path(name))
+    if (Files.exists(target)) {
+      def rm(p: Path): Unit = {
+        if (Files.isDirectory(p)) Files.list(p).forEach(rm(_))
+        Files.delete(p)
+      }
+      rm(target)
+    }
+    Files.move(Paths.get(staging), target, StandardCopyOption.ATOMIC_MOVE)
+    // the session FileStatusCache keeps the pre-swap listing forever
+    // (metadataCacheTTLSeconds=-1): without this, a later read of the same
+    // path in this session resolves to the deleted part-files
+    spark.catalog.refreshByPath(path(name))
+  }
+
+  private def append(df: DataFrame, name: String): Unit = {
+    df.write.mode("append").parquet(path(name))
+    spark.catalog.refreshByPath(path(name))
+  }
+
+  /** One daily run. Returns the run-log row actually written. */
+  def run(today: String): DataFrame = {
+    val startedAt = System.currentTimeMillis()
+    val runId = 1L + table("etl_run_log", Schemas.etlRunLog)
+      .agg(coalesce(max("run_id"), lit(0L))).first().getLong(0)
+
+    var status = "failed"
+    var counts = Map.empty[String, Long]
+    var nErrors = 0L
+    var nWarnings = 0L
+    try {
+      // ---- EXTRACT (S1-S3) — raw-string date equality on purpose: bad-
+      // format rows can never equal `today`, so they are invisible to the
+      // run, exactly like the reference (etl.py:160-168, SURVEY S3 note)
+      val users = table("users", Schemas.users).orderBy("user_id")
+      val products = table("products", Schemas.products).orderBy("product_id")
+      val txToday = table("transactions", Schemas.transactions)
+        .filter(col("date") === lit(today)).orderBy("transaction_id")
+
+      // ---- VALIDATE (U1-U3) — one pass per entity, cross-entity via joins
+      val userValidator = new Validator(
+        Rules.userRules(col("user_id"), col("name"), col("email"), col("join_date")),
+        "user", col("user_id"), "users")
+      val usersAnn = userValidator.annotate(users).cache()
+      val validUsers = userValidator.valid(usersAnn)
+
+      val productValidator = new Validator(
+        Rules.productRules(col("product_id"), col("name"), col("price"), col("stock")),
+        "product", col("product_id"), "products")
+      val productsAnn = productValidator.annotate(products).cache()
+      val validProducts = productValidator.valid(productsAnn)
+
+      // U2: the tx contract consumes the run's *valid* users/products
+      val userKeys = broadcast(validUsers.select(col("user_id").as("vu_user_id")))
+      val productKeys = broadcast(validProducts
+        .select(col("product_id").as("vp_product_id"), col("price").as("vp_price")))
+      val dupW = org.apache.spark.sql.expressions.Window
+        .partitionBy("transaction_id").orderBy("transaction_id", "user_id", "product_id")
+      val txJoined = txToday
+        .join(userKeys, col("user_id") === col("vu_user_id"), "left_outer")
+        .join(productKeys, col("product_id") === col("vp_product_id"), "left_outer")
+        .withColumn("dup_occurrence", row_number().over(dupW))
+      val txValidator = new Validator(
+        Rules.transactionRules(col("transaction_id"), col("date"), col("user_id"),
+          col("product_id"), col("quantity"), col("payment_type"), col("status"), col("price"),
+          col("vu_user_id").isNotNull, col("vp_product_id").isNotNull,
+          col("vp_price"), col("dup_occurrence")),
+        "transaction", col("transaction_id"), "transactions")
+      val txAnn = txValidator.annotate(txJoined).cache()
+      // valid txs are NORMALIZED like the reference (validation.py:167-174)
+      val validTx = txValidator.valid(txAnn)
+        .withColumn("date", date_format(Rules.parseMultiDate(col("date")), "yyyy-MM-dd"))
+        .withColumn("payment_type", lower(coalesce(col("payment_type"), lit(""))))
+        .withColumn("status", lower(coalesce(col("status"), lit(""))))
+        .drop("vu_user_id", "vp_product_id", "vp_price", "dup_occurrence")
+
+      val validationErrors = Seq(usersAnn -> userValidator, productsAnn -> productValidator,
+        txAnn -> txValidator)
+        .map { case (ann, v) => v.errorLog(ann, lit(runId)) }
+        .reduce(_ unionByName _)
+
+      // ---- DIMS (SCD2 snapshot rewrite; S6/S7)
+      val userDimSpec = Scd2(Seq("user_id"), Seq("name", "email"), "user_sk", Seq("join_date"))
+      val curUserDim = table("dim_user", Schemas.dimUser)
+      val nextUserDim = userDimSpec.merge(curUserDim,
+        validUsers.withColumn("join_date", to_date(col("join_date"))),
+        today, col("join_date")).cache()
+      val userInserted = nextUserDim.count() - curUserDim.count()
+      overwrite(nextUserDim.select(Schemas.dimUser.fieldNames.map(col): _*), "dim_user")
+
+      val productDimSpec = Scd2(Seq("product_id"), Seq("name", "category", "price"), "product_sk")
+      val curProductDim = table("dim_product", Schemas.dimProduct)
+      val nextProductDim = productDimSpec.merge(curProductDim,
+        validProducts.drop("stock"), today, to_date(lit(today))).cache()
+      val productInserted = nextProductDim.count() - curProductDim.count()
+      overwrite(nextProductDim.select(Schemas.dimProduct.fieldNames.map(col): _*), "dim_product")
+
+      val dimUserNow = table("dim_user", Schemas.dimUser)
+      val dimProductNow = table("dim_product", Schemas.dimProduct)
+
+      // ---- FACT: stock history (change-only snapshot)
+      val (stockRows, stockWarnings) = StockHistory.load(
+        validProducts, dimProductNow, table("fact_stock_history", Schemas.factStockHistory), today)
+      val stockOut = stockRows.cache()
+      val stockInserted = stockOut.count()
+      append(stockOut, "fact_stock_history")
+
+      // ---- FACT: transactions (anti-join + PIT + first-wins)
+      val (txFacts, txWarnings, dateRows) = TxLoad.load(
+        validTx, dimUserNow, dimProductNow,
+        table("fact_transactions", Schemas.factTransactions), today)
+      val txOut = txFacts.cache()
+      val txInserted = txOut.count()
+      append(txOut, "fact_transactions")
+
+      // dim_date backfill for today + every loaded tx date (etl.py:320-324,
+      // 431) — merge-distinct against the existing calendar
+      val curDates = table("dim_date", Schemas.dimDate)
+      val todayRow = DimDate.fromDates(
+        spark.range(1).select(to_date(lit(today)).as("d")), col("d"))
+      val newDates = dateRows.unionByName(todayRow)
+        .join(curDates.select("date_id"), Seq("date_id"), "left_anti").distinct()
+      append(newDates.select(Schemas.dimDate.fieldNames.map(col): _*), "dim_date")
+
+      // ---- AUDIT (S9/S10)
+      val loadWarnings = Audit.errorLog(stockWarnings.unionByName(txWarnings), runId)
+      val allErrors = validationErrors.unionByName(loadWarnings).cache()
+      nErrors = allErrors.filter(col("severity") === "error").count()
+      nWarnings = allErrors.filter(col("severity") === "warning").count()
+      append(allErrors.select(Schemas.etlErrorLog.fieldNames.map(col): _*), "etl_error_log")
+
+      counts = Map(
+        "dim_user_inserted" -> userInserted,
+        "dim_product_inserted" -> productInserted,
+        "fact_stock_history_inserted" -> stockInserted,
+        "fact_transactions_inserted" -> txInserted)
+      status = "success"
+    } finally {
+      val runRow = Audit.runRow(spark, runId, today, today, status,
+        startedAt, System.currentTimeMillis(), counts, nErrors, nWarnings)
+      append(runRow.select(Schemas.etlRunLog.fieldNames.map(col): _*), "etl_run_log")
+    }
+
+    table("etl_run_log", Schemas.etlRunLog).filter(col("run_id") === runId)
+  }
+}

@@ -1,0 +1,547 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.dims.{DimDate, Scd2}
+import graft.facts.{StockHistory, TxLoad}
+import graft.ops.{AsOfJoin, Dedup}
+import graft.validate.{Rules, Validator}
+
+/** One registered query: the Spark program plus (when SQL-expressible) the
+  * DuckDB oracle the driver cross-checks it against. */
+final case class Qry(name: String, fn: (SparkSession, String) => DataFrame,
+                     sql: Option[String])
+
+/** ETL-parity queries over the driver testdata — every operator row of
+  * SURVEY.md §2 exercised on the TPC-H-ish tables, with `customer`/`part`/
+  * `orders`+`lineitem` standing in for the reference's users/products/
+  * transactions. Derived inputs are synthesized IDENTICALLY in the Spark
+  * builder and the DuckDB oracle text (deterministic arithmetic on keys
+  * only — no RNG), so results hash-compare exactly.
+  */
+object QEtl {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** `events.parquet` carries TIMESTAMP(NANOS), which Spark only reads with
+    * `spark.sql.legacy.parquet.nanosAsLong=true` (set in Verify/Bench) —
+    * convert back to a timestamp at µs precision, matching DuckDB's own
+    * internal µs truncation of the same file. */
+  private def events(s: SparkSession, dir: String): DataFrame = {
+    val raw = t(s, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => raw
+    }
+  }
+
+  private def ymd(c: Column): Column = date_format(c, "yyyy-MM-dd")
+
+  // --- synthesized dirty "transactions" shared by q03/q15/q23 -----------
+  // (user orphans at %11, product orphans at %13, qty -1..5 from %7,
+  //  payment domain with 'Bitcoin' injected at %5=0, status with 'Pending'
+  //  at %3=0, dd-MM-yyyy bad dates at %17=0)
+  private def dirtyTx(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders").select(
+      col("o_orderkey").as("transaction_id"),
+      when(col("o_orderkey") % 17 === 0, date_format(col("o_orderdate"), "dd-MM-yyyy"))
+        .otherwise(ymd(col("o_orderdate"))).as("date"),
+      when(col("o_orderkey") % 11 === 0, col("o_custkey") + 1000000)
+        .otherwise(col("o_custkey")).as("user_id"),
+      when(col("o_orderkey") % 13 === 0, col("o_orderkey") % 2000 + 1000000)
+        .otherwise(col("o_orderkey") % 2000).as("product_id"),
+      ((col("o_orderkey") % 7).cast("int") - 1).as("quantity"),
+      col("o_totalprice").as("price"),
+      element_at(array(lit("Bitcoin"), lit("Visa"), lit("MasterCard"),
+        lit("Wire Transfer"), lit("Other")), (col("o_orderkey") % 5).cast("int") + 1)
+        .as("payment_type"),
+      element_at(array(lit("Pending"), lit("Success"), lit("Failed")),
+        (col("o_orderkey") % 3).cast("int") + 1).as("status"))
+
+  private val dirtyTxSql =
+    """SELECT o_orderkey AS transaction_id,
+      |  CASE WHEN o_orderkey % 17 = 0 THEN strftime(o_orderdate, '%d-%m-%Y')
+      |       ELSE strftime(o_orderdate, '%Y-%m-%d') END AS date,
+      |  CASE WHEN o_orderkey % 11 = 0 THEN o_custkey + 1000000 ELSE o_custkey END AS user_id,
+      |  CASE WHEN o_orderkey % 13 = 0 THEN o_orderkey % 2000 + 1000000 ELSE o_orderkey % 2000 END AS product_id,
+      |  CAST(o_orderkey % 7 AS INT) - 1 AS quantity,
+      |  o_totalprice AS price,
+      |  ['Bitcoin','Visa','MasterCard','Wire Transfer','Other'][CAST(o_orderkey % 5 AS INT) + 1] AS payment_type,
+      |  ['Pending','Success','Failed'][CAST(o_orderkey % 3 AS INT) + 1] AS status
+      |FROM orders""".stripMargin
+
+  /** Dirty-tx rows annotated by the full contract → exploded error log. */
+  private def dirtyTxErrors(s: SparkSession, dir: String): DataFrame = {
+    val tx = dirtyTx(s, dir)
+      .join(broadcast(t(s, dir, "customer").select(col("c_custkey").as("vu_user_id"))),
+        col("user_id") === col("vu_user_id"), "left_outer")
+      .join(broadcast(t(s, dir, "part").select(col("p_partkey").as("vp_product_id"))),
+        col("product_id") === col("vp_product_id"), "left_outer")
+    val v = new Validator(
+      Rules.transactionRules(col("transaction_id"), col("date"), col("user_id"),
+        col("product_id"), col("quantity"), col("payment_type"), col("status"), col("price"),
+        col("vu_user_id").isNotNull, col("vp_product_id").isNotNull,
+        lit(null).cast("double"), lit(1)),
+      "transaction", col("transaction_id"), "transactions")
+    v.errors(v.annotate(tx))
+  }
+
+  // the same rule catalog as UNION ALL text (messages are int/string only)
+  private val dirtyTxErrorsSql =
+    s"""WITH tx AS ($dirtyTxSql),
+      |j AS (SELECT tx.*,
+      |        user_id IN (SELECT c_custkey FROM customer) AS user_known,
+      |        product_id IN (SELECT p_partkey FROM part) AS product_known
+      |      FROM tx)
+      |SELECT 'transaction' AS entity, CAST(transaction_id AS VARCHAR) AS record_id,
+      |       'orphan_user' AS error_type, 'error' AS severity,
+      |       'Transaction ' || CAST(transaction_id AS VARCHAR) || ' references non-existent user ' || CAST(user_id AS VARCHAR) AS message
+      |FROM j WHERE NOT user_known
+      |UNION ALL
+      |SELECT 'transaction', CAST(transaction_id AS VARCHAR), 'orphan_product', 'error',
+      |       'Transaction ' || CAST(transaction_id AS VARCHAR) || ' references non-existent product ' || CAST(product_id AS VARCHAR)
+      |FROM j WHERE NOT product_known
+      |UNION ALL
+      |SELECT 'transaction', CAST(transaction_id AS VARCHAR), 'qty_zero', 'error',
+      |       'Transaction ' || CAST(transaction_id AS VARCHAR) || ' has zero quantity'
+      |FROM j WHERE quantity = 0
+      |UNION ALL
+      |SELECT 'transaction', CAST(transaction_id AS VARCHAR), 'qty_negative', 'error',
+      |       'Transaction ' || CAST(transaction_id AS VARCHAR) || ' has negative quantity ' || CAST(quantity AS VARCHAR)
+      |FROM j WHERE quantity < 0
+      |UNION ALL
+      |SELECT 'transaction', CAST(transaction_id AS VARCHAR), 'invalid_payment_type', 'error',
+      |       'Transaction ' || CAST(transaction_id AS VARCHAR) || ' has invalid payment_type "' || payment_type || '"'
+      |FROM j WHERE lower(coalesce(payment_type, '')) NOT IN ('visa','mastercard','wire transfer','other')
+      |UNION ALL
+      |SELECT 'transaction', CAST(transaction_id AS VARCHAR), 'invalid_status', 'error',
+      |       'Transaction ' || CAST(transaction_id AS VARCHAR) || ' has invalid status "' || status || '"'
+      |FROM j WHERE lower(coalesce(status, '')) NOT IN ('success','failed')
+      |UNION ALL
+      |SELECT 'transaction', CAST(transaction_id AS VARCHAR), 'bad_date_format', 'error',
+      |       'Transaction ' || CAST(transaction_id AS VARCHAR) || ' has unparseable date "' || date || '"'
+      |FROM j WHERE COALESCE(try_strptime(date, '%Y-%m-%d'),
+      |        CASE WHEN contains(date, '/') THEN try_strptime(date, '%Y/%m/%d')
+      |             WHEN contains(date, 'T') THEN try_strptime(split_part(date, 'T', 1), '%Y-%m-%d')
+      |             WHEN regexp_matches(date, '^[0-9]{8}$$') THEN try_strptime(date, '%Y%m%d')
+      |        END) IS NULL""".stripMargin
+
+  // --- two-version SCD2 user dim shared by q07/q19 ----------------------
+  private def dimUser2v(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    c.select((col("c_custkey") * 2 + 1).as("user_sk"), col("c_custkey").as("user_id"),
+        to_date(lit("1992-01-01")).as("start_date"), to_date(lit("1996-12-31")).as("end_date"),
+        concat(lit("OLD:"), col("c_mktsegment")).as("segment"))
+      .unionByName(
+        c.select((col("c_custkey") * 2 + 2).as("user_sk"), col("c_custkey").as("user_id"),
+          to_date(lit("1997-01-01")).as("start_date"), lit(null).cast("date").as("end_date"),
+          col("c_mktsegment").as("segment")))
+  }
+
+  private val dimUser2vSql =
+    """SELECT c_custkey * 2 + 1 AS user_sk, c_custkey AS user_id,
+      |       DATE '1992-01-01' AS start_date, DATE '1996-12-31' AS end_date,
+      |       'OLD:' || c_mktsegment AS segment FROM customer
+      |UNION ALL
+      |SELECT c_custkey * 2 + 2, c_custkey, DATE '1997-01-01', NULL, c_mktsegment FROM customer""".stripMargin
+
+  val all: Seq[Qry] = Seq(
+
+    // S1/S2/P1 — projected + filtered full scan (pushdown visible in plan)
+    Qry("q01_scan_project",
+      (s, dir) => t(s, dir, "customer")
+        .filter(col("c_acctbal") > 0)
+        .select("c_custkey", "c_name", "c_mktsegment", "c_acctbal"),
+      Some("SELECT c_custkey, c_name, c_mktsegment, c_acctbal FROM customer WHERE c_acctbal > 0")),
+
+    // S3 — daily incremental scan on the RAW STRING date (fidelity note)
+    Qry("q02_daily_scan",
+      (s, dir) => events(s, dir)
+        .filter(date_format(col("ts"), "yyyy-MM-dd") === "2024-01-18")
+        .select("event_id", "user_id", "event_type", "value"),
+      Some("SELECT event_id, user_id, event_type, value FROM events WHERE strftime(ts, '%Y-%m-%d') = '2024-01-18'")),
+
+    // P6/U1/U2/J1/F1-F4 — the full transaction contract as an error log
+    Qry("q03_validate_contract",
+      (s, dir) => dirtyTxErrors(s, dir),
+      Some(dirtyTxErrorsSql)),
+
+    // F4 — multi-format date parser over 5 synthesized formats
+    Qry("q04_date_parse_multi",
+      (s, dir) => {
+        val d = t(s, dir, "orders").select(col("o_orderkey"),
+          element_at(array(
+            ymd(col("o_orderdate")),
+            date_format(col("o_orderdate"), "yyyy/MM/dd"),
+            date_format(col("o_orderdate"), "yyyy-MM-dd'T'HH:mm:ss'Z'"),
+            date_format(col("o_orderdate"), "yyyyMMdd"),
+            date_format(col("o_orderdate"), "dd-MM-yyyy")),
+            (col("o_orderkey") % 5).cast("int") + 1).as("date_str"))
+        d.select(col("o_orderkey"), col("date_str"),
+          ymd(Rules.parseMultiDate(col("date_str"))).as("parsed"))
+      },
+      Some("""WITH d AS (SELECT o_orderkey,
+        |  [strftime(o_orderdate, '%Y-%m-%d'), strftime(o_orderdate, '%Y/%m/%d'),
+        |   strftime(o_orderdate, '%Y-%m-%dT%H:%M:%SZ'), strftime(o_orderdate, '%Y%m%d'),
+        |   strftime(o_orderdate, '%d-%m-%Y')][CAST(o_orderkey % 5 AS INT) + 1] AS date_str
+        |  FROM orders)
+        |SELECT o_orderkey, date_str,
+        |  strftime(COALESCE(try_strptime(date_str, '%Y-%m-%d'),
+        |    CASE WHEN contains(date_str, '/') THEN try_strptime(date_str, '%Y/%m/%d')
+        |         WHEN contains(date_str, 'T') THEN try_strptime(split_part(date_str, 'T', 1), '%Y-%m-%d')
+        |         WHEN regexp_matches(date_str, '^[0-9]{8}$') THEN try_strptime(date_str, '%Y%m%d')
+        |    END), '%Y-%m-%d') AS parsed
+        |FROM d""".stripMargin)),
+
+    // F5/F6/S11 — calendar dimension from the data's own dates
+    Qry("q05_dim_date",
+      (s, dir) => DimDate.fromDates(t(s, dir, "orders"), col("o_orderdate"))
+        .select(col("date_id"), ymd(col("full_date")).as("full_date"),
+          col("year"), col("month"), col("day"), col("week"), col("weekday")),
+      Some("""SELECT DISTINCT CAST(strftime(o_orderdate, '%Y%m%d') AS INT) AS date_id,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS full_date,
+        |  year(o_orderdate) AS year, month(o_orderdate) AS month, day(o_orderdate) AS day,
+        |  week(o_orderdate) AS week, isodow(o_orderdate) AS weekday
+        |FROM orders""".stripMargin)),
+
+    // J2/P4/F7/F14/S6/S7 — full SCD2 merge snapshot
+    Qry("q06_scd2_merge",
+      (s, dir) => {
+        val c = t(s, dir, "customer")
+        val mkEmail = (k: Column) => concat(lit("u"), k.cast("string"), lit("@x.com"))
+        val joinDate = (k: Column) => ymd(date_add(to_date(lit("1994-01-01")), (k % 365).cast("int")))
+        val skW = Window.orderBy("user_id")
+        val cur = c.select(col("c_custkey").as("user_id"), col("c_name").as("name"),
+            mkEmail(col("c_custkey")).as("email"),
+            to_date(joinDate(col("c_custkey"))).as("join_date"))
+          .withColumn("user_sk", row_number().over(Window.orderBy("user_id")).cast("long"))
+          .withColumn("start_date", to_date(lit("1995-01-01")))
+          .withColumn("end_date", lit(null).cast("date"))
+          .withColumn("current_flag", lit(1))
+          .select("user_sk", "user_id", "name", "email", "join_date",
+            "start_date", "end_date", "current_flag")
+        val inc = c.select(col("c_custkey").as("user_id"),
+            when(col("c_custkey") % 10 === 0, concat(col("c_name"), lit(" Jr")))
+              .otherwise(col("c_name")).as("name"),
+            mkEmail(col("c_custkey")).as("email"),
+            to_date(joinDate(col("c_custkey"))).as("join_date"))
+          .unionByName(c.filter(col("c_custkey") % 100 === 0)
+            .select((col("c_custkey") + 1000000).as("user_id"),
+              concat(lit("New "), col("c_custkey").cast("string")).as("name"),
+              mkEmail(col("c_custkey") + 1000000).as("email"),
+              to_date(lit("1998-06-01")).as("join_date")))
+        Scd2(Seq("user_id"), Seq("name", "email"), "user_sk", Seq("join_date"))
+          .merge(cur, inc, "1998-06-01", col("join_date"))
+          .select(col("user_sk"), col("user_id"), col("name"), col("email"),
+            ymd(col("join_date")).as("join_date"), ymd(col("start_date")).as("start_date"),
+            ymd(col("end_date")).as("end_date"), col("current_flag"))
+      },
+      Some("""WITH cur AS (
+        |  SELECT row_number() OVER (ORDER BY c_custkey) AS user_sk, c_custkey AS user_id,
+        |         c_name AS name, 'u' || CAST(c_custkey AS VARCHAR) || '@x.com' AS email,
+        |         strftime(DATE '1994-01-01' + CAST(c_custkey % 365 AS INT), '%Y-%m-%d') AS join_date
+        |  FROM customer),
+        |inc AS (
+        |  SELECT c_custkey AS user_id,
+        |         CASE WHEN c_custkey % 10 = 0 THEN c_name || ' Jr' ELSE c_name END AS name,
+        |         'u' || CAST(c_custkey AS VARCHAR) || '@x.com' AS email,
+        |         strftime(DATE '1994-01-01' + CAST(c_custkey % 365 AS INT), '%Y-%m-%d') AS join_date
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000, 'New ' || CAST(c_custkey AS VARCHAR),
+        |         'u' || CAST(c_custkey + 1000000 AS VARCHAR) || '@x.com', '1998-06-01'
+        |  FROM customer WHERE c_custkey % 100 = 0),
+        |changed AS (
+        |  SELECT cur.user_sk, cur.user_id, cur.name, cur.email, cur.join_date,
+        |         inc.name AS in_name, inc.email AS in_email, inc.join_date AS in_join
+        |  FROM cur JOIN inc ON cur.user_id = inc.user_id
+        |  WHERE cur.name <> inc.name OR cur.email <> inc.email),
+        |unchanged AS (
+        |  SELECT user_sk, user_id, name, email, join_date,
+        |         '1995-01-01' AS start_date, CAST(NULL AS VARCHAR) AS end_date, 1 AS current_flag
+        |  FROM cur WHERE user_id NOT IN (SELECT user_id FROM changed)),
+        |expired AS (
+        |  SELECT user_sk, user_id, name, email, join_date,
+        |         '1995-01-01' AS start_date, '1998-05-31' AS end_date, 0 AS current_flag
+        |  FROM changed),
+        |freshsrc AS (
+        |  SELECT user_id, in_name AS name, in_email AS email, in_join AS join_date,
+        |         '1998-06-01' AS start_date FROM changed
+        |  UNION ALL
+        |  SELECT user_id, name, email, join_date, join_date AS start_date
+        |  FROM inc WHERE user_id NOT IN (SELECT user_id FROM cur)),
+        |fresh AS (
+        |  SELECT (SELECT max(user_sk) FROM cur) + row_number() OVER (ORDER BY user_id) AS user_sk,
+        |         user_id, name, email, join_date, start_date,
+        |         CAST(NULL AS VARCHAR) AS end_date, 1 AS current_flag
+        |  FROM freshsrc)
+        |SELECT * FROM unchanged UNION ALL SELECT * FROM expired UNION ALL SELECT * FROM fresh""".stripMargin)),
+
+    // J3/W2/O2 — point-in-time lookup, broadcast-array form (no fact shuffle)
+    Qry("q07_pit_lookup",
+      (s, dir) => AsOfJoin.pitLookup(t(s, dir, "orders"), dimUser2v(s, dir),
+          col("o_custkey"), "user_id", col("o_orderdate"), Seq("user_sk", "segment"))
+        .select(col("o_orderkey"), col("pit_user_sk").as("user_sk"),
+          col("pit_segment").as("segment")),
+      Some(s"""WITH dim AS ($dimUser2vSql)
+        |SELECT o_orderkey, user_sk, segment
+        |FROM orders JOIN dim ON o_custkey = user_id
+        |  AND start_date <= CAST(o_orderdate AS DATE)
+        |  AND (end_date IS NULL OR end_date >= CAST(o_orderdate AS DATE))
+        |QUALIFY row_number() OVER (PARTITION BY o_orderkey ORDER BY start_date DESC) = 1""".stripMargin)),
+
+    // J3 big×big — merge-formulation as-of join (one shuffle, no blowup)
+    Qry("q08_asof_union",
+      (s, dir) => {
+        val ev = events(s, dir)
+        val clicks = ev.filter(col("event_type") === "click")
+          .select("event_id", "user_id", "ts")
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select("user_id", "ts", "value")
+        AsOfJoin.asOfUnion(clicks, purchases, "user_id", "ts", "ts", Seq("value"))
+          .select("event_id", "user_id", "asof_value")
+      },
+      Some("""SELECT e.event_id, e.user_id, p.value AS asof_value
+        |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') e
+        |ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
+        |  ON e.user_id = p.user_id AND e.ts >= p.ts""".stripMargin)),
+
+    // J5/S4 — anti-join against already-loaded keys
+    Qry("q09_anti_join",
+      (s, dir) => Dedup.antiJoinExisting(
+        t(s, dir, "lineitem").select("l_orderkey", "l_linenumber", "l_quantity"),
+        t(s, dir, "orders").filter(col("o_orderstatus") === "F")
+          .select(col("o_orderkey").as("l_orderkey")), Seq("l_orderkey")),
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        |WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F')""".stripMargin)),
+
+    // J1 — FK-existence semi join
+    Qry("q10_semi_join",
+      (s, dir) => t(s, dir, "customer")
+        .join(t(s, dir, "orders").select(col("o_custkey").as("c_custkey")),
+          Seq("c_custkey"), "left_semi")
+        .select("c_custkey", "c_name"),
+      Some("SELECT c_custkey, c_name FROM customer WHERE c_custkey IN (SELECT o_custkey FROM orders)")),
+
+    // J6/W3 — in-batch composite-PK first-wins dedup (kept side)
+    Qry("q11_first_wins",
+      (s, dir) => Dedup.firstWins(
+        t(s, dir, "lineitem").select("l_orderkey", "l_partkey", "l_linenumber", "l_quantity"),
+        Seq("l_orderkey", "l_partkey"), Seq(col("l_linenumber")))._1,
+      Some("""SELECT l_orderkey, l_partkey, l_linenumber, l_quantity FROM lineitem
+        |QUALIFY row_number() OVER (PARTITION BY l_orderkey, l_partkey ORDER BY l_linenumber) = 1""".stripMargin)),
+
+    // A7 — the duplicate (warning) side of the same window
+    Qry("q12_dup_warnings",
+      (s, dir) => Dedup.firstWins(
+        t(s, dir, "lineitem").select("l_orderkey", "l_partkey", "l_linenumber"),
+        Seq("l_orderkey", "l_partkey"), Seq(col("l_linenumber")))._2,
+      Some("""SELECT l_orderkey, l_partkey, l_linenumber FROM lineitem
+        |QUALIFY row_number() OVER (PARTITION BY l_orderkey, l_partkey ORDER BY l_linenumber) > 1""".stripMargin)),
+
+    // P5/W1 — change-only capture (value = event_type per user over time)
+    Qry("q13_changed_only",
+      (s, dir) => Dedup.changedOnly(
+        events(s, dir).select("event_id", "user_id", "event_type", "ts"),
+        Seq("user_id"), Seq(col("ts"), col("event_id")), col("event_type"))
+        .select("event_id", "user_id", "event_type"),
+      Some("""SELECT event_id, user_id, event_type FROM events
+        |QUALIFY lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |     OR event_type <> lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin)),
+
+    // A6/O2 — latest value per group (top-1 desc window)
+    Qry("q14_last_per_group",
+      (s, dir) => {
+        val w = Window.partitionBy("l_partkey")
+          .orderBy(col("l_shipdate").desc, col("l_orderkey").desc, col("l_linenumber").desc)
+        t(s, dir, "lineitem")
+          .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .select(col("l_partkey"), col("l_quantity").as("last_qty"),
+            ymd(col("l_shipdate")).as("last_ship"))
+      },
+      Some("""SELECT l_partkey, l_quantity AS last_qty, strftime(l_shipdate, '%Y-%m-%d') AS last_ship
+        |FROM lineitem
+        |QUALIFY row_number() OVER (PARTITION BY l_partkey
+        |  ORDER BY l_shipdate DESC, l_orderkey DESC, l_linenumber DESC) = 1""".stripMargin)),
+
+    // A3/O5 — DQ rollup over the contract's error log
+    Qry("q15_dq_rollup",
+      (s, dir) => dirtyTxErrors(s, dir)
+        .groupBy("error_type", "severity").agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), col("error_type")),
+      Some(s"""WITH errors AS ($dirtyTxErrorsSql)
+        |SELECT error_type, severity, CAST(count(*) AS BIGINT) AS n
+        |FROM errors GROUP BY error_type, severity""".stripMargin)),
+
+    // A1/L5 — run-summary table counts
+    Qry("q16_table_counts",
+      (s, dir) => Seq("customer", "orders", "lineitem", "part", "supplier")
+        .map(n => t(s, dir, n).agg(count(lit(1)).as("n")).select(lit(n).as("table_name"), col("n")))
+        .reduce(_ unionByName _),
+      Some("""SELECT 'customer' AS table_name, CAST(count(*) AS BIGINT) AS n FROM customer
+        |UNION ALL SELECT 'orders', CAST(count(*) AS BIGINT) FROM orders
+        |UNION ALL SELECT 'lineitem', CAST(count(*) AS BIGINT) FROM lineitem
+        |UNION ALL SELECT 'part', CAST(count(*) AS BIGINT) FROM part
+        |UNION ALL SELECT 'supplier', CAST(count(*) AS BIGINT) FROM supplier""".stripMargin)),
+
+    // A4 — next-id allocation
+    Qry("q17_max_id",
+      (s, dir) => t(s, dir, "orders").agg((max("o_orderkey") + 1).as("next_id")),
+      Some("SELECT max(o_orderkey) + 1 AS next_id FROM orders")),
+
+    // O2/O3 — global top-k with deterministic tiebreak
+    Qry("q18_topk_global",
+      (s, dir) => t(s, dir, "orders")
+        .orderBy(desc("o_totalprice"), col("o_orderkey")).limit(10)
+        .select("o_orderkey", "o_totalprice"),
+      Some("SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10")),
+
+    // THE FLAGSHIP — composed fact-transaction load (J5+J3+J6+F5+dim_date)
+    Qry("q19_fact_tx_load",
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        val validTx0 = o.select(
+          col("o_orderkey").as("transaction_id"), ymd(col("o_orderdate")).as("date"),
+          when(col("o_orderkey") % 23 === 0, col("o_custkey") + 1000000)
+            .otherwise(col("o_custkey")).as("user_id"),
+          when(col("o_orderkey") % 29 === 0, lit(999999999L))
+            .otherwise(col("o_orderkey") % 2000).as("product_id"),
+          ((col("o_orderkey") % 5).cast("int") + 1).as("quantity"),
+          col("o_totalprice").as("price"),
+          lit("visa").as("payment_type"), lit("success").as("status"))
+        val validTx = validTx0.unionByName(validTx0.filter(col("transaction_id") % 31 === 0))
+        val dimProduct = t(s, dir, "part").select(
+          (col("p_partkey") + 1).as("product_sk"), col("p_partkey").as("product_id"),
+          to_date(lit("1992-01-01")).as("start_date"), lit(null).cast("date").as("end_date"))
+        val existing = o.filter(col("o_orderkey") % 5 === 0)
+          .select(col("o_orderkey").as("transaction_id"))
+        val (facts, _, _) = TxLoad.load(validTx, dimUser2v(s, dir), dimProduct,
+          existing, "2002-01-01")
+        facts.withColumn("load_date", ymd(col("load_date")))
+      },
+      Some(s"""WITH dim_user AS ($dimUser2vSql),
+        |vt0 AS (
+        |  SELECT o_orderkey AS transaction_id, strftime(o_orderdate, '%Y-%m-%d') AS date,
+        |    CASE WHEN o_orderkey % 23 = 0 THEN o_custkey + 1000000 ELSE o_custkey END AS user_id,
+        |    CASE WHEN o_orderkey % 29 = 0 THEN 999999999 ELSE o_orderkey % 2000 END AS product_id,
+        |    CAST(o_orderkey % 5 AS INT) + 1 AS quantity, o_totalprice AS price,
+        |    'visa' AS payment_type, 'success' AS status
+        |  FROM orders),
+        |vt AS (SELECT * FROM vt0 UNION ALL SELECT * FROM vt0 WHERE transaction_id % 31 = 0),
+        |fresh AS (SELECT DISTINCT * FROM vt
+        |  WHERE transaction_id NOT IN (SELECT o_orderkey FROM orders WHERE o_orderkey % 5 = 0)),
+        |withu AS (
+        |  SELECT f.*, d.user_sk FROM fresh f JOIN dim_user d ON f.user_id = d.user_id
+        |    AND d.start_date <= CAST(strptime(f.date, '%Y-%m-%d') AS DATE)
+        |    AND (d.end_date IS NULL OR d.end_date >= CAST(strptime(f.date, '%Y-%m-%d') AS DATE))
+        |  QUALIFY row_number() OVER (PARTITION BY f.transaction_id, f.product_id
+        |    ORDER BY d.start_date DESC) = 1),
+        |withp AS (
+        |  SELECT w.*, p.p_partkey + 1 AS product_sk
+        |  FROM withu w JOIN part p ON w.product_id = p.p_partkey)
+        |SELECT transaction_id, user_sk, product_sk,
+        |       CAST(replace(date, '-', '') AS INT) AS date_id, quantity, price AS total,
+        |       payment_type, status, '2002-01-01' AS load_date
+        |FROM withp""".stripMargin)),
+
+    // P5/J2 composed — change-only stock snapshot load
+    Qry("q20_stock_history",
+      (s, dir) => {
+        val p = t(s, dir, "part")
+        val validProducts = p.select(col("p_partkey").as("product_id"),
+          col("p_name").as("name"), col("p_brand").as("category"),
+          col("p_retailprice").as("price"), col("p_size").as("stock"))
+        val dimProduct = p.filter(col("p_partkey") % 19 =!= 0).select(
+          (col("p_partkey") + 1).as("product_sk"), col("p_partkey").as("product_id"),
+          lit(1).as("current_flag"))
+        val existing = p.filter(col("p_partkey") % 3 === 0).select(
+          (col("p_partkey") + 1).as("product_sk"), lit(20020101).as("date_id"),
+          when(col("p_partkey") % 6 === 0, col("p_size")).otherwise(col("p_size") + 1)
+            .as("stock"), to_date(lit("2002-01-01")).as("load_date"))
+        val (inserts, _) = StockHistory.load(validProducts, dimProduct, existing, "2002-01-02")
+        inserts.withColumn("load_date", ymd(col("load_date")))
+      },
+      Some("""WITH dim AS (SELECT p_partkey + 1 AS product_sk, p_partkey AS product_id
+        |  FROM part WHERE p_partkey % 19 <> 0),
+        |existing AS (SELECT p_partkey + 1 AS product_sk,
+        |  CASE WHEN p_partkey % 6 = 0 THEN p_size ELSE p_size + 1 END AS stock
+        |  FROM part WHERE p_partkey % 3 = 0)
+        |SELECT d.product_sk, 20020102 AS date_id, p.p_size AS stock, '2002-01-02' AS load_date
+        |FROM part p JOIN dim d ON p.p_partkey = d.product_id
+        |LEFT JOIN existing e ON d.product_sk = e.product_sk
+        |WHERE e.stock IS NULL OR e.stock <> p.p_size""".stripMargin)),
+
+    // J7 — referential-integrity audit counts
+    Qry("q21_ref_integrity",
+      (s, dir) => {
+        def orphans(fact: DataFrame, key: String, dim: DataFrame, dimKey: String, name: String) =
+          fact.join(dim.select(col(dimKey).as(key)), Seq(key), "left_anti")
+            .agg(count(lit(1)).as("n")).select(lit(name).as("check_name"), col("n"))
+        orphans(t(s, dir, "lineitem"), "l_partkey", t(s, dir, "part"), "p_partkey", "lineitem_part")
+          .unionByName(orphans(t(s, dir, "lineitem"), "l_suppkey", t(s, dir, "supplier"),
+            "s_suppkey", "lineitem_supplier"))
+          .unionByName(orphans(t(s, dir, "orders"), "o_custkey", t(s, dir, "customer"),
+            "c_custkey", "orders_customer"))
+      },
+      Some("""SELECT 'lineitem_part' AS check_name, CAST(count(*) AS BIGINT) AS n
+        |  FROM lineitem WHERE l_partkey NOT IN (SELECT p_partkey FROM part)
+        |UNION ALL SELECT 'lineitem_supplier', CAST(count(*) AS BIGINT)
+        |  FROM lineitem WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier)
+        |UNION ALL SELECT 'orders_customer', CAST(count(*) AS BIGINT)
+        |  FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)""".stripMargin)),
+
+    // SK bootstrap — scalable init (no global window; SKs dense by key)
+    Qry("q22_scd2_init",
+      (s, dir) => Scd2(Seq("user_id"), Seq("name", "segment"), "user_sk")
+        .init(t(s, dir, "customer").select(col("c_custkey").as("user_id"),
+          col("c_name").as("name"), col("c_mktsegment").as("segment")),
+          lit("1995-01-01"))
+        .select(col("user_sk"), col("user_id"), col("name"), col("segment"),
+          ymd(col("start_date")).as("start_date"), col("current_flag")),
+      Some("""SELECT row_number() OVER (ORDER BY c_custkey) AS user_sk, c_custkey AS user_id,
+        |  c_name AS name, c_mktsegment AS segment, '1995-01-01' AS start_date, 1 AS current_flag
+        |FROM customer""".stripMargin)),
+
+    // A2 — severity counts over the contract error log
+    Qry("q23_severity_counts",
+      (s, dir) => dirtyTxErrors(s, dir).groupBy("severity").agg(count(lit(1)).as("n")),
+      Some(s"""WITH errors AS ($dirtyTxErrorsSql)
+        |SELECT severity, CAST(count(*) AS BIGINT) AS n FROM errors GROUP BY severity""".stripMargin)),
+
+    // window frames — running count + exact-cents running sum per customer
+    Qry("q24_running_totals",
+      (s, dir) => {
+        val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        t(s, dir, "orders")
+          .withColumn("cents", round(col("o_totalprice") * 100, 0).cast("long"))
+          .select(col("o_orderkey"), col("o_custkey"),
+            count(lit(1)).over(w).as("run_cnt"), sum("cents").over(w).as("run_cents"))
+      },
+      Some("""SELECT o_orderkey, o_custkey,
+        |  CAST(count(*) OVER w AS BIGINT) AS run_cnt,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER w AS BIGINT) AS run_cents
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |  ROWS UNBOUNDED PRECEDING)""".stripMargin)),
+
+    // TPC-H Q1-shaped grouped aggregate with exact integer arithmetic
+    Qry("q25_pricing_summary",
+      (s, dir) => t(s, dir, "lineitem")
+        .filter(ymd(col("l_shipdate")) <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(sum(col("l_quantity").cast("long")).as("sum_qty"),
+          sum(round(col("l_extendedprice") * 100, 0).cast("long")).as("sum_base_cents"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus"),
+      Some("""SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+        |  CAST(count(*) AS BIGINT) AS count_order
+        |FROM lineitem WHERE strftime(l_shipdate, '%Y-%m-%d') <= '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin))
+  )
+}

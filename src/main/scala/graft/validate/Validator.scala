@@ -39,7 +39,8 @@ object Rule {
   * transformation over the annotated frame, so at 100 TB the contract costs
   * one scan and zero shuffles.
   */
-final class Validator(rules: Seq[Rule], entity: String, recordId: Column) {
+final class Validator(rules: Seq[Rule], entity: String, recordId: Column,
+                      tableName: String = "") {
 
   val failedRulesCol = "failed_rules"
 
@@ -82,6 +83,23 @@ final class Validator(rules: Seq[Rule], entity: String, recordId: Column) {
         col("e.severity").as("severity"),
         col("e.message").as("message")
       )
+
+  /** [[errors]] widened to the reference `etl_error_log` column set
+    * (run_id, entity, table_name, record_id, error_type, message,
+    * created_at, severity — ETL/scripts/create_db.py:29-42). `createdAt`
+    * is a parameter so tests/oracles can pin a deterministic timestamp. */
+  def errorLog(annotated: DataFrame, runId: Column,
+               createdAt: Column = current_timestamp()): DataFrame =
+    errors(annotated).select(
+      runId.cast("long").as("run_id"),
+      col("entity"),
+      lit(tableName).as("table_name"),
+      col("record_id"),
+      col("error_type"),
+      col("message"),
+      createdAt.as("created_at"),
+      col("severity")
+    )
 
   /** DQ rollup `GROUP BY error_type, severity ORDER BY count DESC`
     * (reference demo.ipynb cell 16 / SURVEY.md A3). */

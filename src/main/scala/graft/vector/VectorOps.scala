@@ -75,14 +75,23 @@ object VectorOps {
     * IVF/LSH-style recall-for-throughput trade, with the pair join
     * co-partitioned by bucket id.
     */
-  def lshCandidatePairs(vecs: DataFrame, nPlanes: Int, minCos: Double): DataFrame = {
+  def lshCandidatePairs(vecs: DataFrame, nPlanes: Int, minCos: Double,
+                        maxBucketSize: Int = 10000): DataFrame = {
     val b = vecs.select(col("id"), col("vec"), srpBucket(col("vec"), nPlanes).as("bucket"))
-    val l = b.select(col("bucket"), col("id").as("id_a"), col("vec").as("va"))
-    val r = b.select(col("bucket"), col("id").as("id_b"), col("vec").as("vb"))
+    // Hot-bucket guard: a skewed bucket makes the self-join quadratic in
+    // that bucket. Bucket sizes are a tiny aggregate (≤ 2^nPlanes rows →
+    // broadcast); buckets past the cap are excluded from pairing — the
+    // standard recall-for-stability trade (callers raise nPlanes to split
+    // hot regions instead). No final distinct: with a single bucket column
+    // and id_a < id_b a pair can appear at most once.
+    val sizes = b.groupBy("bucket").agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") <= maxBucketSize)
+    val capped = b.join(broadcast(sizes.select("bucket")), Seq("bucket"))
+    val l = capped.select(col("bucket"), col("id").as("id_a"), col("vec").as("va"))
+    val r = capped.select(col("bucket"), col("id").as("id_b"), col("vec").as("vb"))
     l.join(r, Seq("bucket")).filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), cosine(col("va"), col("vb")).as("cos"))
       .filter(col("cos") >= minCos)
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
-      .distinct()
   }
 }
