@@ -213,11 +213,12 @@ object QEtl {
         val c = t(s, dir, "customer")
         val mkEmail = (k: Column) => concat(lit("u"), k.cast("string"), lit("@x.com"))
         val joinDate = (k: Column) => ymd(date_add(to_date(lit("1994-01-01")), (k % 365).cast("int")))
-        val skW = Window.orderBy("user_id")
+        // custkeys are dense 0..n-1, so sk = key+1 equals the reference's
+        // insertion-order AUTOINCREMENT without a global-window sort
         val cur = c.select(col("c_custkey").as("user_id"), col("c_name").as("name"),
             mkEmail(col("c_custkey")).as("email"),
             to_date(joinDate(col("c_custkey"))).as("join_date"))
-          .withColumn("user_sk", row_number().over(Window.orderBy("user_id")).cast("long"))
+          .withColumn("user_sk", (col("user_id") + 1).cast("long"))
           .withColumn("start_date", to_date(lit("1995-01-01")))
           .withColumn("end_date", lit(null).cast("date"))
           .withColumn("current_flag", lit(1))
@@ -240,7 +241,7 @@ object QEtl {
             ymd(col("end_date")).as("end_date"), col("current_flag"))
       },
       Some("""WITH cur AS (
-        |  SELECT row_number() OVER (ORDER BY c_custkey) AS user_sk, c_custkey AS user_id,
+        |  SELECT c_custkey + 1 AS user_sk, c_custkey AS user_id,
         |         c_name AS name, 'u' || CAST(c_custkey AS VARCHAR) || '@x.com' AS email,
         |         strftime(DATE '1994-01-01' + CAST(c_custkey % 365 AS INT), '%Y-%m-%d') AS join_date
         |  FROM customer),
@@ -326,21 +327,25 @@ object QEtl {
         .select("c_custkey", "c_name"),
       Some("SELECT c_custkey, c_name FROM customer WHERE c_custkey IN (SELECT o_custkey FROM orders)")),
 
-    // J6/W3 — in-batch composite-PK first-wins dedup (kept side)
+    // J6/W3 — in-batch composite-PK first-wins dedup (kept side).
+    // (l_linenumber alone is NOT a total order here — the generator emits a
+    // handful of rows duplicated on (orderkey, partkey, linenumber) that
+    // differ in quantity — so the extract-order tiebreak includes the
+    // remaining columns, same as the reference's insertion-order walk.)
     Qry("q11_first_wins",
       (s, dir) => Dedup.firstWins(
         t(s, dir, "lineitem").select("l_orderkey", "l_partkey", "l_linenumber", "l_quantity"),
-        Seq("l_orderkey", "l_partkey"), Seq(col("l_linenumber")))._1,
+        Seq("l_orderkey", "l_partkey"), Seq(col("l_linenumber"), col("l_quantity")))._1,
       Some("""SELECT l_orderkey, l_partkey, l_linenumber, l_quantity FROM lineitem
-        |QUALIFY row_number() OVER (PARTITION BY l_orderkey, l_partkey ORDER BY l_linenumber) = 1""".stripMargin)),
+        |QUALIFY row_number() OVER (PARTITION BY l_orderkey, l_partkey ORDER BY l_linenumber, l_quantity) = 1""".stripMargin)),
 
     // A7 — the duplicate (warning) side of the same window
     Qry("q12_dup_warnings",
       (s, dir) => Dedup.firstWins(
-        t(s, dir, "lineitem").select("l_orderkey", "l_partkey", "l_linenumber"),
-        Seq("l_orderkey", "l_partkey"), Seq(col("l_linenumber")))._2,
-      Some("""SELECT l_orderkey, l_partkey, l_linenumber FROM lineitem
-        |QUALIFY row_number() OVER (PARTITION BY l_orderkey, l_partkey ORDER BY l_linenumber) > 1""".stripMargin)),
+        t(s, dir, "lineitem").select("l_orderkey", "l_partkey", "l_linenumber", "l_quantity"),
+        Seq("l_orderkey", "l_partkey"), Seq(col("l_linenumber"), col("l_quantity")))._2,
+      Some("""SELECT l_orderkey, l_partkey, l_linenumber, l_quantity FROM lineitem
+        |QUALIFY row_number() OVER (PARTITION BY l_orderkey, l_partkey ORDER BY l_linenumber, l_quantity) > 1""".stripMargin)),
 
     // P5/W1 — change-only capture (value = event_type per user over time)
     Qry("q13_changed_only",
@@ -356,7 +361,8 @@ object QEtl {
     Qry("q14_last_per_group",
       (s, dir) => {
         val w = Window.partitionBy("l_partkey")
-          .orderBy(col("l_shipdate").desc, col("l_orderkey").desc, col("l_linenumber").desc)
+          .orderBy(col("l_shipdate").desc, col("l_orderkey").desc,
+            col("l_linenumber").desc, col("l_quantity").desc)
         t(s, dir, "lineitem")
           .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
           .select(col("l_partkey"), col("l_quantity").as("last_qty"),
@@ -365,7 +371,7 @@ object QEtl {
       Some("""SELECT l_partkey, l_quantity AS last_qty, strftime(l_shipdate, '%Y-%m-%d') AS last_ship
         |FROM lineitem
         |QUALIFY row_number() OVER (PARTITION BY l_partkey
-        |  ORDER BY l_shipdate DESC, l_orderkey DESC, l_linenumber DESC) = 1""".stripMargin)),
+        |  ORDER BY l_shipdate DESC, l_orderkey DESC, l_linenumber DESC, l_quantity DESC) = 1""".stripMargin)),
 
     // A3/O5 — DQ rollup over the contract's error log
     Qry("q15_dq_rollup",

@@ -1,0 +1,334 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.ops.Dedup
+import graft.text.TextOps
+import graft.vector.VectorOps
+
+/** Training-data-pipeline queries over `documents`/`embeddings` — the
+  * extended operator surface a 100 TB corpus pipeline needs (dedup family,
+  * similarity search, text analysis, fingerprinting, multimodal metadata).
+  *
+  * Every hash is md5-derived ([[TextOps.hash64]]) so the DuckDB oracle can
+  * reproduce it bit-for-bit via `('0x' || substr(md5(x),1,15))::BIGINT` —
+  * no engine-private hash functions anywhere. Float reductions are
+  * sequential left-folds over arrays in BOTH engines (Spark `aggregate`,
+  * DuckDB `list_sum`), so doubles compare exactly.
+  */
+object QLlm {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  // ---- shared DuckDB SQL fragments ------------------------------------
+  private def h64(e: String) = s"(('0x' || substr(md5($e), 1, 15))::BIGINT)"
+  private val normSql = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+  private val toksSql = s"string_split($normSql, ' ')"
+  // 3-word shingles of a token list named `tk`
+  private def shinglesSql(tk: String) =
+    s"""CASE WHEN len($tk) >= 3
+       |  THEN list_transform(range(0, len($tk) - 2),
+       |         i -> $tk[i + 1] || ' ' || $tk[i + 2] || ' ' || $tk[i + 3])
+       |  ELSE [] END""".stripMargin
+
+  /** documents plus near-duplicate mutations: every 5th doc re-appears as
+    * doc_id+10000 with a 2-token suffix; every 7th as doc_id+20000 verbatim. */
+  private def docsWithDups(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select("doc_id", "text")
+    d.unionByName(d.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 10000).as("doc_id"),
+          concat(col("text"), lit(" trailing marker")).as("text")))
+      .unionByName(d.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 20000).as("doc_id"), col("text")))
+  }
+
+  private val docsWithDupsSql =
+    """SELECT doc_id, text FROM documents
+      |UNION ALL SELECT doc_id + 10000, text || ' trailing marker' FROM documents WHERE doc_id % 5 = 0
+      |UNION ALL SELECT doc_id + 20000, text FROM documents WHERE doc_id % 7 = 0""".stripMargin
+
+  val all: Seq[Qry] = Seq(
+
+    // exact dedup — hash clusters with representative + multiplicity
+    Qry("q26_exact_dedup",
+      (s, dir) => Dedup.exactClusters(docsWithDups(s, dir),
+        col("doc_id"), md5(TextOps.normText(col("text")))),
+      Some(s"""WITH d AS ($docsWithDupsSql)
+        |SELECT md5($normSql) AS content_hash, CAST(min(doc_id) AS BIGINT) AS keep_id,
+        |       CAST(count(*) AS BIGINT) AS n_members
+        |FROM d GROUP BY 1""".stripMargin)),
+
+    // text quality features (all exact integer ratios)
+    Qry("q27_text_quality",
+      (s, dir) => {
+        val feats = TextOps.qualityFeatures(col("text"))
+        t(s, dir, "documents").select(col("doc_id") +: feats.map { case (n, c) => c.as(n) }: _*)
+      },
+      Some(s"""WITH d AS (SELECT doc_id, $normSql AS norm, $toksSql AS tk FROM documents)
+        |SELECT doc_id, len(tk) AS n_tokens, length(norm) AS n_chars_norm,
+        |  round(CAST(len(list_filter(tk, x -> list_contains(
+        |    ['the','a','of','and','is','to','in','it','that','on'], x))) AS DOUBLE)
+        |    / len(tk), 6) AS stopword_ratio,
+        |  round(CAST(length(regexp_replace(norm, '[^a-z]', '', 'g')) AS DOUBLE)
+        |    / length(norm), 6) AS alpha_ratio,
+        |  round(CAST(length(norm) - (len(tk) - 1) AS DOUBLE) / len(tk), 6) AS avg_token_len
+        |FROM d""".stripMargin)),
+
+    // n-gram Jaccard near-dup scores between adjacent doc pairs
+    Qry("q28_shingle_jaccard",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+          .select(col("doc_id"), TextOps.shingles(TextOps.tokens(col("text")), 3).as("sh"))
+        val a = d.select(col("doc_id").as("id_a"), col("sh").as("sha"))
+        val b = d.select((col("doc_id") - 1).as("id_a"), col("doc_id").as("id_b"),
+          col("sh").as("shb"))
+        a.join(b, Seq("id_a"))
+          .select(col("id_a"), col("id_b"),
+            round(TextOps.jaccard(col("sha"), col("shb")), 6).as("jacc"))
+      },
+      Some(s"""WITH d AS (SELECT doc_id, $toksSql AS tk FROM documents),
+        |sh AS (SELECT doc_id, list_distinct(${shinglesSql("tk")}) AS s FROM d)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  round(CASE WHEN len(list_distinct(a.s || b.s)) = 0 THEN 0.0
+        |    ELSE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |         / len(list_distinct(a.s || b.s)) END, 6) AS jacc
+        |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1""".stripMargin)),
+
+    // MinHash → LSH bands → candidate pairs → Jaccard-verified near-dups.
+    // One md5 per shingle (affine universal-hash family for the k
+    // permutations), with cache barriers so the shingle/md5 pipeline is
+    // computed once, not re-inlined into every band and join branch.
+    Qry("q29_minhash_lsh_dedup",
+      (s, dir) => {
+        val docs = docsWithDups(s, dir)
+          .select(col("doc_id"), TextOps.shingles(TextOps.tokens(col("text")), 3).as("sh"))
+          .filter(size(col("sh")) > 0)
+          .cache()
+        val base = docs.select(col("doc_id"), TextOps.minhashBase(col("sh")).as("hs")).cache()
+        val banded = base.select(col("doc_id"),
+          TextOps.lshBands(TextOps.minhashFromBase(col("hs"), 16), 8, 2).as("bands"))
+        val keys = banded.select(col("doc_id"), explode(col("bands")).as("band_key"))
+        val cand = keys.select(col("band_key"), col("doc_id").as("id_a"))
+          .join(keys.select(col("band_key"), col("doc_id").as("id_b")), Seq("band_key"))
+          .filter(col("id_a") < col("id_b"))
+          .select("id_a", "id_b").distinct() // a pair can collide in many bands
+        cand.join(docs.select(col("doc_id").as("id_a"), col("sh").as("sha")), Seq("id_a"))
+          .join(docs.select(col("doc_id").as("id_b"), col("sh").as("shb")), Seq("id_b"))
+          .select(col("id_a"), col("id_b"),
+            round(TextOps.jaccard(col("sha"), col("shb")), 6).as("jacc"))
+          .filter(col("jacc") >= 0.5)
+      },
+      Some({
+        val (as, bs) = TextOps.minhashParams(16)
+        val aArr = as.mkString("[", ",", "]")
+        val bArr = bs.mkString("[", ",", "]")
+        s"""WITH d0 AS ($docsWithDupsSql),
+        |d AS (SELECT doc_id, ${shinglesSql(toksSql)} AS sh FROM d0),
+        |docs AS (SELECT doc_id, sh FROM d WHERE len(sh) > 0),
+        |bases AS (SELECT doc_id, sh,
+        |    list_transform(sh, s -> ${h64("s")} % ${TextOps.minhashM}) AS hs FROM docs),
+        |sigs AS (SELECT doc_id, sh,
+        |    list_transform(range(0, 16), i -> list_min(list_transform(hs,
+        |      h -> (h * ($aArr)[i + 1] + ($bArr)[i + 1]) % ${TextOps.minhashM}))) AS sig
+        |  FROM bases),
+        |keys AS (SELECT doc_id, unnest(list_transform(range(0, 8),
+        |    b -> CAST(b AS VARCHAR) || ':' || md5(array_to_string(
+        |           sig[b * 2 + 1 : b * 2 + 2], ',')))) AS band_key
+        |  FROM sigs),
+        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM keys a JOIN keys b ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+        |scored AS (SELECT id_a, id_b,
+        |  round(CASE WHEN len(list_distinct(da.sh || db.sh)) = 0 THEN 0.0
+        |    ELSE CAST(len(list_intersect(list_distinct(da.sh), list_distinct(db.sh))) AS DOUBLE)
+        |         / len(list_distinct(da.sh || db.sh)) END, 6) AS jacc
+        |FROM cand JOIN docs da ON da.doc_id = id_a JOIN docs db ON db.doc_id = id_b)
+        |SELECT id_a, id_b, jacc FROM scored WHERE jacc >= 0.5""".stripMargin
+      })),
+
+    // SimHash fingerprints (32-bit) — near-dups land at small Hamming dist
+    Qry("q30_simhash",
+      (s, dir) => t(s, dir, "documents").select(col("doc_id"),
+        TextOps.simhash(TextOps.tokens(col("text")), 32).as("simhash")),
+      Some(s"""WITH d AS (SELECT doc_id, list_distinct($toksSql) AS dt FROM documents),
+        |h AS (SELECT doc_id, list_transform(dt, x -> ${h64("x")}) AS hs FROM d)
+        |SELECT doc_id,
+        |  CAST(list_sum(list_transform(range(0, 32), j ->
+        |    CASE WHEN list_sum(list_transform(hs, h -> ((h >> j) & 1) * 2 - 1)) > 0
+        |         THEN 1::BIGINT << j ELSE 0 END)) AS BIGINT) AS simhash
+        |FROM h""".stripMargin)),
+
+    // marker-based language-ID (argmax with deterministic tie-break)
+    Qry("q31_lang_id",
+      (s, dir) => t(s, dir, "documents").select(col("doc_id"), col("lang"),
+        TextOps.langId(TextOps.tokens(col("text"))).as("lang_pred")),
+      Some({
+        val scores = TextOps.langMarkers.map { case (lang, ms) =>
+          s"len(list_intersect(dt, [${ms.map(m => s"'$m'").mkString(",")}])) AS s_$lang"
+        }.mkString(",\n  ")
+        s"""WITH d AS (SELECT doc_id, lang, list_distinct($toksSql) AS dt FROM documents),
+          |sc AS (SELECT doc_id, lang, $scores FROM d)
+          |SELECT doc_id, lang,
+          |  CASE WHEN s_zh > greatest(s_de, s_en, s_es, s_fr) THEN 'zh'
+          |       WHEN s_fr > greatest(s_de, s_en, s_es) THEN 'fr'
+          |       WHEN s_es > greatest(s_de, s_en) THEN 'es'
+          |       WHEN s_en > s_de THEN 'en'
+          |       ELSE 'de' END AS lang_pred
+          |FROM sc""".stripMargin
+      })),
+
+    // rolling polynomial fingerprint over token hashes (exact modular math)
+    Qry("q32_fingerprint",
+      (s, dir) => {
+        val M = 1000000007L
+        val hashed = transform(TextOps.tokens(col("text")),
+          x => pmod(TextOps.hash64(x), lit(M)))
+        t(s, dir, "documents").select(col("doc_id"),
+          aggregate(hashed, lit(0L), (acc, x) => (acc * 31 + x) % M).as("fingerprint"))
+      },
+      Some(s"""WITH d AS (SELECT doc_id,
+        |  list_transform($toksSql, x -> ${h64("x")} % 1000000007) AS hs FROM documents)
+        |SELECT doc_id,
+        |  CAST(list_reduce(list_prepend(0::BIGINT, hs),
+        |    (acc, x) -> (acc * 31 + x) % 1000000007) AS BIGINT) AS fingerprint
+        |FROM d""".stripMargin)),
+
+    // exact brute-force cosine top-k (ANN ground truth)
+    Qry("q33_cosine_topk",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings").select(col("vec_id").as("id"), col("embedding").as("vec"))
+        VectorOps.bruteForceTopK(e.filter(col("id") < 10), e, 5)
+          .select("query_id", "neighbor_id", "rank")
+      },
+      Some("""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+        |p AS (SELECT query_id, e.vec_id AS neighbor_id,
+        |    list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i] * e.v[i]))
+        |      / (sqrt(list_sum(list_transform(qv, x -> x * x)))
+        |         * sqrt(list_sum(list_transform(e.v, x -> x * x)))) AS cos
+        |  FROM q, e WHERE e.vec_id <> query_id)
+        |SELECT query_id, neighbor_id,
+        |       CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INT) AS rank
+        |FROM p QUALIFY rank <= 5""".stripMargin)),
+
+    // SRP-LSH bucketing — the scale path for ANN candidate generation
+    Qry("q34_srp_buckets",
+      (s, dir) => t(s, dir, "embeddings").select(col("vec_id"),
+        VectorOps.srpBucket(col("embedding"), 8).as("bucket")),
+      Some({
+        val plane = (p: String, i: String) =>
+          s"(('0x' || substr(md5($p || '|' || $i), 1, 12))::BIGINT / 140737488355328.0 - 1.0)"
+        s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          |  FROM embeddings)
+          |SELECT vec_id, CAST(list_sum(list_transform(range(0, 8), p ->
+          |    CASE WHEN list_sum(list_transform(range(1, len(v) + 1),
+          |           i -> v[i] * ${plane("CAST(p AS VARCHAR)", "CAST(i - 1 AS VARCHAR)")})) > 0
+          |         THEN 1::BIGINT << p ELSE 0 END)) AS BIGINT) AS bucket
+          |FROM e""".stripMargin
+      })),
+
+    // bucketed ANN candidate pairs with exact cosine over collisions
+    Qry("q35_ann_lsh_pairs",
+      (s, dir) => VectorOps.lshCandidatePairs(
+        t(s, dir, "embeddings").select(col("vec_id").as("id"), col("embedding").as("vec")),
+        6, 0.1),
+      Some({
+        val plane = (p: String, i: String) =>
+          s"(('0x' || substr(md5($p || '|' || $i), 1, 12))::BIGINT / 140737488355328.0 - 1.0)"
+        s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          |  FROM embeddings),
+          |b AS (SELECT vec_id, v, CAST(list_sum(list_transform(range(0, 6), p ->
+          |    CASE WHEN list_sum(list_transform(range(1, len(v) + 1),
+          |           i -> v[i] * ${plane("CAST(p AS VARCHAR)", "CAST(i - 1 AS VARCHAR)")})) > 0
+          |         THEN 1::BIGINT << p ELSE 0 END)) AS BIGINT) AS bucket FROM e),
+          |pairs AS (SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
+          |    list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b2.v[i]))
+          |      / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
+          |         * sqrt(list_sum(list_transform(b2.v, x -> x * x)))) AS cos
+          |  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id)
+          |SELECT id_a, id_b, round(cos, 6) AS cos FROM pairs WHERE cos >= 0.1""".stripMargin
+      })),
+
+    // per-vector norms — embedding hygiene stats
+    Qry("q36_embedding_norms",
+      (s, dir) => t(s, dir, "embeddings").select(col("vec_id"),
+        size(col("embedding")).as("dim"),
+        round(VectorOps.norm(col("embedding")), 6).as("l2_norm")),
+      Some("""SELECT vec_id, len(embedding) AS dim,
+        |  round(sqrt(list_sum(list_transform(embedding,
+        |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS l2_norm
+        |FROM embeddings""".stripMargin)),
+
+    // corpus rollup per language (exact long sums, explicit double division)
+    Qry("q37_corpus_stats",
+      (s, dir) => t(s, dir, "documents").groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+        .withColumn("avg_chars", round(col("sum_chars").cast("double") / col("n_docs"), 6)),
+      Some("""SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  round(CAST(sum(n_chars) AS DOUBLE) / count(*), 6) AS avg_chars
+        |FROM documents GROUP BY lang""".stripMargin)),
+
+    // multimodal: opaque binary payload + typed metadata extraction
+    Qry("q38_multimodal_meta",
+      (s, dir) => t(s, dir, "documents")
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+        .select(col("doc_id"),
+          length(col("payload")).as("n_bytes"),
+          hex(substring(col("payload"), 1, 4)).as("magic"),
+          (pmod(TextOps.hash64(col("payload").cast("string")), lit(1024)) + 1)
+            .cast("int").as("fake_width"),
+          (pmod(TextOps.hash64(concat(col("payload").cast("string"), lit("|h"))), lit(1024)) + 1)
+            .cast("int").as("fake_height")),
+      Some(s"""SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+        |  upper(hex(encode(substr(text, 1, 4)))) AS magic,
+        |  CAST(${h64("text")} % 1024 + 1 AS INT) AS fake_width,
+        |  CAST(${h64("text || '|h'")} % 1024 + 1 AS INT) AS fake_height
+        |FROM documents""".stripMargin)),
+
+    // tumbling-window aggregation (batch twin of the streaming pipeline)
+    Qry("q39_tumbling_window",
+      (s, dir) => {
+        val ev = t(s, dir, "events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        ev.withColumn("cents", round(col("value") * 100, 0).cast("long"))
+          .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+          .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"))
+          .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm").as("window_start"),
+            col("event_type"), col("n"), col("sum_cents"))
+      },
+      Some("""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS window_start,
+        |  event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM events GROUP BY 1, 2""".stripMargin)),
+
+    // gap-based sessionization (30-min inactivity breaks)
+    Qry("q40_sessionize",
+      (s, dir) => {
+        val ev = t(s, dir, "events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val run = Window.partitionBy("user_id").orderBy("ts", "event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ev.withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+          .withColumn("new_session",
+            when(col("prev_us").isNull ||
+              unix_micros(col("ts")) - col("prev_us") > 1800000000L, 1).otherwise(0))
+          .withColumn("session_num", sum("new_session").over(run))
+          .groupBy("user_id", "session_num")
+          .agg(count(lit(1)).as("n_events"),
+            date_format(min("ts"), "yyyy-MM-dd HH:mm:ss").as("session_start"))
+      },
+      Some("""WITH g AS (SELECT user_id, event_id, ts,
+        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000 THEN 1
+        |         ELSE 0 END AS new_session
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (SELECT user_id, ts, sum(new_session) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_num FROM g)
+        |SELECT user_id, CAST(session_num AS BIGINT) AS session_num,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start
+        |FROM s GROUP BY user_id, session_num""".stripMargin))
+  )
+}

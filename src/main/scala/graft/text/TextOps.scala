@@ -43,10 +43,41 @@ object TextOps {
     * is `min over shingles of hash64(i || '|' || shingle)` — the standard
     * "k independent hash functions" construction keyed by the seed index.
     * Null-safe: empty shingle set yields nulls (callers filter short docs).
+    *
+    * NOTE: costs k·|shingles| md5 calls per row. For large corpora prefer
+    * [[minhashFromBase]], which needs ONE md5 per shingle.
     */
   def minhash(shingleArr: Column, k: Int): Column =
     transform(sequence(lit(0), lit(k - 1)),
       i => array_min(transform(shingleArr, s => hash64(concat(i.cast("string"), lit("|"), s)))))
+
+  /** Modulus for the affine-permutation MinHash family: 2^31 − 1 (prime).
+    * Base hashes are < M so `h·a + b` stays well inside int64 — no overflow
+    * even under ANSI arithmetic. */
+  val minhashM: Long = 2147483647L
+
+  /** Deterministic affine coefficients (a_i odd, both < [[minhashM]]) —
+    * plain integer formulas so any engine can re-derive them as literals. */
+  def minhashParams(k: Int): (Seq[Long], Seq[Long]) = (
+    (0 until k).map(i => ((2L * i + 1) * 2654435761L) % minhashM),
+    (0 until k).map(i => (i.toLong * 40503L * 65537L + 17L) % minhashM))
+
+  /** One md5 per shingle: the base-hash array for [[minhashFromBase]]. */
+  def minhashBase(shingleArr: Column): Column =
+    transform(shingleArr, s => pmod(hash64(s), lit(minhashM)))
+
+  /** MinHash signature from pre-computed base hashes via the universal-hash
+    * family `(a_i·h + b_i) mod M` — O(k·|shingles|) integer ops and ZERO
+    * additional md5 work. Materialize the base array (e.g. `.cache()`)
+    * before fanning out to bands, or Catalyst's projection collapsing will
+    * re-inline the md5 pipeline into every band slice (the round-2 bench
+    * showed that blowup turning a seconds-query into minutes). */
+  def minhashFromBase(baseHashes: Column, k: Int): Column = {
+    val (as, bs) = minhashParams(k)
+    transform(sequence(lit(0), lit(k - 1)), i =>
+      array_min(transform(baseHashes, h =>
+        (h * element_at(typedlit(as), i + 1) + element_at(typedlit(bs), i + 1)) % minhashM)))
+  }
 
   /** LSH band keys: the signature split into `bands` groups of `rowsPerBand`
     * and each group hashed to one string key. Two docs collide on a band iff
