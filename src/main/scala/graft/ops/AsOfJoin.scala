@@ -57,7 +57,10 @@ object AsOfJoin {
     val matched = filter(col("pit_versions"), v =>
       v.getField("start_date") <= to_date(factDate) &&
         (v.getField("end_date").isNull || v.getField("end_date") >= to_date(factDate)))
-    val pick = element_at(matched, -1)
+    // try_element_at: the filtered array is EMPTY when the fact date
+    // precedes every version of its key — that row must yield null dim
+    // attrs (orphan path), not throw
+    val pick = try_element_at(matched, lit(-1))
     fact.join(broadcast(versions), factKey === col("pit_key"), "left_outer")
       .withColumn("pit_hit", pick)
       .select(fact.columns.map(col) ++

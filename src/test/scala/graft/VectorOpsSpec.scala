@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.vector.VectorOps
+
+/** Embedding similarity: cosine/dot/norm, exact top-k, SRP bucketing, and
+  * the capped LSH candidate-pair generator.
+  */
+class VectorOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("dot, norm, cosine on known vectors") {
+    val df = Seq((Seq(1.0f, 2.0f, 2.0f), Seq(2.0f, 0.0f, 0.0f))).toDF("a", "b")
+      .select(VectorOps.dot(col("a"), col("b")).as("d"),
+        VectorOps.norm(col("a")).as("n"),
+        VectorOps.cosine(col("a"), col("b")).as("c"))
+    val r = df.collect().head
+    assert(r.getDouble(0) === 2.0)
+    assert(r.getDouble(1) === 3.0)
+    assert(math.abs(r.getDouble(2) - 2.0 / (3.0 * 2.0)) < 1e-12)
+  }
+
+  test("cosine of a vector with itself is 1") {
+    val df = Seq(Tuple1(Seq(0.3f, -0.7f, 0.648f))).toDF("v")
+      .select(VectorOps.cosine(col("v"), col("v")).as("c"))
+    assert(math.abs(df.as[Double].head() - 1.0) < 1e-12)
+  }
+
+  test("bruteForceTopK returns k nearest by cosine, excluding self") {
+    val vecs = Seq(
+      (1L, Seq(1.0f, 0.0f)),
+      (2L, Seq(0.9f, 0.1f)),   // closest to 1
+      (3L, Seq(0.0f, 1.0f)),   // orthogonal to 1
+      (4L, Seq(-1.0f, 0.0f))   // opposite
+    ).toDF("id", "vec")
+    val out = VectorOps.bruteForceTopK(vecs.filter(col("id") === 1), vecs, 2)
+      .select("neighbor_id", "rank").as[(Long, Int)].collect().toSeq.sortBy(_._2)
+    assert(out === Seq((2L, 1), (3L, 2)))
+  }
+
+  test("srpBucket is deterministic and within [0, 2^planes)") {
+    val vecs = (1 to 50).map(i => (i.toLong, Seq.tabulate(8)(j =>
+      math.sin(i * 31 + j * 7).toFloat))).toDF("id", "vec")
+    val b1 = vecs.select(col("id"), VectorOps.srpBucket(col("vec"), 6).as("b"))
+      .as[(Long, Long)].collect().toMap
+    val b2 = vecs.select(col("id"), VectorOps.srpBucket(col("vec"), 6).as("b"))
+      .as[(Long, Long)].collect().toMap
+    assert(b1 === b2)
+    assert(b1.values.forall(v => v >= 0 && v < 64))
+  }
+
+  test("identical vectors share an SRP bucket; lshCandidatePairs finds them") {
+    val v = Seq.tabulate(8)(j => (j + 1).toFloat)
+    val vecs = Seq((1L, v), (2L, v), (3L, v.map(-_)))
+      .toDF("id", "vec")
+    val pairs = VectorOps.lshCandidatePairs(vecs, 4, 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSeq
+    assert(pairs === Seq((1L, 2L))) // opposite vector never buckets with v
+  }
+
+  test("lshCandidatePairs emits no duplicate pairs and respects the bucket cap") {
+    val v = Seq.tabulate(4)(_.toFloat + 1)
+    val vecs = (1L to 30L).map(i => (i, v)).toDF("id", "vec") // one hot bucket
+    val capped = VectorOps.lshCandidatePairs(vecs, 3, -1.0, maxBucketSize = 10)
+    assert(capped.count() === 0) // 30 > cap -> excluded entirely
+    val ok = VectorOps.lshCandidatePairs(vecs, 3, -1.0, maxBucketSize = 100)
+    val pairs = ok.select("id_a", "id_b").as[(Long, Long)].collect().toSeq
+    assert(pairs.size === 30 * 29 / 2)
+    assert(pairs.distinct.size === pairs.size)
+    assert(pairs.forall { case (a, b) => a < b })
+  }
+}
