@@ -22,6 +22,17 @@ object QLlm {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** documents/embeddings arrive as ONE small parquet file → one input
+    * partition, but the per-row work downstream (shingling, minhash,
+    * simhash, cosine — all interpreted higher-order expressions) is CPU
+    * bound, so a round-robin repartition right after the scan is the
+    * difference between 1 core and all of them. Same move applies on a
+    * cluster whenever a small input fans out into expensive map work;
+    * at 100 TB the scan itself yields thousands of splits and this
+    * becomes a no-op cost-wise (one extra exchange of the slim input). */
+  private def spread(s: SparkSession, df: DataFrame): DataFrame =
+    df.repartition(s.sparkContext.defaultParallelism)
+
   // ---- shared DuckDB SQL fragments ------------------------------------
   private def h64(e: String) = s"(('0x' || substr(md5($e), 1, 15))::BIGINT)"
   private val normSql = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
@@ -36,7 +47,7 @@ object QLlm {
   /** documents plus near-duplicate mutations: every 5th doc re-appears as
     * doc_id+10000 with a 2-token suffix; every 7th as doc_id+20000 verbatim. */
   private def docsWithDups(s: SparkSession, dir: String): DataFrame = {
-    val d = t(s, dir, "documents").select("doc_id", "text")
+    val d = spread(s, t(s, dir, "documents")).select("doc_id", "text")
     d.unionByName(d.filter(col("doc_id") % 5 === 0)
         .select((col("doc_id") + 10000).as("doc_id"),
           concat(col("text"), lit(" trailing marker")).as("text")))
@@ -64,7 +75,7 @@ object QLlm {
     Qry("q27_text_quality",
       (s, dir) => {
         val feats = TextOps.qualityFeatures(col("text"))
-        t(s, dir, "documents").select(col("doc_id") +: feats.map { case (n, c) => c.as(n) }: _*)
+        spread(s, t(s, dir, "documents")).select(col("doc_id") +: feats.map { case (n, c) => c.as(n) }: _*)
       },
       Some(s"""WITH d AS (SELECT doc_id, $normSql AS norm, $toksSql AS tk FROM documents)
         |SELECT doc_id, len(tk) AS n_tokens, length(norm) AS n_chars_norm,
@@ -79,8 +90,9 @@ object QLlm {
     // n-gram Jaccard near-dup scores between adjacent doc pairs
     Qry("q28_shingle_jaccard",
       (s, dir) => {
-        val d = t(s, dir, "documents")
+        val d = spread(s, t(s, dir, "documents"))
           .select(col("doc_id"), TextOps.shingles(TextOps.tokens(col("text")), 3).as("sh"))
+          .cache() // shingling feeds both join sides — compute once
         val a = d.select(col("doc_id").as("id_a"), col("sh").as("sha"))
         val b = d.select((col("doc_id") - 1).as("id_a"), col("doc_id").as("id_b"),
           col("sh").as("shb"))
@@ -149,7 +161,7 @@ object QLlm {
 
     // SimHash fingerprints (32-bit) — near-dups land at small Hamming dist
     Qry("q30_simhash",
-      (s, dir) => t(s, dir, "documents").select(col("doc_id"),
+      (s, dir) => spread(s, t(s, dir, "documents")).select(col("doc_id"),
         TextOps.simhash(TextOps.tokens(col("text")), 32).as("simhash")),
       Some(s"""WITH d AS (SELECT doc_id, list_distinct($toksSql) AS dt FROM documents),
         |h AS (SELECT doc_id, list_transform(dt, x -> ${h64("x")}) AS hs FROM d)
@@ -161,7 +173,7 @@ object QLlm {
 
     // marker-based language-ID (argmax with deterministic tie-break)
     Qry("q31_lang_id",
-      (s, dir) => t(s, dir, "documents").select(col("doc_id"), col("lang"),
+      (s, dir) => spread(s, t(s, dir, "documents")).select(col("doc_id"), col("lang"),
         TextOps.langId(TextOps.tokens(col("text"))).as("lang_pred")),
       Some({
         val scores = TextOps.langMarkers.map { case (lang, ms) =>
@@ -184,7 +196,7 @@ object QLlm {
         val M = 1000000007L
         val hashed = transform(TextOps.tokens(col("text")),
           x => pmod(TextOps.hash64(x), lit(M)))
-        t(s, dir, "documents").select(col("doc_id"),
+        spread(s, t(s, dir, "documents")).select(col("doc_id"),
           aggregate(hashed, lit(0L), (acc, x) => (acc * 31 + x) % M).as("fingerprint"))
       },
       Some(s"""WITH d AS (SELECT doc_id,
@@ -197,7 +209,7 @@ object QLlm {
     // exact brute-force cosine top-k (ANN ground truth)
     Qry("q33_cosine_topk",
       (s, dir) => {
-        val e = t(s, dir, "embeddings").select(col("vec_id").as("id"), col("embedding").as("vec"))
+        val e = spread(s, t(s, dir, "embeddings")).select(col("vec_id").as("id"), col("embedding").as("vec"))
         VectorOps.bruteForceTopK(e.filter(col("id") < 10), e, 5)
           .select("query_id", "neighbor_id", "rank")
       },
@@ -215,7 +227,7 @@ object QLlm {
 
     // SRP-LSH bucketing — the scale path for ANN candidate generation
     Qry("q34_srp_buckets",
-      (s, dir) => t(s, dir, "embeddings").select(col("vec_id"),
+      (s, dir) => spread(s, t(s, dir, "embeddings")).select(col("vec_id"),
         VectorOps.srpBucket(col("embedding"), 8).as("bucket")),
       Some({
         val plane = (p: String, i: String) =>
@@ -232,7 +244,7 @@ object QLlm {
     // bucketed ANN candidate pairs with exact cosine over collisions
     Qry("q35_ann_lsh_pairs",
       (s, dir) => VectorOps.lshCandidatePairs(
-        t(s, dir, "embeddings").select(col("vec_id").as("id"), col("embedding").as("vec")),
+        spread(s, t(s, dir, "embeddings")).select(col("vec_id").as("id"), col("embedding").as("vec")),
         6, 0.1),
       Some({
         val plane = (p: String, i: String) =>
@@ -253,7 +265,7 @@ object QLlm {
 
     // per-vector norms — embedding hygiene stats
     Qry("q36_embedding_norms",
-      (s, dir) => t(s, dir, "embeddings").select(col("vec_id"),
+      (s, dir) => spread(s, t(s, dir, "embeddings")).select(col("vec_id"),
         size(col("embedding")).as("dim"),
         round(VectorOps.norm(col("embedding")), 6).as("l2_norm")),
       Some("""SELECT vec_id, len(embedding) AS dim,

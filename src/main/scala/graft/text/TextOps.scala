@@ -2,6 +2,7 @@ package graft.text
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
+import graft.functions.Let.{letOnce, letOnce2}
 
 /** Text-analysis primitives for large-scale corpus pipelines: normalization,
   * tokenization, shingling, 64-bit content hashing, MinHash signatures, LSH
@@ -32,12 +33,16 @@ object TextOps {
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
   /** `n`-word shingles as space-joined strings (empty array when the doc is
-    * shorter than `n` words). */
-  def shingles(toks: Column, n: Int): Column =
-    when(size(toks) >= n,
-      transform(sequence(lit(0), size(toks) - n),
-        i => concat_ws(" ", slice(toks, i + 1, lit(n))))
+    * shorter than `n` words). Built with O(1) `element_at` per position —
+    * higher-order array functions evaluate interpreted (outside codegen),
+    * so a per-position `slice` (array copy each step) costs real time on
+    * long docs; direct indexing doesn't. */
+  def shingles(toks: Column, n: Int): Column = letOnce(toks) { tk =>
+    when(size(tk) >= n,
+      transform(sequence(lit(1), size(tk) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(j => element_at(tk, i + j)): _*))
     ).otherwise(array().cast("array<string>"))
+  }
 
   /** MinHash signature of `k` permutations over a shingle array: element `i`
     * is `min over shingles of hash64(i || '|' || shingle)` — the standard
@@ -47,9 +52,10 @@ object TextOps {
     * NOTE: costs k·|shingles| md5 calls per row. For large corpora prefer
     * [[minhashFromBase]], which needs ONE md5 per shingle.
     */
-  def minhash(shingleArr: Column, k: Int): Column =
+  def minhash(shingleArr: Column, k: Int): Column = letOnce(shingleArr) { sh =>
     transform(sequence(lit(0), lit(k - 1)),
-      i => array_min(transform(shingleArr, s => hash64(concat(i.cast("string"), lit("|"), s)))))
+      i => array_min(transform(sh, s => hash64(concat(i.cast("string"), lit("|"), s)))))
+  }
 
   /** Modulus for the affine-permutation MinHash family: 2^31 − 1 (prime).
     * Base hashes are < M so `h·a + b` stays well inside int64 — no overflow
@@ -74,9 +80,11 @@ object TextOps {
     * showed that blowup turning a seconds-query into minutes). */
   def minhashFromBase(baseHashes: Column, k: Int): Column = {
     val (as, bs) = minhashParams(k)
-    transform(sequence(lit(0), lit(k - 1)), i =>
-      array_min(transform(baseHashes, h =>
-        (h * element_at(typedlit(as), i + 1) + element_at(typedlit(bs), i + 1)) % minhashM)))
+    letOnce(baseHashes) { hs =>
+      transform(sequence(lit(0), lit(k - 1)), i =>
+        array_min(transform(hs, h =>
+          (h * element_at(typedlit(as), i + 1) + element_at(typedlit(bs), i + 1)) % minhashM)))
+    }
   }
 
   /** LSH band keys: the signature split into `bands` groups of `rowsPerBand`
@@ -87,10 +95,12 @@ object TextOps {
     * collide in a global groupBy.
     */
   def lshBands(sig: Column, bands: Int, rowsPerBand: Int): Column =
-    transform(sequence(lit(0), lit(bands - 1)),
-      b => concat(b.cast("string"), lit(":"),
-        md5(concat_ws(",", transform(slice(sig, b * rowsPerBand + 1, lit(rowsPerBand)),
-          x => x.cast("string"))))))
+    letOnce(sig) { sg =>
+      transform(sequence(lit(0), lit(bands - 1)),
+        b => concat(b.cast("string"), lit(":"),
+          md5(concat_ws(",", transform(slice(sg, b * rowsPerBand + 1, lit(rowsPerBand)),
+            x => x.cast("string"))))))
+    }
 
   /** Jaccard similarity of two string arrays treated as SETS (inputs need
     * not be distinct; both sides are deduped). Exact ratio of two small
@@ -105,16 +115,14 @@ object TextOps {
     * result is 1 iff the sum over tokens of (bit `j` of hash64(token) ? +1
     * : -1) is positive. Near-duplicate docs land at small Hamming distance.
     */
-  def simhash(toks: Column, bits: Int): Column = {
-    val distinctToks = array_distinct(toks)
-    val hashes = transform(distinctToks, t => hash64(t))
-    val bitCols = (0 until bits).map { j =>
-      val vote = aggregate(hashes, lit(0L),
-        (acc, h) => acc + (shiftright(h, j).bitwiseAND(lit(1L)) * 2 - 1))
-      when(vote > 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
+  def simhash(toks: Column, bits: Int): Column =
+    letOnce(transform(array_distinct(toks), t => hash64(t))) { hashes =>
+      (0 until bits).map { j =>
+        val vote = aggregate(hashes, lit(0L),
+          (acc, h) => acc + (shiftright(h, j).bitwiseAND(lit(1L)) * 2 - 1))
+        when(vote > 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
+      }.reduce(_ + _)
     }
-    bitCols.reduce(_ + _)
-  }
 
   /** Hamming distance between two simhash values (popcount of xor). */
   def hamming(a: Column, b: Column, bits: Int): Column =
@@ -136,8 +144,7 @@ object TextOps {
     "zh" -> Seq("de5", "shi4", "le5", "bu4", "wo3", "zai4")
   )
 
-  def langId(toks: Column): Column = {
-    val distinctToks = array_distinct(toks)
+  def langId(toks: Column): Column = letOnce(array_distinct(toks)) { distinctToks =>
     val scored = langMarkers.map { case (lang, markers) =>
       val score = markers.map(m => when(array_contains(distinctToks, m), 1).otherwise(0))
         .reduce(_ + _)
@@ -158,17 +165,24 @@ object TextOps {
   /** Heuristic quality features + composite score, all exact-arithmetic
     * ratios of integers (cross-engine deterministic after round). */
   def qualityFeatures(text: Column): Seq[(String, Column)] = {
-    val toks = tokens(text)
-    val nTok = size(toks)
+    // per-column letOnce: columns are independent expressions, so sharing
+    // has to happen inside each one (cross-column subexpression elimination
+    // only exists under codegen, which the HOFs here opt out of)
+    val nTok = size(tokens(text))
     val nChar = length(normText(text))
-    val nStop = size(filter(toks, t => t.isin(stopwords.map(lit(_)): _*)))
-    val nAlpha = length(regexp_replace(normText(text), "[^a-z]", ""))
     Seq(
       "n_tokens" -> nTok,
       "n_chars_norm" -> nChar,
-      "stopword_ratio" -> round(nStop.cast("double") / nTok, 6),
-      "alpha_ratio" -> round(nAlpha.cast("double") / nChar, 6),
-      "avg_token_len" -> round((nChar - (nTok - 1)).cast("double") / nTok, 6)
+      "stopword_ratio" -> letOnce(tokens(text)) { tk =>
+        round(size(filter(tk, t => t.isin(stopwords.map(lit(_)): _*))).cast("double")
+          / size(tk), 6)
+      },
+      "alpha_ratio" -> letOnce(normText(text)) { nm =>
+        round(length(regexp_replace(nm, "[^a-z]", "")).cast("double") / length(nm), 6)
+      },
+      "avg_token_len" -> letOnce2(size(tokens(text)).cast("long"), nChar.cast("long")) {
+        (nt, nc) => round((nc - (nt - 1)).cast("double") / nt, 6)
+      }
     )
   }
 }

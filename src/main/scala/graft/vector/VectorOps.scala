@@ -3,6 +3,7 @@ package graft.vector
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.functions.Let.{letOnce, letOnce2}
 
 /** Embedding-similarity primitives: cosine via higher-order array functions
   * (codegen'd — no UDF), brute-force top-k as the exact baseline, and
@@ -26,7 +27,11 @@ object VectorOps {
   def norm(a: Column): Column =
     sqrt(aggregate(d(a), lit(0.0), (acc, x) => acc + x * x))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  def cosine(a: Column, b: Column): Column = letOnce2(d(a), d(b)) { (da, db) =>
+    aggregate(zip_with(da, db, (x, y) => x * y), lit(0.0), (acc, x) => acc + x) /
+      (sqrt(aggregate(da, lit(0.0), (acc, x) => acc + x * x)) *
+        sqrt(aggregate(db, lit(0.0), (acc, x) => acc + x * x)))
+  }
 
   /** Exact top-k neighbors for each query vector (brute force baseline).
     * `queries`/`corpus`: (id, vec). The query side is broadcast — valid by
@@ -60,8 +65,7 @@ object VectorOps {
     * high probability; `nPlanes` tunes bucket granularity (2^nPlanes
     * buckets). Pure per-row expression — scales linearly.
     */
-  def srpBucket(vec: Column, nPlanes: Int): Column = {
-    val vd = d(vec)
+  def srpBucket(vec: Column, nPlanes: Int): Column = letOnce(d(vec)) { vd =>
     (0 until nPlanes).map { p =>
       val proj = aggregate(
         zip_with(vd, sequence(lit(0), size(vd) - 1), (x, i) => x * planeComponent(p, i)),
