@@ -1,0 +1,115 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured-Streaming twins of the batch event pipelines (SURVEY §2.10):
+  * the reference is daily batch (`--today`), so streaming is the
+  * continuous-ingest generalization — file-source `readStream` over the
+  * same event schema, watermarked tumbling-window aggregation (q39's
+  * streaming form), and gap-based sessionization via
+  * `flatMapGroupsWithState` (q40's streaming form, where a window-lag
+  * formulation is impossible because the stream never ends).
+  *
+  * Scale notes: the windowed aggregate is a streaming hash-aggregate with
+  * state keyed by (window, event_type) — partial aggregation map-side, one
+  * shuffle on the state key, state store size bounded by the watermark
+  * horizon. Sessionization keys state by user_id — one shuffle; the
+  * per-user state is O(1) (open-session summary), and event-time timeouts
+  * evict sessions once the watermark passes the gap, so state never grows
+  * with stream length.
+  */
+object StreamPipelines {
+
+  /** events table schema (matches /root/testdata events.parquet at µs). */
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File-source stream over a directory of event parquet files. */
+  def readEvents(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(eventSchema).parquet(dir)
+
+  /** Watermarked 1-hour tumbling-window counts/sums per event_type —
+    * identical output columns to batch q39 so results can be compared
+    * 1:1 once the stream drains (Trigger.AvailableNow in tests). */
+  def tumblingCounts(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .withColumn("cents", round(col("value") * 100, 0).cast("long"))
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm").as("window_start"),
+        col("event_type"), col("n"), col("sum_cents"))
+
+  /** One event as consumed by the session operator. */
+  final case class SessionEvent(event_id: Long, ts: java.sql.Timestamp, user_id: Long)
+
+  /** Open-session accumulator carried in the state store (O(1) per user). */
+  final case class SessionState(sessionNum: Long, startUs: Long, lastUs: Long, nEvents: Long)
+
+  /** One emitted (closed or flushed) session. */
+  final case class SessionOut(user_id: Long, session_num: Long, n_events: Long,
+                              session_start: java.sql.Timestamp)
+
+  val gapUs: Long = 1800000000L // 30 min, same as batch q40
+
+  /** Gap-based sessionization with `flatMapGroupsWithState`: events arrive
+    * grouped by user; a gap > 30 min closes the open session and emits it.
+    * Event-time timeout (watermark) flushes sessions for idle users. The
+    * within-batch sort is required because flatMapGroupsWithState presents
+    * a batch's rows in arbitrary order.
+    */
+  def sessionize(events: Dataset[SessionEvent], watermark: String = "2 hours")
+                (implicit spark: SparkSession): Dataset[SessionOut] = {
+    import spark.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (userId, it, state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(SessionOut(userId, s.sessionNum, s.nEvents,
+              new java.sql.Timestamp(s.startUs / 1000)))
+          } else {
+            val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var cur = state.getOption
+            val closed = Seq.newBuilder[SessionOut]
+            sorted.foreach { e =>
+              val us = e.ts.getTime * 1000
+              cur match {
+                case Some(s) if us - s.lastUs <= gapUs =>
+                  cur = Some(s.copy(lastUs = us, nEvents = s.nEvents + 1))
+                case Some(s) =>
+                  closed += SessionOut(userId, s.sessionNum, s.nEvents,
+                    new java.sql.Timestamp(s.startUs / 1000))
+                  cur = Some(SessionState(s.sessionNum + 1, us, us, 1))
+                case None =>
+                  cur = Some(SessionState(1, us, us, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              // evict once the watermark passes the session gap
+              state.setTimeoutTimestamp(s.lastUs / 1000 + gapUs / 1000 + 1)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+
+  /** Flush helper for tests/drains: after the stream ends, sessions still
+    * open in the state store have not been emitted. Running with
+    * Trigger.AvailableNow + a final empty microbatch fires the event-time
+    * timeouts IF the watermark advanced past them; otherwise callers union
+    * the batch tail. Kept explicit so the semantics are visible. */
+}

@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.multimodal.Multimodal
+import graft.multimodal.Multimodal.Media
+
+/** Multimodal plumbing: schemas, determinism, explode shape, and plan
+  * narrowness (no shuffle) for the binary-payload operators.
+  */
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+  private implicit val s: org.apache.spark.sql.SparkSession = spark
+
+  private def media = Seq(
+    Media(1L, "image", "payload-one-bytes".getBytes),
+    Media(2L, "image", "payload-two-bytes!!".getBytes),
+    Media(3L, "video", Array.fill(300)(7.toByte))
+  ).toDS()
+
+  test("decodeMeta: typed schema, deterministic dims, byte counts") {
+    val out = Multimodal.decodeMeta(media)
+    assert(out.columns.toSeq ===
+      Seq("doc_id", "media_type", "n_bytes", "width", "height", "n_channels"))
+    val r = out.collect().sortBy(_.doc_id)
+    assert(r.map(_.n_bytes).toSeq === Seq(17L, 19L, 300L))
+    assert(r.forall(m => m.width >= 1 && m.width <= 1024))
+    assert(r.forall(m => Seq(1, 3, 4).contains(m.n_channels)))
+    // determinism: same payload -> same fake dims
+    assert(Multimodal.decodeMeta(media).collect().sortBy(_.doc_id).toSeq === r.toSeq)
+  }
+
+  test("resize clamps the longer side while keeping aspect scale <= 1") {
+    val full = Multimodal.decodeMeta(media).collect().map(m => m.doc_id -> m).toMap
+    Multimodal.resize(media, 256).collect().foreach { m =>
+      assert(math.max(m.width, m.height) <= 256)
+      val orig = full(m.doc_id)
+      if (math.max(orig.width, orig.height) <= 256)
+        assert((m.width, m.height) === (orig.width, orig.height))
+    }
+  }
+
+  test("sampleFrames explodes only video payloads with stride") {
+    val frames = Multimodal.sampleFrames(media, everyNth = 2).collect()
+    assert(frames.nonEmpty)
+    assert(frames.forall(_.doc_id === 3L))
+    assert(frames.map(_.frame_idx).toSeq === (0 until 300 / 64 by 2).toSeq)
+  }
+
+  test("extractFeatures yields fixed-width deterministic embeddings in range") {
+    val v = Multimodal.extractFeatures(media, dim = 16).collect().sortBy(_.doc_id)
+    assert(v.length === 3)
+    assert(v.forall(_.embedding.length === 16))
+    assert(v.forall(_.embedding.forall(x => x >= -1.0f && x < 1.0f)))
+    val v2 = Multimodal.extractFeatures(media, dim = 16).collect().sortBy(_.doc_id)
+    assert(v.zip(v2).forall { case (a, b) => a.embedding.sameElements(b.embedding) })
+  }
+
+  test("all multimodal stages are narrow: no exchange in the plan") {
+    val plan = Multimodal.extractFeatures(media).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
+  }
+}

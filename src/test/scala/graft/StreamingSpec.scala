@@ -1,0 +1,73 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.streaming.StreamPipelines
+
+/** Structured Streaming twins: drain the sf0.001 events through the
+  * file-source streams with Trigger.AvailableNow and compare against the
+  * equivalent batch computation.
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private lazy val eventsDir: String = {
+    // re-materialize events at µs precision (source file is TIMESTAMP(NANOS),
+    // which the file STREAM source cannot read directly)
+    val dir = Files.createTempDirectory("graft_stream_events").toString
+    spark.read.parquet(s"$sfDir/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  test("streaming tumbling-window counts equal the batch aggregation") {
+    val out = Files.createTempDirectory("graft_stream_out").toString
+    val q = StreamPipelines.tumblingCounts(
+        StreamPipelines.readEvents(spark, eventsDir))
+      .writeStream.format("memory").queryName("tumbling")
+      .outputMode("append").trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$out/ckpt").start()
+    q.awaitTermination(120000)
+
+    val batch = spark.read.parquet(eventsDir)
+      .withColumn("cents", round(col("value") * 100, 0).cast("long"))
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm").as("window_start"),
+        col("event_type"), col("n"), col("sum_cents"))
+
+    // append mode only emits windows the watermark has passed; every emitted
+    // window must match its batch value, and most windows must have emitted
+    val streamed = spark.table("tumbling")
+    assert(streamed.count() > 0)
+    assert(streamed.join(batch,
+      Seq("window_start", "event_type", "n", "sum_cents")).count() === streamed.count())
+  }
+
+  test("streaming sessionization matches batch q40 for emitted sessions") {
+    val out = Files.createTempDirectory("graft_sess_out").toString
+    implicit val s = spark
+    val ev = StreamPipelines.readEvents(spark, eventsDir)
+      .select(col("event_id"), col("ts"), col("user_id"))
+      .as[StreamPipelines.SessionEvent]
+    val q = StreamPipelines.sessionize(ev)
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append").trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$out/ckpt").start()
+    q.awaitTermination(120000)
+
+    val batch = SparkEntry.queries("q40_sessionize")(spark, sfDir)
+      .select(col("user_id"), col("session_num").cast("long").as("session_num"),
+        col("n_events"))
+
+    val streamed = spark.table("sessions").select("user_id", "session_num", "n_events")
+    assert(streamed.count() > 0)
+    // every emitted (closed/timed-out) session must equal its batch twin
+    assert(streamed.join(batch, Seq("user_id", "session_num", "n_events")).count()
+      === streamed.count())
+  }
+}
