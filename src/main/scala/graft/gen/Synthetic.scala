@@ -20,6 +20,12 @@ object Synthetic {
     conv(substring(md5(concat_ws("|", lit(seed), lit(tag), id)), 1, 12), 16, 10)
       .cast("double") / math.pow(2.0, 48)
 
+  /** DuckDB text of [[rnd]] (same md5 input, same 2^48 division), so the
+    * generators themselves can be oracle-checked. `id` is a SQL expr. */
+  def rndSql(tag: String, id: String, seed: Int = 42): String =
+    s"(('0x' || substr(md5('$seed|$tag|' || CAST($id AS VARCHAR)), 1, 12))::BIGINT" +
+      " / 281474976710656.0)"
+
   private def pick(tag: String, id: Column, choices: Seq[String]): Column = {
     val n = choices.length
     val idx = floor(rnd(tag, id) * n).cast("int")
@@ -126,5 +132,36 @@ object Synthetic {
     ).reduce(_ unionByName _)
 
     (badUsers, badProducts, badTx)
+  }
+
+  /** DuckDB mirror of `invalid(...)._3` — the 9 adversarial transaction
+    * blocks with identical md5-derived ids (oracle for S14). */
+  def invalidTxSql(day: String, nUsers: Int, nProducts: Int, perKind: Int = 2): String = {
+    def base(idBase: Long,
+             date: String = s"'$day'", user: String = null, product: String = null,
+             qty: String = "2", price: String = "50.0",
+             pay: String = "'Visa'", st: String = "'Success'",
+             idExpr: String = "id") = {
+      val u = Option(user).getOrElse(
+        s"CAST(floor(${rndSql("u", "id")} * $nUsers) + 1 AS BIGINT)")
+      val p = Option(product).getOrElse(
+        s"CAST(floor(${rndSql("p", "id")} * $nProducts) + 1 AS BIGINT)")
+      s"""SELECT $idExpr AS transaction_id, $date AS date, $u AS user_id,
+         |  $p AS product_id, CAST($qty AS INT) AS quantity,
+         |  CAST($price AS DOUBLE) AS price, $pay AS payment_type, $st AS status
+         |FROM range($idBase, ${idBase + perKind}) t(id)""".stripMargin
+    }
+    val Array(y, m, d) = day.split("-")
+    Seq(
+      base(9000, user = s"CAST(floor(${rndSql("u", "id")} * $nUsers) + 1 + 100000 AS BIGINT)"),
+      base(9100, product = s"CAST(floor(${rndSql("p", "id")} * $nProducts) + 1 + 100000 AS BIGINT)"),
+      base(9200, qty = "0"),
+      base(9300, qty = "-3"),
+      base(9400, price = "0.01"),
+      base(9500, pay = "'Bitcoin'"),
+      base(9600, st = "'Pending'"),
+      base(9700, date = s"'$d-$m-$y'"),
+      base(9800, idExpr = "id - 9800 + 1")
+    ).mkString("\nUNION ALL\n")
   }
 }

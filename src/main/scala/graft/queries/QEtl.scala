@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.dims.{DimDate, Scd2}
 import graft.facts.{StockHistory, TxLoad}
 import graft.ops.{AsOfJoin, Dedup}
+import graft.gen.Synthetic
 import graft.validate.{Rules, Validator}
 
 /** One registered query: the Spark program plus (when SQL-expressible) the
@@ -548,6 +549,38 @@ object QEtl {
         |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
         |  CAST(count(*) AS BIGINT) AS count_order
         |FROM lineitem WHERE strftime(l_shipdate, '%Y-%m-%d') <= '1998-09-02'
-        |GROUP BY l_returnflag, l_linestatus""".stripMargin))
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin)),
+
+    // S13 — deterministic synthetic valid-data generator (md5-keyed PRNG,
+    // distributed via spark.range — no driver loops; reproducible on any
+    // engine, which is what makes an oracle possible at all)
+    Qry("q41_synthetic_users",
+      (s, _) => Synthetic.users(s, 200),
+      Some(s"""SELECT id AS user_id, 'User ' || CAST(id AS VARCHAR) AS name,
+        |  'user' || CAST(id AS VARCHAR) || '@example.com' AS email,
+        |  strftime(DATE '2024-01-01' + CAST(floor(
+        |    ${Synthetic.rndSql("join", "id")} * 700) AS INT), '%Y-%m-%d') AS join_date
+        |FROM range(1, 201) t(id)""".stripMargin)),
+
+    // S14 — the adversarial transaction corpus (9 injected error kinds)
+    Qry("q42_synthetic_invalid_tx",
+      (s, _) => Synthetic.invalid(s, "2025-03-01", 50, 20)._3,
+      Some(Synthetic.invalidTxSql("2025-03-01", 50, 20))),
+
+    // O4/F11 — seeded "ORDER BY RANDOM() LIMIT 1" per group: the
+    // reference's random row picks (populate.py mutation sampling) made
+    // deterministic by ranking on a seeded md5 — same answer on any
+    // engine, still uniform over the group
+    Qry("q43_seeded_sample",
+      (s, dir) => {
+        val w = Window.partitionBy("c_nationkey")
+          .orderBy(md5(concat(lit("7|"), col("c_custkey").cast("string"))), col("c_custkey"))
+        t(s, dir, "customer")
+          .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .select("c_nationkey", "c_custkey", "c_name")
+      },
+      Some("""SELECT c_nationkey, c_custkey, c_name FROM customer
+        |QUALIFY row_number() OVER (PARTITION BY c_nationkey
+        |  ORDER BY md5('7|' || CAST(c_custkey AS VARCHAR)), c_custkey) = 1""".stripMargin))
   )
 }
