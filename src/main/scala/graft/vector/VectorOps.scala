@@ -27,7 +27,15 @@ object VectorOps {
   def norm(a: Column): Column =
     sqrt(aggregate(d(a), lit(0.0), (acc, x) => acc + x * x))
 
-  def cosine(a: Column, b: Column): Column = letOnce2(d(a), d(b)) { (da, db) =>
+  /** Native codegen'd expression ([[graft.functions.FloatCosine]]) — the
+    * HOF formulation (`aggregate`/`zip_with`) is interpreted and this sits
+    * on the |Q|×|C| hot path. Bit-identical accumulation order, so oracle
+    * comparisons are unaffected. */
+  def cosine(a: Column, b: Column): Column = graft.functions.GraftFunctions.cosineF(a, b)
+
+  /** The HOF formulation, kept for double-typed arrays and as the
+    * reference semantics the native expression must match. */
+  def cosineHof(a: Column, b: Column): Column = letOnce2(d(a), d(b)) { (da, db) =>
     aggregate(zip_with(da, db, (x, y) => x * y), lit(0.0), (acc, x) => acc + x) /
       (sqrt(aggregate(da, lit(0.0), (acc, x) => acc + x * x)) *
         sqrt(aggregate(db, lit(0.0), (acc, x) => acc + x * x)))

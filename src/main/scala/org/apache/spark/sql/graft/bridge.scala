@@ -1,0 +1,19 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, FloatType}
+
+/** Thin accessibility bridge: `ExpressionUtils` (Column <-> Expression) and
+  * `AbstractDataType` are `private[sql]`, so third-party Catalyst
+  * expressions need one file inside the `org.apache.spark.sql` namespace —
+  * the standard pattern for external Spark extension libraries. Keep ALL
+  * real logic in the `graft` packages; only re-exports live here.
+  */
+object bridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+  /** input-type spec for array<float> binary expressions */
+  val floatArrayInputs: Seq[AbstractDataType] = Seq(ArrayType(FloatType), ArrayType(FloatType))
+}

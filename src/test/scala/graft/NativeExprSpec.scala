@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions
+import graft.vector.VectorOps
+
+/** Native Catalyst expressions (FloatCosine / FloatDot): value parity with
+  * the interpreted HOF formulation, SQL registration, codegen soundness.
+  */
+class NativeExprSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def vecs = (1 to 200).map { i =>
+    (i.toLong,
+      Array.tabulate(64)(j => math.sin(i * 31.7 + j * 1.3).toFloat),
+      Array.tabulate(64)(j => math.cos(i * 13.1 + j * 2.9).toFloat))
+  }.toDF("id", "a", "b")
+
+  test("native cosine is bit-identical to the HOF formulation") {
+    val out = vecs.select(
+      GraftFunctions.cosineF(col("a"), col("b")).as("native"),
+      VectorOps.cosineHof(col("a"), col("b")).as("hof"))
+    assert(out.filter(col("native") =!= col("hof")).count() === 0)
+  }
+
+  test("native dot matches the HOF dot and known values") {
+    val out = vecs.select(
+      GraftFunctions.dotF(col("a"), col("b")).as("native"),
+      VectorOps.dot(col("a"), col("b")).as("hof"))
+    assert(out.filter(col("native") =!= col("hof")).count() === 0)
+    val known = Seq((Seq(1.0f, 2.0f, 3.0f), Seq(4.0f, 5.0f, 6.0f))).toDF("a", "b")
+      .select(GraftFunctions.dotF(col("a"), col("b"))).as[Double].head()
+    assert(known === 32.0)
+  }
+
+  test("self-cosine is 1.0 within 1 ulp; null inputs yield null") {
+    val out = vecs.select(GraftFunctions.cosineF(col("a"), col("a")).as("c"))
+    assert(out.filter(abs(col("c") - 1.0) > 1e-15).count() === 0)
+    val n = Seq((Seq(1.0f), null.asInstanceOf[Seq[Float]])).toDF("a", "b")
+      .select(GraftFunctions.cosineF(col("a"), col("b"))).collect().head
+    assert(n.isNullAt(0))
+  }
+
+  test("expressions run inside whole-stage codegen (no fallback)") {
+    // repartition first: a bare LocalTableScan of driver-side Seq data is
+    // evaluated eagerly without codegen, which would vacuously pass/fail.
+    // Execute before inspecting — AQE only finalizes (and shows codegen
+    // spans) after the job runs.
+    val df = vecs.repartition(2)
+      .select(GraftFunctions.cosineF(col("a"), col("b")))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // the `*(n)` prefix marks operators inside a WholeStageCodegen span
+    assert(plan.split("\n").exists(l => l.contains("graft_cosine") && l.contains("*(")),
+      s"projection not inside a codegen span:\n$plan")
+  }
+
+  test("SQL registration: graft_cosine / graft_dot callable from spark.sql") {
+    GraftFunctions.register(spark)
+    vecs.createOrReplaceTempView("native_expr_vecs")
+    val r = spark.sql(
+      """SELECT graft_cosine(a, b) AS c, graft_dot(a, a) AS d
+        |FROM native_expr_vecs LIMIT 5""".stripMargin).collect()
+    assert(r.length === 5)
+    assert(r.forall(row => !row.isNullAt(0) && row.getDouble(1) > 0))
+  }
+}
