@@ -206,6 +206,22 @@ object QLlm {
         |    (acc, x) -> (acc * 31 + x) % 1000000007) AS BIGINT) AS fingerprint
         |FROM d""".stripMargin)),
 
+    // token counting: whitespace words AND a BPE-ish regex segmentation
+    // (contractions / letter runs / digit runs / punctuation runs — the
+    // GPT-2 pre-tokenizer shape) — both pure per-row expressions
+    Qry("q44_token_counts",
+      (s, dir) => {
+        val bpeish = "'(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^\\sa-z0-9]+"
+        spread(s, t(s, dir, "documents")).select(col("doc_id"),
+          size(TextOps.tokens(col("text"))).as("n_ws_tokens"),
+          size(regexp_extract_all(TextOps.normText(col("text")), lit(bpeish), lit(0)))
+            .as("n_bpe_tokens"))
+      },
+      Some(s"""SELECT doc_id, len($toksSql) AS n_ws_tokens,
+        |  len(regexp_extract_all($normSql,
+        |    '''(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^\\s a-z0-9]+')) AS n_bpe_tokens
+        |FROM documents""".stripMargin)),
+
     // exact brute-force cosine top-k (ANN ground truth)
     Qry("q33_cosine_topk",
       (s, dir) => {

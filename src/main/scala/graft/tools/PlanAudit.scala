@@ -1,0 +1,32 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Plan auditor: prints the formatted physical plan of named registered
+  * queries plus a one-line summary of exchanges / pushed filters.
+  * Usage: runMain graft.tools.PlanAudit <sfDir> <q> [q...]
+  */
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.head
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    args.tail.foreach { name =>
+      val df = graft.SparkEntry.queries(name)(spark, sfDir)
+      val plan = df.queryExecution.executedPlan.toString
+      val nShuffle = "Exchange hashpartitioning".r.findAllIn(plan).length +
+        "Exchange rangepartitioning".r.findAllIn(plan).length
+      val nBroadcast = "BroadcastExchange".r.findAllIn(plan).length
+      val pushed = "PushedFilters: \\[[^\\]]*\\]".r.findAllIn(plan).toSeq
+      println(s"=== $name: shuffles=$nShuffle broadcasts=$nBroadcast")
+      pushed.foreach(p => println(s"    $p"))
+      if (sys.env.contains("AUDIT_FULL")) df.explain("formatted")
+    }
+    spark.stop()
+  }
+}
