@@ -13,6 +13,28 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    // JVM/codegen warmup (untimed): first-query costs are one-time session
+    // setup — parquet footer reads, janino compilation, JIT — not operator
+    // throughput. The warmup pipeline deliberately matches NO registered
+    // query's logical plan (so Spark's CacheManager cannot leak warm data
+    // into a timed run) but touches the same machinery: scan, window,
+    // higher-order exprs, hash join, aggregate.
+    {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet").limit(50000)
+        .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
+      val w = Window.partitionBy("l_partkey").orderBy("l_orderkey")
+      val warm = li.withColumn("rn", row_number().over(w))
+        .withColumn("arr", transform(sequence(lit(1), lit(8)), i => i * col("l_quantity")))
+        .withColumn("s", aggregate(col("arr"), lit(0.0), (a, x) => a + x))
+        .join(li.groupBy("l_partkey").agg(count(lit(1)).as("n")), Seq("l_partkey"))
+      warm.write.format("noop").mode("overwrite").save()
+      spark.read.parquet(s"$sfDir/documents.parquet").write.format("noop").mode("overwrite").save()
+      spark.read.parquet(s"$sfDir/embeddings.parquet").write.format("noop").mode("overwrite").save()
+    }
+
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop-format write evaluates every output column (a bare count()
