@@ -42,4 +42,27 @@ class DateParseSpec extends SparkSpec {
   test("rejects month/day overflow in every accepted format") {
     assert(parse(Seq("2024-02-30", "2024/2/30", "20240230")).forall(_.isEmpty))
   }
+
+  test("property: every date 1990..2030 round-trips through all four formats") {
+    // exhaustive sweep beats sampling: all (year, month, day<=28) cells,
+    // rendered in each accepted format, must parse back to the same date
+    val days = spark.range(0, 41L * 372).select(
+      (col("id") / 372 + 1990).cast("int").as("y"),
+      ((col("id") % 372) / 31 + 1).cast("int").as("m"),
+      (col("id") % 31 + 1).cast("int").as("d"))
+      .filter(col("d") <= 28)
+    val iso = format_string("%04d-%02d-%02d", col("y"), col("m"), col("d"))
+    val variants = Seq(
+      iso,                                                   // padded ISO
+      format_string("%d-%d-%d", col("y"), col("m"), col("d")),   // unpadded
+      format_string("%04d/%02d/%02d", col("y"), col("m"), col("d")),
+      format_string("%04d-%02d-%02dT12:34:56", col("y"), col("m"), col("d")),
+      format_string("%04d%02d%02d", col("y"), col("m"), col("d")))
+    variants.zipWithIndex.foreach { case (v, i) =>
+      val bad = days.select(iso.as("expect"),
+          date_format(Rules.parseMultiDate(v), "yyyy-MM-dd").as("got"))
+        .filter(!(col("expect") <=> col("got"))).count()
+      assert(bad === 0, s"variant $i mis-parsed $bad dates")
+    }
+  }
 }
