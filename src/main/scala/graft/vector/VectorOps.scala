@@ -68,19 +68,35 @@ object VectorOps {
     conv(substring(md5(concat(lit(s"$p|"), i.cast("string"))), 1, 12), 16, 10)
       .cast("double") / lit(math.pow(2.0, 47)) - 1.0
 
+  /** Scala-side constant fold of [[planeComponent]]: identical md5 → hex →
+    * /2^47 − 1 arithmetic, evaluated ONCE at plan time instead of per row —
+    * the expression form costs nPlanes × dims md5 calls per ROW even
+    * though the value only depends on (p, i). */
+  private def planeConst(p: Int, i: Int): Double = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$p|$i".getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString.substring(0, 12)
+    java.lang.Long.parseLong(hex, 16).toDouble / math.pow(2.0, 47) - 1.0
+  }
+
   /** Sign-random-projection bucket id: bit `p` of the result is 1 iff
     * dot(plane_p, vec) > 0. Vectors in the same bucket are cosine-close with
     * high probability; `nPlanes` tunes bucket granularity (2^nPlanes
-    * buckets). Pure per-row expression — scales linearly.
+    * buckets). Pure per-row expression — scales linearly. Planes are
+    * embedded as literal arrays (constant-folded md5; supports vectors up
+    * to `maxDims`, extra literals beyond the actual width are ignored by
+    * the index-bounded fold).
     */
-  def srpBucket(vec: Column, nPlanes: Int): Column = letOnce(d(vec)) { vd =>
-    (0 until nPlanes).map { p =>
-      val proj = aggregate(
-        zip_with(vd, sequence(lit(0), size(vd) - 1), (x, i) => x * planeComponent(p, i)),
-        lit(0.0), (acc, x) => acc + x)
-      when(proj > 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
-    }.reduce(_ + _)
-  }
+  def srpBucket(vec: Column, nPlanes: Int, maxDims: Int = 512): Column =
+    letOnce(d(vec)) { vd =>
+      (0 until nPlanes).map { p =>
+        val plane = typedlit((0 until maxDims).map(planeConst(p, _)))
+        val proj = aggregate(
+          zip_with(vd, sequence(lit(1), size(vd)), (x, i) => x * element_at(plane, i)),
+          lit(0.0), (acc, x) => acc + x)
+        when(proj > 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    }
 
   /** Bucketed ANN: exact cosine evaluated only on bucket-colliding pairs.
     * Returns candidate pairs (id_a < id_b) with their cosine — the
