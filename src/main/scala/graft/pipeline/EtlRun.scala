@@ -29,11 +29,14 @@ final class EtlRun(spark: SparkSession, warehouse: String) {
 
   private def path(t: String) = s"$warehouse/$t"
 
-  /** Read a warehouse table, yielding an empty typed frame when absent. */
+  /** Read a warehouse table, yielding an empty typed frame when absent.
+    * Walks recursively: partitioned tables keep their part-files under
+    * `col=value/` subdirectories. */
   def table(name: String, schema: StructType): DataFrame = {
     val p = Paths.get(path(name))
-    if (Files.exists(p) && Files.list(p).anyMatch(f => f.getFileName.toString.endsWith(".parquet")))
-      spark.read.schema(schema).parquet(path(name))
+    val hasData = Files.exists(p) &&
+      Files.walk(p).anyMatch(f => f.getFileName.toString.endsWith(".parquet"))
+    if (hasData) spark.read.schema(schema).parquet(path(name))
     else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
   }
 
@@ -56,8 +59,14 @@ final class EtlRun(spark: SparkSession, warehouse: String) {
     spark.catalog.refreshByPath(path(name))
   }
 
-  private def append(df: DataFrame, name: String): Unit = {
-    df.write.mode("append").parquet(path(name))
+  /** Fact appends partition by `load_date`: the daily access paths (S3
+    * incremental scans, re-run anti-joins, backfill reads) then prune to
+    * one partition directory — the Spark counterpart of the reference's
+    * covering indexes (ETL/etl.py:383-400, SURVEY §4.3). Dim/log tables
+    * stay unpartitioned (small, always read whole). */
+  private def append(df: DataFrame, name: String, partitionCols: Seq[String] = Nil): Unit = {
+    val w = df.write.mode("append")
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(path(name))
     spark.catalog.refreshByPath(path(name))
   }
 
@@ -146,7 +155,7 @@ final class EtlRun(spark: SparkSession, warehouse: String) {
         validProducts, dimProductNow, table("fact_stock_history", Schemas.factStockHistory), today)
       val stockOut = stockRows.cache()
       val stockInserted = stockOut.count()
-      append(stockOut, "fact_stock_history")
+      append(stockOut, "fact_stock_history", Seq("load_date"))
 
       // ---- FACT: transactions (anti-join + PIT + first-wins)
       val (txFacts, txWarnings, dateRows) = TxLoad.load(
@@ -154,7 +163,7 @@ final class EtlRun(spark: SparkSession, warehouse: String) {
         table("fact_transactions", Schemas.factTransactions), today)
       val txOut = txFacts.cache()
       val txInserted = txOut.count()
-      append(txOut, "fact_transactions")
+      append(txOut, "fact_transactions", Seq("load_date"))
 
       // dim_date backfill for today + every loaded tx date (etl.py:320-324,
       // 431) — merge-distinct against the existing calendar

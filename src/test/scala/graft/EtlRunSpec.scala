@@ -142,6 +142,19 @@ class EtlRunSpec extends SparkSpec {
         .select("date_id"), Seq("date_id")).count() === factsAfterDay1)
   }
 
+  test("fact tables are partitioned by load_date (pruned daily access)") {
+    day1Run
+    assert(Files.exists(java.nio.file.Paths.get(
+      s"$wh/fact_transactions/load_date=$day1")))
+    assert(Files.exists(java.nio.file.Paths.get(
+      s"$wh/fact_stock_history/load_date=$day1")))
+    // a load_date filter prunes to one partition (no full-table file list)
+    val pruned = tbl("fact_transactions").filter(col("load_date") === to_date(lit(day1)))
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(!scan.contains("load_date=") || scan.contains(s"load_date=$day1"))
+    assert(pruned.count() > 0)
+  }
+
   test("idempotent re-run: same day twice inserts nothing new") {
     day1Run
     // ensure day-2 state exists (ordering safety if run standalone)
