@@ -331,6 +331,46 @@ object QLlm {
         |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
         |FROM events GROUP BY 1, 2""".stripMargin)),
 
+    // IVF-flat ANN: deterministic sampled codebook, nprobe-bounded search
+    Qry("q45_ivf_topk",
+      (s, dir) => {
+        val e = spread(s, t(s, dir, "embeddings"))
+          .select(col("vec_id").as("id"), col("embedding").as("vec"))
+        VectorOps.ivfSearch(e.filter(col("id") < 10), e,
+          nCentroids = 32, nprobe = 8, k = 5)
+          .select("query_id", "neighbor_id", "rank")
+      },
+      Some("""WITH e AS (SELECT vec_id AS id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |cents AS (SELECT id AS centroid_id, v AS cvec FROM e
+        |  ORDER BY md5('7|' || CAST(id AS VARCHAR)), id LIMIT 32),
+        |assigned AS (
+        |  SELECT e.id, e.v, c.centroid_id FROM e CROSS JOIN cents c
+        |  QUALIFY row_number() OVER (PARTITION BY e.id ORDER BY
+        |    (list_sum(list_transform(range(1, len(e.v) + 1), i -> e.v[i] * c.cvec[i]))
+        |     / (sqrt(list_sum(list_transform(e.v, x -> x * x)))
+        |        * sqrt(list_sum(list_transform(c.cvec, x -> x * x))))) DESC,
+        |    c.centroid_id) = 1),
+        |q AS (SELECT id AS query_id, v AS qv FROM e WHERE id < 10),
+        |probes AS (
+        |  SELECT q.query_id, q.qv, c.centroid_id FROM q CROSS JOIN cents c
+        |  QUALIFY row_number() OVER (PARTITION BY q.query_id ORDER BY
+        |    (list_sum(list_transform(range(1, len(q.qv) + 1), i -> q.qv[i] * c.cvec[i]))
+        |     / (sqrt(list_sum(list_transform(q.qv, x -> x * x)))
+        |        * sqrt(list_sum(list_transform(c.cvec, x -> x * x))))) DESC,
+        |    c.centroid_id) <= 8),
+        |p AS (
+        |  SELECT p.query_id, a.id AS neighbor_id,
+        |    (list_sum(list_transform(range(1, len(p.qv) + 1), i -> p.qv[i] * a.v[i]))
+        |     / (sqrt(list_sum(list_transform(p.qv, x -> x * x)))
+        |        * sqrt(list_sum(list_transform(a.v, x -> x * x))))) AS cos
+        |  FROM probes p JOIN assigned a USING (centroid_id)
+        |  WHERE a.id <> p.query_id)
+        |SELECT query_id, neighbor_id,
+        |  CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cos DESC, neighbor_id) AS INT) AS rank
+        |FROM p QUALIFY rank <= 5""".stripMargin)),
+
     // gap-based sessionization (30-min inactivity breaks)
     Qry("q40_sessionize",
       (s, dir) => {

@@ -98,6 +98,60 @@ object VectorOps {
       }.reduce(_ + _)
     }
 
+  /** IVF-flat coarse quantizer with a deterministic SAMPLED codebook: the
+    * `nCentroids` corpus vectors ranked first by seeded md5 become the
+    * centroids (the standard sample-based coarse quantizer, minus Lloyd
+    * refinement — iterative float averaging is order-nondeterministic
+    * across engines, and sampled codebooks are standard practice at scale
+    * anyway). Returns (id, vec, centroid_id): each vector assigned to its
+    * max-cosine centroid (ties → smallest centroid id).
+    *
+    * Scale: centroids are a broadcast (nCentroids ≤ thousands); assignment
+    * is one narrow pass over the corpus — |corpus| × nCentroids cosines,
+    * the classic IVF build cost — followed by no shuffle at all until a
+    * consumer groups by centroid_id.
+    */
+  def ivfAssign(vecs: DataFrame, nCentroids: Int, seed: Int = 7): DataFrame = {
+    val cents = vecs
+      .withColumn("__r", md5(concat(lit(s"$seed|"), col("id").cast("string"))))
+      .orderBy("__r", "id").limit(nCentroids)
+      .select(col("id").as("centroid_id"), col("vec").as("cvec"))
+    val w = Window.partitionBy("id").orderBy(col("__cos").desc, col("centroid_id"))
+    vecs.join(broadcast(cents))
+      .withColumn("__cos", cosine(col("vec"), col("cvec")))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("id"), col("vec"), col("centroid_id"))
+  }
+
+  /** IVF top-k search: probe the `nprobe` nearest centroids per query and
+    * run exact cosine top-k inside those inverted lists only — the
+    * recall-for-throughput trade versus [[bruteForceTopK]], with cost
+    * |corpus|/nCentroids × nprobe per query instead of |corpus|.
+    */
+  def ivfSearch(queries: DataFrame, corpus: DataFrame, nCentroids: Int,
+                nprobe: Int, k: Int, seed: Int = 7): DataFrame = {
+    val assigned = ivfAssign(corpus, nCentroids, seed)
+    val cents = corpus
+      .withColumn("__r", md5(concat(lit(s"$seed|"), col("id").cast("string"))))
+      .orderBy("__r", "id").limit(nCentroids)
+      .select(col("id").as("centroid_id"), col("vec").as("cvec"))
+    val probeW = Window.partitionBy("query_id").orderBy(col("__cos").desc, col("centroid_id"))
+    val probes = queries.select(col("id").as("query_id"), col("vec").as("qv"))
+      .join(broadcast(cents))
+      .withColumn("__cos", cosine(col("qv"), col("cvec")))
+      .withColumn("__rn", row_number().over(probeW))
+      .filter(col("__rn") <= nprobe)
+      .select(col("query_id"), col("qv"), col("centroid_id"))
+    val rankW = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    probes.join(assigned.select(col("centroid_id"), col("id").as("neighbor_id"),
+        col("vec").as("cv")), Seq("centroid_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), cosine(col("qv"), col("cv")).as("cos"))
+      .withColumn("rank", row_number().over(rankW))
+      .filter(col("rank") <= k)
+  }
+
   /** Bucketed ANN: exact cosine evaluated only on bucket-colliding pairs.
     * Returns candidate pairs (id_a < id_b) with their cosine — the
     * IVF/LSH-style recall-for-throughput trade, with the pair join

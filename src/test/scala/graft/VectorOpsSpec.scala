@@ -58,6 +58,28 @@ class VectorOpsSpec extends SparkSpec {
     assert(pairs === Seq((1L, 2L))) // opposite vector never buckets with v
   }
 
+  test("ivfAssign: every vector gets exactly one centroid; sampled codebook is deterministic") {
+    val vecs = (1L to 100L).map(i => (i, Seq.tabulate(8)(j =>
+      math.sin(i * 3.1 + j).toFloat))).toDF("id", "vec")
+    val a1 = VectorOps.ivfAssign(vecs, nCentroids = 8)
+    assert(a1.count() === 100)
+    assert(a1.select("id").distinct().count() === 100)
+    assert(a1.select("centroid_id").distinct().count() <= 8)
+    val a2 = VectorOps.ivfAssign(vecs, nCentroids = 8)
+    assert(sortedRows(a1.select("id", "centroid_id")) === sortedRows(a2.select("id", "centroid_id")))
+  }
+
+  test("ivfSearch with nprobe = nCentroids recovers the exact brute-force top-k") {
+    val vecs = (1L to 60L).map(i => (i, Seq.tabulate(8)(j =>
+      math.cos(i * 2.3 + j * 0.7).toFloat))).toDF("id", "vec")
+    val q = vecs.filter(col("id") <= 3)
+    val exact = VectorOps.bruteForceTopK(q, vecs, 4)
+      .select("query_id", "neighbor_id", "rank")
+    val ivf = VectorOps.ivfSearch(q, vecs, nCentroids = 8, nprobe = 8, k = 4)
+      .select("query_id", "neighbor_id", "rank")
+    assert(sortedRows(ivf) === sortedRows(exact))
+  }
+
   test("lshCandidatePairs emits no duplicate pairs and respects the bucket cap") {
     val v = Seq.tabulate(4)(_.toFloat + 1)
     val vecs = (1L to 30L).map(i => (i, v)).toDF("id", "vec") // one hot bucket
