@@ -1,0 +1,48 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Bucketed-table helpers: pre-shuffle a fact ONCE at write time so every
+  * later equi-join/aggregation on the bucket key runs shuffle-free.
+  *
+  * At 100 TB this is the difference between re-shuffling the fact table on
+  * every query and paying the shuffle once at ingest: two tables bucketed
+  * by the same key into the same bucket count join with ZERO exchanges
+  * (and with `sortBy`, zero sorts) — the SortMergeJoin reads co-located
+  * buckets directly. Bucket metadata lives in the session catalog, so
+  * writers use `saveAsTable` (not bare parquet paths).
+  */
+object Bucketing {
+
+  /** Write `df` as a bucketed (+ sorted) table, replacing any previous one. */
+  def writeBucketed(df: DataFrame, table: String, keys: Seq[String],
+                    nBuckets: Int): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    // with the in-memory catalog a crashed session forgets the table but
+    // leaves its directory; clear it or saveAsTable refuses the location
+    val loc = java.nio.file.Paths.get(
+      new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath, table)
+    if (java.nio.file.Files.exists(loc)) {
+      def rm(p: java.nio.file.Path): Unit = {
+        if (java.nio.file.Files.isDirectory(p))
+          java.nio.file.Files.list(p).forEach(rm(_))
+        java.nio.file.Files.delete(p)
+      }
+      rm(loc)
+    }
+    df.write
+      .bucketBy(nBuckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .format("parquet")
+      .saveAsTable(table)
+  }
+
+  def read(spark: SparkSession, table: String): DataFrame = spark.table(table)
+
+  /** Number of shuffle exchanges in the executed plan — 0 for a co-located
+    * bucketed join. Exposed for tests/plan audits. */
+  def shuffleCount(df: DataFrame): Int =
+    "Exchange (hash|range)partitioning".r
+      .findAllIn(df.queryExecution.executedPlan.toString).length
+}
