@@ -31,6 +31,13 @@ object Bench {
         .withColumn("s", aggregate(col("arr"), lit(0.0), (a, x) => a + x))
         .join(li.groupBy("l_partkey").agg(count(lit(1)).as("n")), Seq("l_partkey"))
       warm.write.format("noop").mode("overwrite").save()
+      // regex/date machinery (the validation-family queries' cost center)
+      spark.read.parquet(s"$sfDir/orders.parquet").limit(20000)
+        .select(coalesce(try_to_date(date_format(col("o_orderdate"), "yyyy-M-d"), "yyyy-M-d"),
+            try_to_date(lit("x"), "yyyyMMdd")).as("d"),
+          col("o_orderstatus").rlike("a+b").as("r"),
+          format_string("w %s %s", col("o_orderkey"), col("o_orderstatus")).as("m"))
+        .write.format("noop").mode("overwrite").save()
       spark.read.parquet(s"$sfDir/documents.parquet").write.format("noop").mode("overwrite").save()
       spark.read.parquet(s"$sfDir/embeddings.parquet").write.format("noop").mode("overwrite").save()
     }

@@ -112,4 +112,37 @@ object StreamPipelines {
     * Trigger.AvailableNow + a final empty microbatch fires the event-time
     * timeouts IF the watermark advanced past them; otherwise callers union
     * the batch tail. Kept explicit so the semantics are visible. */
+
+  /** The data contract applied to a TRANSACTION STREAM: stream-static
+    * broadcast joins resolve user/product existence and expected price,
+    * then the one-pass rule engine annotates each row — every rule is a
+    * narrow expression, so the whole contract streams without state.
+    * Returns (valid, errors): two streaming frames the caller sinks
+    * independently (e.g. parquet fact feed + error-log append).
+    *
+    * Deviation from batch, by necessity: in-batch duplicate-occurrence
+    * ranking is a global window, which has no streaming equivalent — on a
+    * stream, duplicate handling belongs to the stateful layer
+    * (`dropDuplicates` within the watermark, or the downstream anti-join
+    * load which is idempotent anyway). `dupOccurrence` is pinned to 1.
+    */
+  def validateTransactions(txStream: DataFrame, users: DataFrame,
+                           products: DataFrame): (DataFrame, DataFrame) = {
+    import graft.validate.{Rules, Validator}
+    val userKeys = broadcast(users.select(col("user_id").as("vu_user_id")))
+    val productKeys = broadcast(products
+      .select(col("product_id").as("vp_product_id"), col("price").as("vp_price")))
+    val joined = txStream
+      .join(userKeys, col("user_id") === col("vu_user_id"), "left_outer")
+      .join(productKeys, col("product_id") === col("vp_product_id"), "left_outer")
+    val v = new Validator(
+      Rules.transactionRules(col("transaction_id"), col("date"), col("user_id"),
+        col("product_id"), col("quantity"), col("payment_type"), col("status"),
+        col("price"), col("vu_user_id").isNotNull, col("vp_product_id").isNotNull,
+        col("vp_price"), lit(1)),
+      "transaction", col("transaction_id"), "transactions")
+    val ann = v.annotate(joined)
+    val clean = Seq("vu_user_id", "vp_product_id", "vp_price")
+    (v.valid(ann).drop(clean: _*), v.errors(ann))
+  }
 }

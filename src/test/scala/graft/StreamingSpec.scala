@@ -48,6 +48,36 @@ class StreamingSpec extends SparkSpec {
       Seq("window_start", "event_type", "n", "sum_cents")).count() === streamed.count())
   }
 
+  test("streaming contract validation equals the batch validator split") {
+    import graft.gen.Synthetic
+    val day = "2025-03-01"
+    val users = Synthetic.users(spark, 50)
+    val products = Synthetic.products(spark, 20)
+    val tx = Synthetic.transactions(spark, 300, day, 50, 20)
+      .unionByName(Synthetic.invalid(spark, day, 50, 20)._3)
+    val txDir = Files.createTempDirectory("graft_stream_tx").toString
+    tx.write.mode("overwrite").parquet(txDir)
+
+    val stream = spark.readStream.schema(tx.schema).parquet(txDir)
+    val (valid, errors) = StreamPipelines.validateTransactions(stream, users, products)
+    val out = Files.createTempDirectory("graft_stream_vout").toString
+    val q1 = valid.writeStream.format("memory").queryName("valid_tx")
+      .outputMode("append").trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$out/c1").start()
+    val q2 = errors.writeStream.format("memory").queryName("tx_errors")
+      .outputMode("append").trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$out/c2").start()
+    q1.awaitTermination(120000); q2.awaitTermination(120000)
+
+    val (bValid, bErrors) = StreamPipelines.validateTransactions(
+      spark.read.parquet(txDir), users, products)
+    assert(spark.table("valid_tx").count() === bValid.count())
+    assert(spark.table("valid_tx").count() > 0)
+    assert(sortedRows(spark.table("tx_errors")) === sortedRows(bErrors))
+    // error severities present: injected kinds produce both levels
+    assert(spark.table("tx_errors").select("severity").distinct().count() === 2)
+  }
+
   test("streaming sessionization matches batch q40 for emitted sessions") {
     val out = Files.createTempDirectory("graft_sess_out").toString
     implicit val s = spark
