@@ -581,6 +581,32 @@ object QEtl {
       },
       Some("""SELECT c_nationkey, c_custkey, c_name FROM customer
         |QUALIFY row_number() OVER (PARTITION BY c_nationkey
-        |  ORDER BY md5('7|' || CAST(c_custkey AS VARCHAR)), c_custkey) = 1""".stripMargin))
+        |  ORDER BY md5('7|' || CAST(c_custkey AS VARCHAR)), c_custkey) = 1""".stripMargin)),
+
+    // skew-safe salted join — result must equal the plain equi-join (the
+    // salt is an execution detail, invisible in the output)
+    Qry("q46_salted_join",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_quantity"))
+        val o = t(s, dir, "orders").select(col("o_orderkey").as("l_orderkey"), col("o_totalprice"))
+        graft.ops.Skew.saltedJoinHotKeys(li, o, Seq("l_orderkey"),
+          buckets = 8, hotThreshold = 5)
+      },
+      Some("""SELECT l.l_orderkey, l.l_quantity, o.o_totalprice
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey""".stripMargin)),
+
+    // bucketed co-located join — one shuffle paid at write, zero at query;
+    // output equals the plain join (bucketing is pure physical layout)
+    Qry("q47_bucketed_join",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
+        val o = t(s, dir, "orders").select(col("o_orderkey").as("l_orderkey"), col("o_totalprice"))
+        graft.ops.Bucketing.writeBucketed(li, "q47_li", Seq("l_orderkey"), 8)
+        graft.ops.Bucketing.writeBucketed(o, "q47_o", Seq("l_orderkey"), 8)
+        graft.ops.Bucketing.read(s, "q47_li")
+          .join(graft.ops.Bucketing.read(s, "q47_o"), Seq("l_orderkey"))
+      },
+      Some("""SELECT l.l_orderkey, l.l_partkey, l.l_quantity, o.o_totalprice
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey""".stripMargin))
   )
 }
