@@ -51,12 +51,37 @@ object VectorOps {
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
     val q = broadcast(queries.select(col("id").as("query_id"), col("vec").as("qv")))
     val c = corpus.select(col("id").as("neighbor_id"), col("vec").as("cv"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cos").desc, col("neighbor_id"))
-    c.join(q, col("query_id") =!= col("neighbor_id"))
+    val scored = c.join(q, col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         cosine(col("qv"), col("cv")).as("cos"))
-      .withColumn("rank", row_number().over(w))
+    // per-partition top-k BEFORE the shuffle (VERDICT r1): the global
+    // window then sees ≤ partitions × |Q| × k rows instead of |Q| × |C|.
+    // A bounded insertion heap per (partition, query) — genuine
+    // per-partition imperative logic, the one place mapPartitions earns
+    // its keep. Keep-ordering matches the final window (cos desc, id asc),
+    // so results are identical.
+    val spark = scored.sparkSession
+    import spark.implicits._
+    val shrunk = scored.as[(Long, Long, Double)].mapPartitions { it =>
+      val heaps = scala.collection.mutable.HashMap
+        .empty[Long, scala.collection.mutable.PriorityQueue[(Double, Long)]]
+      // priority = worst-first: root is the weakest kept candidate
+      val ord = Ordering.by[(Double, Long), (Double, Long)] {
+        case (cos, id) => (-cos, id)
+      }
+      it.foreach { case (qid, nid, cos) =>
+        val h = heaps.getOrElseUpdate(qid,
+          scala.collection.mutable.PriorityQueue.empty[(Double, Long)](ord))
+        if (h.size < k) h.enqueue((cos, nid))
+        else if (cos > h.head._1 || (cos == h.head._1 && nid < h.head._2)) {
+          h.dequeue(); h.enqueue((cos, nid))
+        }
+      }
+      heaps.iterator.flatMap { case (qid, h) => h.iterator.map(e => (qid, e._2, e._1)) }
+    }.toDF("query_id", "neighbor_id", "cos")
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    shrunk.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }
 
