@@ -165,4 +165,33 @@ class EtlRunSpec extends SparkSpec {
       tbl("dim_user").count(), tbl("dim_product").count())
     assert(after === before)
   }
+
+  test("SQL surface: demo-notebook queries run unchanged over the warehouse") {
+    day1Run
+    graft.pipeline.Olap.registerViews(spark, wh)
+    val cur = spark.sql(
+      "SELECT count(*) FROM dim_user WHERE current_flag = 1").first().getLong(0)
+    assert(cur === tbl("dim_user").filter(col("current_flag") === 1).count())
+    val rollup = spark.sql(
+      """SELECT error_type, severity, COUNT(*) AS count FROM etl_error_log
+        |WHERE run_id = 1 GROUP BY error_type, severity ORDER BY count DESC""".stripMargin)
+    assert(rollup.count() > 0)
+    assert(spark.sql(
+      "SELECT COUNT(*) FROM fact_transactions WHERE quantity <= 0").first().getLong(0) === 0)
+  }
+
+  test("a failing run still writes a 'failed' run-log row") {
+    day1Run
+    val runsBefore = tbl("etl_run_log").count()
+    // break the source: user_id written as STRING clashes with the LongType
+    // read schema — the scan throws mid-run (missing columns would NOT
+    // fail: schema-on-read nulls them and validation just rejects rows)
+    Seq(("not-a-long", "x")).toDF("user_id", "junk")
+      .write.mode("overwrite").parquet(s"$wh/users")
+    spark.catalog.refreshByPath(s"$wh/users")
+    intercept[Exception] { etl.run("2025-03-03") }
+    val log = tbl("etl_run_log").orderBy(col("run_id").desc).limit(1).collect().head
+    assert(tbl("etl_run_log").count() === runsBefore + 1)
+    assert(log.getAs[String]("status") === "failed")
+  }
 }
