@@ -80,6 +80,31 @@ object Synthetic {
         "price", "payment_type", "status")
   }
 
+  /** Mutate a deterministic subset of existing users — name/email changes
+    * that trigger SCD2 re-versioning on the next run (reference
+    * `change_existent_users`, populate.py:60-88). `frac` of users change,
+    * chosen by seeded hash (no RNG state). */
+  def mutateUsers(users: DataFrame, frac: Double, tag: String = "mut"): DataFrame =
+    users.withColumn("__r", rnd(tag, col("user_id")))
+      .withColumn("name", when(col("__r") < frac / 2, concat(col("name"), lit(" Jr."))).otherwise(col("name")))
+      .withColumn("email",
+        when(col("__r") >= frac / 2 && col("__r") < frac,
+          concat(lit("new."), col("email"))).otherwise(col("email")))
+      .drop("__r")
+
+  /** Mutate a deterministic subset of existing products — price/stock
+    * changes (reference `change_existent_products`, populate.py:91-122);
+    * price changes re-version `dim_product`, stock changes land in
+    * `fact_stock_history` only. */
+  def mutateProducts(products: DataFrame, frac: Double, tag: String = "mut"): DataFrame =
+    products.withColumn("__r", rnd(tag, col("product_id")))
+      .withColumn("price",
+        when(col("__r") < frac / 2, round(col("price") * 1.1, 2)).otherwise(col("price")))
+      .withColumn("stock",
+        when(col("__r") >= frac / 2 && col("__r") < frac,
+          col("stock") + 10).otherwise(col("stock")))
+      .drop("__r")
+
   /** The 14-type adversarial corpus (generate_invalid.py:423-438): rows
     * keyed `kind` ∈ {orphan_user, orphan_product, qty_zero, qty_negative,
     * price_mismatch, invalid_payment, invalid_status, bad_date, duplicate,

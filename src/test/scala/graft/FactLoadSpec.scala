@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.facts.{StockHistory, TxLoad}
+
+/** Focused unit coverage of the composed fact loads (beyond the oracle
+  * checks of q19/q20 and the e2e battery): warning routing, date
+  * backfill rows, orphan-probe ordering, change-only insert logic.
+  */
+class FactLoadSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def dimUser = Seq((1L, 10L, "2024-01-01", null.asInstanceOf[String]))
+    .toDF("user_sk", "user_id", "start_date", "end_date")
+    .withColumn("start_date", to_date(col("start_date")))
+    .withColumn("end_date", to_date(col("end_date")))
+
+  private def dimProduct = Seq((5L, 100L, "2024-01-01", null.asInstanceOf[String]))
+    .toDF("product_sk", "product_id", "start_date", "end_date")
+    .withColumn("start_date", to_date(col("start_date")))
+    .withColumn("end_date", to_date(col("end_date")))
+
+  private def tx(rows: (Long, String, Long, Long, Int, Double)*) =
+    rows.toSeq.toDF("transaction_id", "date", "user_id", "product_id", "quantity", "price")
+      .withColumn("payment_type", lit("visa")).withColumn("status", lit("success"))
+
+  private val emptyFact = Seq.empty[Long].toDF("transaction_id")
+
+  test("orphan user is warned and skipped BEFORE the product probe") {
+    val batch = tx((1L, "2024-02-01", 99L, 999L, 1, 10.0)) // both orphan
+    val (facts, warnings, _) = TxLoad.load(batch, dimUser, dimProduct, emptyFact, "2024-02-02")
+    assert(facts.count() === 0)
+    val w = warnings.select("error_type").as[String].collect().toSeq
+    assert(w === Seq("orphan_user")) // reference probes user first, row skipped
+  }
+
+  test("orphan product warns only when the user resolved") {
+    val batch = tx((2L, "2024-02-01", 10L, 999L, 1, 10.0))
+    val (_, warnings, _) = TxLoad.load(batch, dimUser, dimProduct, emptyFact, "2024-02-02")
+    assert(warnings.select("error_type").as[String].collect().toSeq === Seq("orphan_product"))
+  }
+
+  test("dim_date backfill emits one calendar row per loaded tx date") {
+    val batch = tx(
+      (3L, "2024-02-01", 10L, 100L, 1, 10.0),
+      (4L, "2024-02-03", 10L, 100L, 2, 20.0),
+      (5L, "2024-02-03", 10L, 100L, 3, 30.0)) // same date as 4
+    val (facts, _, dates) = TxLoad.load(batch, dimUser, dimProduct, emptyFact, "2024-02-04")
+    assert(facts.count() === 3)
+    assert(dates.select("date_id").distinct().as[Int].collect().toSet
+      === Set(20240201, 20240203))
+    val r = dates.filter(col("date_id") === 20240203).distinct().collect().head
+    assert(r.getAs[Int]("year") === 2024)
+    assert(r.getAs[Int]("weekday") === 6) // 2024-02-03 is Saturday (ISO)
+  }
+
+  test("anti-join on transaction_id alone blocks partially-loaded multi-product txs") {
+    val batch = tx(
+      (6L, "2024-02-01", 10L, 100L, 1, 10.0),
+      (7L, "2024-02-01", 10L, 100L, 1, 10.0))
+    val existing = Seq(6L).toDF("transaction_id")
+    val (facts, _, _) = TxLoad.load(batch, dimUser, dimProduct, existing, "2024-02-02")
+    assert(facts.select("transaction_id").as[Long].collect().toSeq === Seq(7L))
+  }
+
+  test("stock history inserts only changed values; first observation always records") {
+    val products = Seq((100L, "p", "cat", 10.0, 7), (200L, "q", "cat", 20.0, 3))
+      .toDF("product_id", "name", "category", "price", "stock")
+    val dim = Seq((5L, 100L, 1), (6L, 200L, 1))
+      .toDF("product_sk", "product_id", "current_flag")
+    val existing = Seq((5L, 20240101, 7, "2024-01-01")) // product 100 already at 7
+      .toDF("product_sk", "date_id", "stock", "load_date")
+      .withColumn("load_date", to_date(col("load_date")))
+    val (inserts, warnings) = StockHistory.load(products, dim, existing, "2024-02-01")
+    // 100 unchanged -> skipped; 200 first observation -> recorded
+    assert(inserts.select("product_sk", "stock").as[(Long, Int)].collect().toSeq
+      === Seq((6L, 3)))
+    assert(warnings.count() === 0)
+  }
+
+  test("stock orphan (no current dim row) is warned and skipped") {
+    val products = Seq((300L, "r", "cat", 5.0, 1))
+      .toDF("product_id", "name", "category", "price", "stock")
+    val dim = Seq((9L, 300L, 0)) // only an EXPIRED version exists
+      .toDF("product_sk", "product_id", "current_flag")
+    val empty = Seq.empty[(Long, Int, Int, String)]
+      .toDF("product_sk", "date_id", "stock", "load_date")
+    val (inserts, warnings) = StockHistory.load(products, dim, empty, "2024-02-01")
+    assert(inserts.count() === 0)
+    assert(warnings.select("error_type").as[String].collect().toSeq === Seq("orphan_product"))
+  }
+}
