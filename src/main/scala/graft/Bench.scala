@@ -50,6 +50,9 @@ object Bench {
       catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }
       val dt = (System.nanoTime() - t0) / 1e9
       System.err.println(f"[bench] $name%-24s $dt%8.2f s")
+      // queries that cache intermediates would otherwise pile storage up
+      // across the run — later queries then pay their GC churn
+      spark.catalog.clearCache()
       name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
