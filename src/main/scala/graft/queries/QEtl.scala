@@ -599,14 +599,19 @@ object QEtl {
     // output equals the plain join (bucketing is pure physical layout)
     Qry("q47_bucketed_join",
       (s, dir) => {
-        val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
-        val o = t(s, dir, "orders").select(col("o_orderkey").as("l_orderkey"), col("o_totalprice"))
+        // % 4 slice: the point is proving the bucketed layout's zero-
+        // exchange join, not re-timing a full-table write every bench run
+        val li = t(s, dir, "lineitem").filter(col("l_orderkey") % 4 === 1)
+          .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
+        val o = t(s, dir, "orders").filter(col("o_orderkey") % 4 === 1)
+          .select(col("o_orderkey").as("l_orderkey"), col("o_totalprice"))
         graft.ops.Bucketing.writeBucketed(li, "q47_li", Seq("l_orderkey"), 8)
         graft.ops.Bucketing.writeBucketed(o, "q47_o", Seq("l_orderkey"), 8)
         graft.ops.Bucketing.read(s, "q47_li")
           .join(graft.ops.Bucketing.read(s, "q47_o"), Seq("l_orderkey"))
       },
       Some("""SELECT l.l_orderkey, l.l_partkey, l.l_quantity, o.o_totalprice
-        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey""".stripMargin))
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |WHERE l.l_orderkey % 4 = 1""".stripMargin))
   )
 }

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.vector.VectorOps
 
 /** Embedding similarity: cosine/dot/norm, exact top-k, SRP bucketing, and
@@ -78,6 +79,24 @@ class VectorOpsSpec extends SparkSpec {
     val ivf = VectorOps.ivfSearch(q, vecs, nCentroids = 8, nprobe = 8, k = 4)
       .select("query_id", "neighbor_id", "rank")
     assert(sortedRows(ivf) === sortedRows(exact))
+  }
+
+  test("TopKAgg: typed aggregator equals the window top-k, map-side mergeable") {
+    import graft.vector.TopKAgg
+    val rows = (for {
+      g <- 1L to 5L; i <- 1L to 200L
+    } yield (g, i, math.sin(g * 977 + i * 13).toDouble)).toDS()
+      .repartition(8) // force multi-partition merge path
+    val agg = rows.groupByKey(_._1)
+      .agg(TopKAgg(3).toColumn)
+      .flatMap { case (g, entries) =>
+        entries.zipWithIndex.map { case ((score, id), i) => (g, id, score, i + 1) }
+      }.collect().toSet
+    val w = Window.partitionBy("_1").orderBy(col("_3").desc, col("_2"))
+    val expected = rows.toDF().withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(agg === expected)
   }
 
   test("lshCandidatePairs emits no duplicate pairs and respects the bucket cap") {
