@@ -20,7 +20,7 @@ object Bench {
     // query's logical plan (so Spark's CacheManager cannot leak warm data
     // into a timed run) but touches the same machinery: scan, window,
     // higher-order exprs, hash join, aggregate.
-    {
+    try {
       import org.apache.spark.sql.functions._
       import org.apache.spark.sql.expressions.Window
       val li = spark.read.parquet(s"$sfDir/lineitem.parquet").limit(50000)
@@ -40,6 +40,10 @@ object Bench {
         .write.format("noop").mode("overwrite").save()
       spark.read.parquet(s"$sfDir/documents.parquet").write.format("noop").mode("overwrite").save()
       spark.read.parquet(s"$sfDir/embeddings.parquet").write.format("noop").mode("overwrite").save()
+    } catch {
+      // warmup is best-effort: a missing table must not abort the timed
+      // loop (each query guards itself)
+      case e: Throwable => System.err.println(s"[bench] warmup skipped: $e")
     }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

@@ -52,9 +52,16 @@ object TxLoad {
     val orphanProduct = withBoth.filter(col("pit_user_sk").isNotNull && col("pit_product_sk").isNull)
     val resolved = withBoth.filter(col("pit_user_sk").isNotNull && col("pit_product_sk").isNotNull)
 
-    // J6 — in-batch composite-PK dedup, first wins in extract order
+    // J6 — in-batch composite-PK dedup. The reference's "first" is
+    // insertion order, which parquet does not preserve — so the tiebreak
+    // among PK-duplicate rows that DIFFER (the injected 'duplicate' kind
+    // mutates other columns) must name every remaining column, or the
+    // kept row varies across partitionings (ordering by the PK alone is
+    // a total tie inside its own window partition).
+    val tiebreak = resolved.columns
+      .filterNot(Seq("transaction_id", "pit_product_sk").contains).map(col).toSeq
     val (kept, dups) = Dedup.firstWins(resolved,
-      Seq("transaction_id", "pit_product_sk"), Seq(col("transaction_id")))
+      Seq("transaction_id", "pit_product_sk"), tiebreak)
 
     val facts = kept.select(
       col("transaction_id"),

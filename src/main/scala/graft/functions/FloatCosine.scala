@@ -19,20 +19,26 @@ import org.apache.spark.sql.types._
   * Result parity: accumulates in double over float inputs in index order —
   * the exact association order of the sequential HOF left-fold — so
   * results are bit-identical to the HOF form and to DuckDB's `list_sum`
-  * over `list_transform` (the oracle formulation). Mismatched lengths use
-  * the common prefix; zero-norm inputs yield NaN (same as the HOF form).
+  * over `list_transform` (the oracle formulation). Mismatched lengths
+  * yield NULL (as the HOF form does via zip_with null-padding) — a
+  * malformed vector must surface as a null, not a plausible prefix score.
+  * Zero-norm inputs yield NaN (same as the HOF form).
   */
 case class FloatCosine(left: Expression, right: Expression)
     extends BinaryExpression with ExpectsInputTypes {
 
   override def inputTypes = bridge.floatArrayInputs
   override def dataType: DataType = DoubleType
+  // nullable even over non-null inputs: length mismatch yields NULL (and
+  // codegen assigns ev.isNull, which needs a real variable, not a fold)
+  override def nullable: Boolean = true
   override def prettyName: String = "graft_cosine"
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    if (x.numElements() != y.numElements()) return null
+    val n = x.numElements()
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
@@ -50,14 +56,18 @@ case class FloatCosine(left: Expression, right: Expression)
       val dot = ctx.freshName("dot"); val na = ctx.freshName("na")
       val nb = ctx.freshName("nb")
       s"""
-         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $dot = 0.0, $na = 0.0, $nb = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  final double x = (double) $a.getFloat($i);
-         |  final double y = (double) $b.getFloat($i);
-         |  $dot += x * y; $na += x * x; $nb += y * y;
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  final int $n = $a.numElements();
+         |  double $dot = 0.0, $na = 0.0, $nb = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    final double x = (double) $a.getFloat($i);
+         |    final double y = (double) $b.getFloat($i);
+         |    $dot += x * y; $na += x * x; $nb += y * y;
+         |  }
+         |  ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
          |}
-         |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
        """.stripMargin
     })
 
@@ -67,18 +77,20 @@ case class FloatCosine(left: Expression, right: Expression)
 }
 
 /** Native dot product over two `array<float>` columns — same design notes
-  * as [[FloatCosine]]. */
+  * (and NULL on length mismatch) as [[FloatCosine]]. */
 case class FloatDot(left: Expression, right: Expression)
     extends BinaryExpression with ExpectsInputTypes {
 
   override def inputTypes = bridge.floatArrayInputs
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
   override def prettyName: String = "graft_dot"
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    if (x.numElements() != y.numElements()) return null
+    val n = x.numElements()
     var dot = 0.0
     var i = 0
     while (i < n) { dot += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1 }
@@ -90,12 +102,16 @@ case class FloatDot(left: Expression, right: Expression)
       val n = ctx.freshName("n"); val i = ctx.freshName("i")
       val dot = ctx.freshName("dot")
       s"""
-         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $dot = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $dot += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  final int $n = $a.numElements();
+         |  double $dot = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $dot += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |  }
+         |  ${ev.value} = $dot;
          |}
-         |${ev.value} = $dot;
        """.stripMargin
     })
 

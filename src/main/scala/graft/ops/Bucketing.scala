@@ -23,14 +23,7 @@ object Bucketing {
     // leaves its directory; clear it or saveAsTable refuses the location
     val loc = java.nio.file.Paths.get(
       new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath, table)
-    if (java.nio.file.Files.exists(loc)) {
-      def rm(p: java.nio.file.Path): Unit = {
-        if (java.nio.file.Files.isDirectory(p))
-          java.nio.file.Files.list(p).forEach(rm(_))
-        java.nio.file.Files.delete(p)
-      }
-      rm(loc)
-    }
+    graft.io.Fs.deleteRecursively(loc)
     df.write
       .bucketBy(nBuckets, keys.head, keys.tail: _*)
       .sortBy(keys.head, keys.tail: _*)

@@ -34,8 +34,11 @@ final class EtlRun(spark: SparkSession, warehouse: String) {
     * `col=value/` subdirectories. */
   def table(name: String, schema: StructType): DataFrame = {
     val p = Paths.get(path(name))
-    val hasData = Files.exists(p) &&
-      Files.walk(p).anyMatch(f => f.getFileName.toString.endsWith(".parquet"))
+    val hasData = Files.exists(p) && {
+      val walk = Files.walk(p)
+      try walk.anyMatch(f => f.getFileName.toString.endsWith(".parquet"))
+      finally walk.close()
+    }
     if (hasData) spark.read.schema(schema).parquet(path(name))
     else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
   }
@@ -45,13 +48,7 @@ final class EtlRun(spark: SparkSession, warehouse: String) {
     val staging = path(s"${name}__staging")
     df.write.mode("overwrite").parquet(staging)
     val target = Paths.get(path(name))
-    if (Files.exists(target)) {
-      def rm(p: Path): Unit = {
-        if (Files.isDirectory(p)) Files.list(p).forEach(rm(_))
-        Files.delete(p)
-      }
-      rm(target)
-    }
+    graft.io.Fs.deleteRecursively(target)
     Files.move(Paths.get(staging), target, StandardCopyOption.ATOMIC_MOVE)
     // the session FileStatusCache keeps the pre-swap listing forever
     // (metadataCacheTTLSeconds=-1): without this, a later read of the same

@@ -354,9 +354,14 @@ object QEtl {
         events(s, dir).select("event_id", "user_id", "event_type", "ts"),
         Seq("user_id"), Seq(col("ts"), col("event_id")), col("event_type"))
         .select("event_id", "user_id", "event_type"),
+      // row_number + IS DISTINCT FROM mirrors the library's null semantics
+      // exactly: first row per key always records (even null), later rows
+      // record only on a NULL-SAFE change — `lag IS NULL` would diverge on
+      // consecutive null values (keeps them) and on non-null→null (drops)
       Some("""SELECT event_id, user_id, event_type FROM events
-        |QUALIFY lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
-        |     OR event_type <> lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin)),
+        |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) = 1
+        |     OR event_type IS DISTINCT FROM lag(event_type)
+        |          OVER (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin)),
 
     // A6/O2 — latest value per group (top-1 desc window)
     Qry("q14_last_per_group",

@@ -22,6 +22,18 @@ object QLlm {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** events.parquet is TIMESTAMP(NANOS): readable only as long under
+    * `nanosAsLong` — convert to µs then; pass through when the session
+    * already reads it as a timestamp (type-guarded like QEtl.events). */
+  private def events(s: SparkSession, dir: String): DataFrame = {
+    val raw = t(s, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => raw
+    }
+  }
+
   /** documents/embeddings arrive as ONE small parquet file → one input
     * partition, but the per-row work downstream (shingling, minhash,
     * simhash, cosine — all interpreted higher-order expressions) is CPU
@@ -257,11 +269,15 @@ object QLlm {
           |FROM e""".stripMargin
       })),
 
-    // bucketed ANN candidate pairs with exact cosine over collisions
+    // bucketed ANN candidate pairs with exact cosine over collisions.
+    // maxBucketSize is DISABLED here for oracle parity: the DuckDB SQL
+    // pairs every bucket unconditionally, and the cap (a skew guard, off
+    // by default only in this query) would silently drop a hot bucket's
+    // pairs at a large enough sf and fail the hash compare.
     Qry("q35_ann_lsh_pairs",
       (s, dir) => VectorOps.lshCandidatePairs(
         spread(s, t(s, dir, "embeddings")).select(col("vec_id").as("id"), col("embedding").as("vec")),
-        6, 0.1),
+        6, 0.1, maxBucketSize = Int.MaxValue),
       Some({
         val plane = (p: String, i: String) =>
           s"(('0x' || substr(md5($p || '|' || $i), 1, 12))::BIGINT / 140737488355328.0 - 1.0)"
@@ -319,7 +335,7 @@ object QLlm {
     // tumbling-window aggregation (batch twin of the streaming pipeline)
     Qry("q39_tumbling_window",
       (s, dir) => {
-        val ev = t(s, dir, "events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        val ev = events(s, dir)
         ev.withColumn("cents", round(col("value") * 100, 0).cast("long"))
           .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
           .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"))
@@ -374,7 +390,7 @@ object QLlm {
     // gap-based sessionization (30-min inactivity breaks)
     Qry("q40_sessionize",
       (s, dir) => {
-        val ev = t(s, dir, "events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        val ev = events(s, dir)
         val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
         val run = Window.partitionBy("user_id").orderBy("ts", "event_id")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -19,8 +19,7 @@ object PlanAudit {
     args.tail.foreach { name =>
       val df = graft.SparkEntry.queries(name)(spark, sfDir)
       val plan = df.queryExecution.executedPlan.toString
-      val nShuffle = "Exchange hashpartitioning".r.findAllIn(plan).length +
-        "Exchange rangepartitioning".r.findAllIn(plan).length
+      val nShuffle = graft.ops.Bucketing.shuffleCount(df)
       val nBroadcast = "BroadcastExchange".r.findAllIn(plan).length
       val pushed = "PushedFilters: \\[[^\\]]*\\]".r.findAllIn(plan).toSeq
       println(s"=== $name: shuffles=$nShuffle broadcasts=$nBroadcast")

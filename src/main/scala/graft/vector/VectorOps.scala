@@ -116,8 +116,13 @@ object VectorOps {
     letOnce(d(vec)) { vd =>
       (0 until nPlanes).map { p =>
         val plane = typedlit((0 until maxDims).map(planeConst(p, _)))
+        // try_element_at + md5 fallback: dims ≤ maxDims read the folded
+        // literal (coalesce stops there); wider vectors pay the per-row
+        // md5 only for positions past the literal instead of crashing
+        // (ANSI element_at) or zeroing out (null-poisoned aggregate)
         val proj = aggregate(
-          zip_with(vd, sequence(lit(1), size(vd)), (x, i) => x * element_at(plane, i)),
+          zip_with(vd, sequence(lit(1), size(vd)), (x, i) =>
+            x * coalesce(try_element_at(plane, i), planeComponent(p, i - 1))),
           lit(0.0), (acc, x) => acc + x)
         when(proj > 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
       }.reduce(_ + _)
@@ -136,11 +141,16 @@ object VectorOps {
     * the classic IVF build cost — followed by no shuffle at all until a
     * consumer groups by centroid_id.
     */
-  def ivfAssign(vecs: DataFrame, nCentroids: Int, seed: Int = 7): DataFrame = {
-    val cents = vecs
-      .withColumn("__r", md5(concat(lit(s"$seed|"), col("id").cast("string"))))
+  /** The sampled codebook both [[ivfAssign]] and [[ivfSearch]] must share
+    * — a drifted copy would probe a different codebook than assignment
+    * used and silently collapse recall. */
+  private def ivfCentroids(vecs: DataFrame, nCentroids: Int, seed: Int): DataFrame =
+    vecs.withColumn("__r", md5(concat(lit(s"$seed|"), col("id").cast("string"))))
       .orderBy("__r", "id").limit(nCentroids)
       .select(col("id").as("centroid_id"), col("vec").as("cvec"))
+
+  def ivfAssign(vecs: DataFrame, nCentroids: Int, seed: Int = 7): DataFrame = {
+    val cents = ivfCentroids(vecs, nCentroids, seed)
     val w = Window.partitionBy("id").orderBy(col("__cos").desc, col("centroid_id"))
     vecs.join(broadcast(cents))
       .withColumn("__cos", cosine(col("vec"), col("cvec")))
@@ -157,10 +167,7 @@ object VectorOps {
   def ivfSearch(queries: DataFrame, corpus: DataFrame, nCentroids: Int,
                 nprobe: Int, k: Int, seed: Int = 7): DataFrame = {
     val assigned = ivfAssign(corpus, nCentroids, seed)
-    val cents = corpus
-      .withColumn("__r", md5(concat(lit(s"$seed|"), col("id").cast("string"))))
-      .orderBy("__r", "id").limit(nCentroids)
-      .select(col("id").as("centroid_id"), col("vec").as("cvec"))
+    val cents = ivfCentroids(corpus, nCentroids, seed)
     val probeW = Window.partitionBy("query_id").orderBy(col("__cos").desc, col("centroid_id"))
     val probes = queries.select(col("id").as("query_id"), col("vec").as("qv"))
       .join(broadcast(cents))

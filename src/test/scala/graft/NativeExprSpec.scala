@@ -33,6 +33,15 @@ class NativeExprSpec extends SparkSpec {
     assert(known === 32.0)
   }
 
+  test("length-mismatched arrays yield null, not a prefix score") {
+    val df = Seq((Seq(1.0f, 2.0f, 3.0f), Seq(1.0f, 2.0f))).toDF("a", "b")
+      .repartition(1) // exercise the codegen path, not just interpreted eval
+      .select(GraftFunctions.cosineF(col("a"), col("b")).as("c"),
+        GraftFunctions.dotF(col("a"), col("b")).as("d"))
+    val r = df.collect().head
+    assert(r.isNullAt(0) && r.isNullAt(1))
+  }
+
   test("self-cosine is 1.0 within 1 ulp; null inputs yield null") {
     val out = vecs.select(GraftFunctions.cosineF(col("a"), col("a")).as("c"))
     assert(out.filter(abs(col("c") - 1.0) > 1e-15).count() === 0)
