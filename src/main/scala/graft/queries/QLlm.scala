@@ -130,10 +130,13 @@ object QLlm {
           .select(col("doc_id"), TextOps.shingles(TextOps.tokens(col("text")), 3).as("sh"))
           .filter(size(col("sh")) > 0)
           .cache()
-        val base = docs.select(col("doc_id"), TextOps.minhashBase(col("sh")).as("hs")).cache()
-        val banded = base.select(col("doc_id"),
-          TextOps.lshBands(TextOps.minhashFromBase(col("hs"), 16), 8, 2).as("bands"))
-        val keys = banded.select(col("doc_id"), explode(col("bands")).as("band_key"))
+        // bands derive from the cached shingles in one narrow expression —
+        // letOnce makes the 16-way minhash evaluate once per row, so a
+        // second cache materialization costs more than recomputing the
+        // (integer-only) band pipeline on the self-join's two branches
+        val keys = docs.select(col("doc_id"), explode(
+          TextOps.lshBands(TextOps.minhashFromBase(
+            TextOps.minhashBase(col("sh")), 16), 8, 2)).as("band_key"))
         val cand = keys.select(col("band_key"), col("doc_id").as("id_a"))
           .join(keys.select(col("band_key"), col("doc_id").as("id_b")), Seq("band_key"))
           .filter(col("id_a") < col("id_b"))
