@@ -113,6 +113,25 @@ object StreamPipelines {
     * timeouts IF the watermark advanced past them; otherwise callers union
     * the batch tail. Kept explicit so the semantics are visible. */
 
+  /** Streaming duplicate suppression: first occurrence per id passes,
+    * re-deliveries within the watermark horizon are dropped — the
+    * streaming counterpart of the batch anti-join + first-wins pair, and
+    * the stateful layer that [[validateTransactions]]'s contract defers
+    * duplicate handling to. State holds one entry per id seen inside the
+    * watermark window; older state is evicted, so memory is bounded by
+    * (arrival rate × watermark), not stream length. Exactly-once ids are
+    * only guaranteed within the horizon — replays farther apart than the
+    * watermark are the downstream idempotent anti-join's job (same
+    * layering as the reference: PK constraint at insert, set-probe before).
+    */
+  def dedupeStream(df: DataFrame, idCols: Seq[String], tsCol: String,
+                   watermark: String = "2 hours"): DataFrame =
+    df.withWatermark(tsCol, watermark)
+      // dedup on the id ALONE (re-deliveries carry new timestamps) while
+      // still evicting state at the watermark — plain dropDuplicates(id)
+      // would keep state forever
+      .dropDuplicatesWithinWatermark(idCols.toArray)
+
   /** The data contract applied to a TRANSACTION STREAM: stream-static
     * broadcast joins resolve user/product existence and expected price,
     * then the one-pass rule engine annotates each row — every rule is a

@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import graft.text.TextOps
+
+/** ScalaCheck-generated properties evaluated THROUGH Spark: sample random
+  * inputs from Gen, batch them into ONE DataFrame pass, and compare the
+  * Column-expression results against a plain-Scala model (per-case forAll
+  * would spin up a Spark job per example — batching keeps the suite fast).
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val word: Gen[String] =
+    Gen.listOfN(3, Gen.alphaLowerChar).map(_.mkString)
+  private val wordSet: Gen[Set[String]] = Gen.containerOf[Set, String](word)
+
+  test("property: jaccard matches the set model, symmetric, bounded") {
+    // collect generated cases first, evaluate them in ONE Spark pass
+    val cases = Gen.listOfN(120, Gen.zip(wordSet, wordSet)).sample.get
+    val df = cases.map { case (a, b) => (a.toSeq, b.toSeq) }.toDF("a", "b")
+      .select(TextOps.jaccard(col("a"), col("b")).as("ab"),
+        TextOps.jaccard(col("b"), col("a")).as("ba"))
+    val got = df.as[(Double, Double)].collect()
+    cases.zip(got).foreach { case ((a, b), (ab, ba)) =>
+      val union = (a ++ b).size
+      val model = if (union == 0) 0.0 else (a & b).size.toDouble / union
+      assert(ab === model, s"jaccard($a, $b)")
+      assert(ab === ba, "symmetry")
+      assert(ab >= 0.0 && ab <= 1.0, "bounds")
+      if (a == b && a.nonEmpty) assert(ab === 1.0, "identity")
+    }
+  }
+
+  test("property: shingles are always |tokens|-n+1 contiguous n-grams") {
+    val doc: Gen[List[String]] = Gen.listOf(word)
+    val cases = Gen.listOfN(100, doc).sample.get
+    val df = cases.map(ws => Tuple1(ws.mkString(" "))).toDF("text")
+      .select(TextOps.shingles(TextOps.tokens(col("text")), 3).as("sh"))
+    val got = df.as[Seq[String]].collect()
+    cases.zip(got).foreach { case (ws, sh) =>
+      // normText collapses whitespace, so empty docs tokenize to [""]
+      val toks = ws.mkString(" ").trim.split("\\s+").filter(_.nonEmpty).toSeq
+      if (toks.size < 3) assert(sh.isEmpty)
+      else {
+        assert(sh.size === toks.size - 2)
+        assert(sh === toks.sliding(3).map(_.mkString(" ")).toSeq)
+      }
+    }
+  }
+
+  test("property: minhash signature agreement grows with shingle overlap") {
+    // structural property over random docs: sig(A)=sig(A), and for A⊂B
+    // with high overlap, agreement(A,B) >= agreement(A,C) for disjoint C
+    // on average — checked as an aggregate over the generated corpus
+    val base = Gen.listOfN(30, word).sample.get
+    val overlapping = base.take(25) ++ Gen.listOfN(5, word).sample.get
+    val disjoint = Gen.listOfN(30, word.map(_ + "zq")).sample.get
+    val df = Seq(base, overlapping, disjoint)
+      .map(ws => Tuple1(ws.mkString(" "))).toDF("text")
+      .select(TextOps.minhashFromBase(TextOps.minhashBase(
+        TextOps.shingles(TextOps.tokens(col("text")), 2)), 32).as("sig"))
+    val sigs = df.as[Seq[Long]].collect()
+    def agree(a: Seq[Long], b: Seq[Long]) = a.zip(b).count { case (x, y) => x == y }
+    assert(agree(sigs(0), sigs(0)) === 32)
+    assert(agree(sigs(0), sigs(1)) > agree(sigs(0), sigs(2)))
+  }
+
+  test("property: hamming(simhash) is a metric-ish distance (zero iff same tokens)") {
+    val cases = Gen.listOfN(40, Gen.zip(wordSet, wordSet)).sample.get
+      .filter { case (a, b) => a.nonEmpty && b.nonEmpty }
+    val df = cases.map { case (a, b) => (a.toSeq.sorted.mkString(" "), b.toSeq.sorted.mkString(" ")) }
+      .toDF("ta", "tb")
+      .select(TextOps.simhash(TextOps.tokens(col("ta")), 32).as("ha"),
+        TextOps.simhash(TextOps.tokens(col("tb")), 32).as("hb"))
+    val got = df.as[(Long, Long)].collect()
+    cases.zip(got).foreach { case ((a, b), (ha, hb)) =>
+      if (a == b) assert(ha === hb, s"same token set must hash equal: $a")
+      assert(java.lang.Long.bitCount(ha ^ hb) <= 32)
+    }
+  }
+}

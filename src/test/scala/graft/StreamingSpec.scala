@@ -78,6 +78,29 @@ class StreamingSpec extends SparkSpec {
     assert(spark.table("tx_errors").select("severity").distinct().count() === 2)
   }
 
+  test("dedupeStream drops re-delivered ids within the watermark") {
+    val dir = Files.createTempDirectory("graft_stream_dup").toString
+    // events with every 3rd id re-delivered 10 minutes later
+    val base = spark.read.parquet(eventsDir).limit(600)
+      .select("event_id", "ts", "user_id")
+    base.unionByName(base.filter(col("event_id") % 3 === 0)
+        .withColumn("ts", col("ts") + expr("INTERVAL 10 MINUTES")))
+      .write.mode("overwrite").parquet(dir)
+
+    val stream = spark.readStream
+      .schema("event_id LONG, ts TIMESTAMP, user_id LONG").parquet(dir)
+    val out = Files.createTempDirectory("graft_dup_out").toString
+    val q = StreamPipelines.dedupeStream(stream, Seq("event_id"), "ts")
+      .writeStream.format("memory").queryName("deduped")
+      .outputMode("append").trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$out/ckpt").start()
+    q.awaitTermination(120000)
+
+    val got = spark.table("deduped")
+    assert(got.count() === 600) // every id exactly once
+    assert(got.groupBy("event_id").count().filter(col("count") > 1).count() === 0)
+  }
+
   test("streaming sessionization matches batch q40 for emitted sessions") {
     val out = Files.createTempDirectory("graft_sess_out").toString
     implicit val s = spark
