@@ -1,6 +1,7 @@
 package graft.io
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
 
 /** Parquet table access over the driver testdata layout (`<dir>/<name>.parquet`).
   *
@@ -17,6 +18,29 @@ object Tables {
 
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
+
+  /** OLTP ingest from CSV with the contract philosophy: malformed lines
+    * are NOT dropped or fatal — they land with nulls plus the raw line in
+    * `_corrupt_record`, so the validation layer decides their fate and the
+    * error log can quote the offending input (the reference's equivalent
+    * is SQLite's dynamic typing letting bad text arrive for the validator,
+    * SURVEY §1.5). */
+  def readCsv(spark: SparkSession, path: String, schema: StructType,
+              header: Boolean = true): DataFrame =
+    spark.read
+      .schema(schema.add(StructField("_corrupt_record", StringType)))
+      .option("header", header.toString)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .csv(path)
+
+  /** Same contract for JSON-lines input. */
+  def readJsonl(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read
+      .schema(schema.add(StructField("_corrupt_record", StringType)))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(path)
 
   def lineitem(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "orders")
