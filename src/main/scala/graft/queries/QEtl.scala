@@ -617,6 +617,37 @@ object QEtl {
       },
       Some("""SELECT l.l_orderkey, l.l_partkey, l.l_quantity, o.o_totalprice
         |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
-        |WHERE l.l_orderkey % 4 = 1""".stripMargin))
+        |WHERE l.l_orderkey % 4 = 1""".stripMargin)),
+
+    // TPC-H Q3-shaped 3-way join + agg + top-k: the classic analytics plan
+    // (selective dim filter -> broadcast, fact join, grouped agg in exact
+    // cents, deterministic global top-10)
+    Qry("q48_shipping_priority",
+      (s, dir) => {
+        val cust = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+          .select(col("c_custkey"))
+        val ord = t(s, dir, "orders").filter(ymd(col("o_orderdate")) < "1995-03-15")
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+        val li = t(s, dir, "lineitem").filter(ymd(col("l_shipdate")) > "1995-03-15")
+          .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+        li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+          .withColumn("rev_cents",
+            round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100, 0).cast("long"))
+          .groupBy(col("l_orderkey"), ymd(col("o_orderdate")).as("o_orderdate"))
+          .agg(sum("rev_cents").as("revenue_cents"))
+          .orderBy(desc("revenue_cents"), col("l_orderkey")).limit(10)
+      },
+      Some("""SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+        |  CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS BIGINT)
+        |    AS revenue_cents
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND strftime(o_orderdate, '%Y-%m-%d') < '1995-03-15'
+        |  AND strftime(l_shipdate, '%Y-%m-%d') > '1995-03-15'
+        |GROUP BY l_orderkey, o_orderdate
+        |ORDER BY revenue_cents DESC, l_orderkey LIMIT 10""".stripMargin))
   )
 }

@@ -184,6 +184,35 @@ object VectorOps {
       .filter(col("rank") <= k)
   }
 
+  /** Lloyd refinement over an [[ivfAssign]] output: per cluster, the new
+    * centroid is the element-wise mean of its members; vectors re-assign
+    * to the nearest refined centroid each iteration. Kept OUT of the
+    * oracle-checked surface on purpose — iterative float averaging is
+    * shuffle-order-dependent across engines — but within one engine it
+    * tightens clusters (spec asserts mean intra-cluster cosine does not
+    * decrease). Cost per iteration: one posexplode aggregate (linear in
+    * rows × dims, map-side partials) + one broadcast re-assignment pass.
+    */
+  def ivfRefine(assigned: DataFrame, iters: Int = 1): DataFrame = {
+    var cur = assigned // (id, vec, centroid_id)
+    (0 until iters).foreach { _ =>
+      val cents = cur
+        .select(col("centroid_id"), posexplode(d(col("vec"))).as(Seq("pos", "x")))
+        .groupBy("centroid_id", "pos").agg(avg("x").as("m"))
+        .groupBy("centroid_id")
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("centroid_id"),
+          transform(col("pm"), e => e.getField("m").cast("float")).as("cvec"))
+      val w = Window.partitionBy("id").orderBy(col("__cos").desc, col("centroid_id"))
+      cur = cur.select("id", "vec").join(broadcast(cents))
+        .withColumn("__cos", cosine(col("vec"), col("cvec")))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("id"), col("vec"), col("centroid_id"))
+    }
+    cur
+  }
+
   /** Bucketed ANN: exact cosine evaluated only on bucket-colliding pairs.
     * Returns candidate pairs (id_a < id_b) with their cosine — the
     * IVF/LSH-style recall-for-throughput trade, with the pair join

@@ -70,6 +70,26 @@ class VectorOpsSpec extends SparkSpec {
     assert(sortedRows(a1.select("id", "centroid_id")) === sortedRows(a2.select("id", "centroid_id")))
   }
 
+  test("ivfRefine does not worsen mean intra-cluster cosine") {
+    // two planted clusters + noise: refinement should tighten assignment
+    val vecs = (1L to 120L).map { i =>
+      val base = if (i % 2 == 0) Array(1.0f, 0.2f, 0.0f, 0.1f) else Array(0.0f, 0.9f, 0.3f, 0.0f)
+      (i, base.zipWithIndex.map { case (v, j) => v + 0.05f * math.sin(i * 7 + j).toFloat }.toSeq)
+    }.toDF("id", "vec")
+    def meanIntra(a: org.apache.spark.sql.DataFrame): Double = {
+      val cents = a.groupBy("centroid_id").agg(first("vec").as("ref"))
+      a.join(cents, Seq("centroid_id"))
+        .select(VectorOps.cosine(col("vec"), col("ref")).as("c"))
+        .agg(avg("c")).first().getDouble(0)
+    }
+    val a0 = VectorOps.ivfAssign(vecs, nCentroids = 4)
+    val a1 = VectorOps.ivfRefine(a0, iters = 2)
+    assert(a1.count() === 120)
+    assert(a1.select("id").distinct().count() === 120)
+    // compactness proxy must not regress (allow float slack)
+    assert(meanIntra(a1) >= meanIntra(a0) - 1e-6)
+  }
+
   test("ivfSearch with nprobe = nCentroids recovers the exact brute-force top-k") {
     val vecs = (1L to 60L).map(i => (i, Seq.tabulate(8)(j =>
       math.cos(i * 2.3 + j * 0.7).toFloat))).toDF("id", "vec")
