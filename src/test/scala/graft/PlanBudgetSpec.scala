@@ -1,0 +1,52 @@
+package graft
+
+import graft.ops.Bucketing
+
+/** Shuffle-budget regression guards: the plan shapes PERF.md promises,
+  * asserted so an accidental re-introduction of a global window / lost
+  * broadcast / un-pushed filter fails the suite, not just the benchmark.
+  * Budgets are ceilings on the INITIAL plan (AQE can only improve them).
+  */
+class PlanBudgetSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def shuffles(q: String): Int =
+    Bucketing.shuffleCount(SparkEntry.queries(q)(spark, sfDir))
+
+  private def planOf(q: String): String =
+    SparkEntry.queries(q)(spark, sfDir).queryExecution.executedPlan.toString
+
+  test("projected scans shuffle nothing and push their filters") {
+    assert(shuffles("q01_scan_project") === 0)
+    assert(planOf("q01_scan_project").contains("PushedFilters: [IsNotNull(c_acctbal)"))
+    assert(shuffles("q02_daily_scan") === 0)
+  }
+
+  test("pitLookup: the only exchange is the dim-side collapse (never the fact)") {
+    assert(shuffles("q07_pit_lookup") <= 1)
+    assert(planOf("q07_pit_lookup").contains("BroadcastExchange"))
+  }
+
+  test("contract validation is a pure narrow pipeline") {
+    assert(shuffles("q03_validate_contract") === 0)
+    assert(shuffles("q04_date_parse_multi") === 0)
+  }
+
+  test("flagship fact load stays within its two fact-side shuffles (plus dim prep)") {
+    assert(shuffles("q19_fact_tx_load") <= 5)
+  }
+
+  test("pricing summary is one aggregate exchange plus the presentation sort") {
+    assert(shuffles("q25_pricing_summary") <= 2)
+  }
+
+  test("per-row LLM operators shuffle only their spread() fan-out") {
+    // repartition is one round-robin exchange; everything after is narrow
+    Seq("q27_text_quality", "q30_simhash", "q31_lang_id", "q32_fingerprint",
+      "q34_srp_buckets", "q36_embedding_norms", "q38_multimodal_meta",
+      "q44_token_counts").foreach { q =>
+      assert(shuffles(q) <= 1, s"$q grew a shuffle")
+    }
+  }
+}
