@@ -75,11 +75,11 @@ final case class Scd2(naturalKey: Seq[String], tracked: Seq[String], skName: Str
     val unchanged = joined
       .filter(naturalKey.map(k => col(k).isNotNull).reduce(_ && _))
       .filter(naturalKey.map(k => col(s"in_$k").isNull).reduce(_ && _) || !changed)
-      .select(cur.columns.map(col): _*)
+      .select(cur.columns.map(col).toSeq: _*)
 
     // 2. expired versions of changed members
     val expired = matched.filter(changed)
-      .select(cur.columns.map(col): _*)
+      .select(cur.columns.map(col).toSeq: _*)
       .withColumn("end_date", date_sub(run, 1))
       .withColumn("current_flag", lit(0))
 
@@ -128,7 +128,7 @@ final case class Scd2(naturalKey: Seq[String], tracked: Seq[String], skName: Str
       .repartitionByRange(naturalKey.map(col): _*)
       .sortWithinPartitions(naturalKey.map(col): _*)
     val schema = StructType(StructField(skName, LongType, nullable = false) +: base.schema.fields)
-    val numbered = base.rdd.zipWithIndex.map { case (r, i) => Row.fromSeq((i + 1L) +: r.toSeq) }
+    val numbered = base.rdd.zipWithIndex().map { case (r, i) => Row.fromSeq((i + 1L) +: r.toSeq) }
     spark.createDataFrame(numbered, schema)
       .withColumn("end_date", lit(null).cast("date"))
       .withColumn("current_flag", lit(1))

@@ -63,7 +63,7 @@ object AsOfJoin {
     val pick = try_element_at(matched, lit(-1))
     fact.join(broadcast(versions), factKey === col("pit_key"), "left_outer")
       .withColumn("pit_hit", pick)
-      .select(fact.columns.map(col) ++
+      .select(fact.columns.map(col).toSeq ++
         attrCols.map(c => col("pit_hit").getField(c).as(s"pit_$c")): _*)
   }
 
@@ -88,11 +88,11 @@ object AsOfJoin {
     )
     val l2 = left.select(
       col(key).as("asof_key"), col(leftTime).as("asof_ts"), lit(1).as("asof_side"),
-      struct(left.columns.map(col): _*).as("asof_left"),
+      struct(left.columns.map(col).toSeq: _*).as("asof_left"),
       lit(null).cast(rightTagged.schema("asof_vals").dataType).as("asof_vals")
     )
     val r2 = rightTagged.withColumn("asof_left",
-      lit(null).cast(l2.schema("asof_left").dataType)).select(l2.columns.map(col): _*)
+      lit(null).cast(l2.schema("asof_left").dataType)).select(l2.columns.map(col).toSeq: _*)
     val w = Window.partitionBy("asof_key")
       .orderBy(col("asof_ts"), col("asof_side"), col("asof_vals"))
       .rowsBetween(Window.unboundedPreceding, 0)
@@ -101,6 +101,6 @@ object AsOfJoin {
       .filter(col("asof_side") === 1)
     val leftCols = left.columns.map(c => col(s"asof_left.$c").as(c))
     val valCols = valueCols.map(c => col(s"asof_match.$c").as(s"asof_$c"))
-    matched.select(leftCols ++ valCols: _*)
+    matched.select((leftCols ++ valCols).toSeq: _*)
   }
 }

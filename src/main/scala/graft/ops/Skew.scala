@@ -31,7 +31,7 @@ object Skew {
     // deterministic salt: hash of all big-side columns mod buckets spreads
     // rows of one hot key across buckets without an RNG (reproducible runs)
     val salted = big.withColumn("__salt",
-      pmod(hash(big.columns.map(col): _*), lit(buckets)))
+      pmod(hash(big.columns.map(col).toSeq: _*), lit(buckets)))
     val replicated = small.withColumn("__salt",
       explode(sequence(lit(0), lit(buckets - 1))))
     salted.join(replicated, keys :+ "__salt", joinType).drop("__salt")
@@ -50,7 +50,7 @@ object Skew {
       .withColumn("__hot", lit(true))
     val tagged = big.join(broadcast(hot), keys, "left_outer")
       .withColumn("__salt",
-        when(col("__hot"), pmod(hash(big.columns.map(col): _*), lit(buckets)))
+        when(col("__hot"), pmod(hash(big.columns.map(col).toSeq: _*), lit(buckets)))
           .otherwise(lit(0)))
       .drop("__hot")
     val smallTagged = small.join(broadcast(hot), keys, "left_outer")

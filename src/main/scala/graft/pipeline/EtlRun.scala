@@ -135,14 +135,14 @@ final class EtlRun(spark: SparkSession, warehouse: String) {
         validUsers.withColumn("join_date", to_date(col("join_date"))),
         today, col("join_date")).cache()
       val userInserted = nextUserDim.count() - curUserDim.count()
-      overwrite(nextUserDim.select(Schemas.dimUser.fieldNames.map(col): _*), "dim_user")
+      overwrite(nextUserDim.select(Schemas.dimUser.fieldNames.map(col).toSeq: _*), "dim_user")
 
       val productDimSpec = Scd2(Seq("product_id"), Seq("name", "category", "price"), "product_sk")
       val curProductDim = table("dim_product", Schemas.dimProduct)
       val nextProductDim = productDimSpec.merge(curProductDim,
         validProducts.drop("stock"), today, to_date(lit(today))).cache()
       val productInserted = nextProductDim.count() - curProductDim.count()
-      overwrite(nextProductDim.select(Schemas.dimProduct.fieldNames.map(col): _*), "dim_product")
+      overwrite(nextProductDim.select(Schemas.dimProduct.fieldNames.map(col).toSeq: _*), "dim_product")
 
       val dimUserNow = table("dim_user", Schemas.dimUser)
       val dimProductNow = table("dim_product", Schemas.dimProduct)
@@ -169,14 +169,14 @@ final class EtlRun(spark: SparkSession, warehouse: String) {
         spark.range(1).select(to_date(lit(today)).as("d")), col("d"))
       val newDates = dateRows.unionByName(todayRow)
         .join(curDates.select("date_id"), Seq("date_id"), "left_anti").distinct()
-      append(newDates.select(Schemas.dimDate.fieldNames.map(col): _*), "dim_date")
+      append(newDates.select(Schemas.dimDate.fieldNames.map(col).toSeq: _*), "dim_date")
 
       // ---- AUDIT (S9/S10)
       val loadWarnings = Audit.errorLog(stockWarnings.unionByName(txWarnings), runId)
       val allErrors = validationErrors.unionByName(loadWarnings).cache()
       nErrors = allErrors.filter(col("severity") === "error").count()
       nWarnings = allErrors.filter(col("severity") === "warning").count()
-      append(allErrors.select(Schemas.etlErrorLog.fieldNames.map(col): _*), "etl_error_log")
+      append(allErrors.select(Schemas.etlErrorLog.fieldNames.map(col).toSeq: _*), "etl_error_log")
 
       counts = Map(
         "dim_user_inserted" -> userInserted,
@@ -187,7 +187,7 @@ final class EtlRun(spark: SparkSession, warehouse: String) {
     } finally {
       val runRow = Audit.runRow(spark, runId, today, today, status,
         startedAt, System.currentTimeMillis(), counts, nErrors, nWarnings)
-      append(runRow.select(Schemas.etlRunLog.fieldNames.map(col): _*), "etl_run_log")
+      append(runRow.select(Schemas.etlRunLog.fieldNames.map(col).toSeq: _*), "etl_run_log")
     }
 
     table("etl_run_log", Schemas.etlRunLog).filter(col("run_id") === runId)
