@@ -648,6 +648,44 @@ object QEtl {
         |  AND strftime(o_orderdate, '%Y-%m-%d') < '1995-03-15'
         |  AND strftime(l_shipdate, '%Y-%m-%d') > '1995-03-15'
         |GROUP BY l_orderkey, o_orderdate
-        |ORDER BY revenue_cents DESC, l_orderkey LIMIT 10""".stripMargin))
+        |ORDER BY revenue_cents DESC, l_orderkey LIMIT 10""".stripMargin)),
+
+    // TPC-H Q18-shaped HAVING filter: aggregate -> threshold -> semi-join
+    // back to detail (the "large orders" pattern; agg side is key-sized so
+    // AQE broadcasts it into the detail join)
+    Qry("q49_large_orders",
+      (s, dir) => {
+        val big = t(s, dir, "lineitem")
+          .groupBy("l_orderkey")
+          .agg(sum(col("l_quantity").cast("long")).as("total_qty"))
+          .filter(col("total_qty") >= 150)
+        t(s, dir, "orders")
+          .join(big, col("o_orderkey") === col("l_orderkey"))
+          .select(col("o_orderkey"), col("o_custkey"),
+            ymd(col("o_orderdate")).as("o_orderdate"), col("total_qty"))
+      },
+      Some("""SELECT o_orderkey, o_custkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+        |  CAST(total_qty AS BIGINT) AS total_qty
+        |FROM orders JOIN (
+        |  SELECT l_orderkey, sum(CAST(l_quantity AS BIGINT)) AS total_qty
+        |  FROM lineitem GROUP BY l_orderkey HAVING total_qty >= 150
+        |) ON o_orderkey = l_orderkey""".stripMargin)),
+
+    // calendar-dimension rollup: facts joined through dim_date derivation
+    // (year/week grain), exact-cents measures — the star-schema read path
+    Qry("q50_weekly_sales",
+      (s, dir) => t(s, dir, "orders")
+        .select(col("o_orderdate"), col("o_totalprice"))
+        .withColumn("iso_year", expr("extract(YEAROFWEEK FROM o_orderdate)").cast("int"))
+        .withColumn("iso_week", weekofyear(col("o_orderdate")))
+        .groupBy("iso_year", "iso_week")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(round(col("o_totalprice") * 100, 0).cast("long")).as("cents"))
+        .orderBy("iso_year", "iso_week"),
+      Some("""SELECT CAST(isoyear(o_orderdate) AS INT) AS iso_year,
+        |  CAST(weekofyear(o_orderdate) AS INT) AS iso_week,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
   )
 }
