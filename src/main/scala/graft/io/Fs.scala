@@ -12,4 +12,21 @@ object Fs {
     }
     Files.delete(p)
   }
+
+  /** Move every data file under `src` into `dst`, preserving relative
+    * partition subdirectories (`col=value/...`) and merging with whatever
+    * `dst` already holds. Spark part-file names carry task UUIDs, so moves
+    * never collide with existing files. Used to make appends all-or-
+    * nothing: the stage writes to a staging dir first and only a fully
+    * successful job's files are promoted. */
+  def promoteInto(src: Path, dst: Path): Unit = {
+    Files.createDirectories(dst)
+    val ls = Files.list(src)
+    try ls.forEach { entry =>
+      val name = entry.getFileName.toString
+      if (Files.isDirectory(entry)) promoteInto(entry, dst.resolve(name))
+      else if (name.endsWith(".parquet")) // skip _SUCCESS / .crc markers
+        Files.move(entry, dst.resolve(name))
+    } finally ls.close()
+  }
 }

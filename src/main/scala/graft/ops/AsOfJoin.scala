@@ -49,10 +49,16 @@ object AsOfJoin {
     // one row per key: versions sorted by start_date ascending (struct sort
     // compares start_date first), so element_at(filtered, -1) is the
     // latest valid version
+    // tie-break: on equal start_date the OPEN version (end_date null) must
+    // win, but null sorts first in a struct sort — sort on
+    // coalesce(end_date, 9999-12-31) so the current version lands last and
+    // element_at(-1) picks it
     val versions = dim
       .groupBy(col(dimKey).as("pit_key"))
       .agg(sort_array(collect_list(struct(
-        (col("start_date") +: col("end_date") +: attrCols.map(col)): _*
+        (col("start_date") +:
+          coalesce(col("end_date"), to_date(lit("9999-12-31"))).as("__end_sort") +:
+          col("end_date") +: attrCols.map(col)): _*
       ))).as("pit_versions"))
     val matched = filter(col("pit_versions"), v =>
       v.getField("start_date") <= to_date(factDate) &&

@@ -17,13 +17,18 @@ object Bucketing {
   /** Write `df` as a bucketed (+ sorted) table, replacing any previous one. */
   def writeBucketed(df: DataFrame, table: String, keys: Seq[String],
                     nBuckets: Int): Unit = {
+    require(!table.contains("."),
+      s"writeBucketed takes an unqualified table name, got '$table'")
     val spark = df.sparkSession
     spark.sql(s"DROP TABLE IF EXISTS $table")
     // with the in-memory catalog a crashed session forgets the table but
-    // leaves its directory; clear it or saveAsTable refuses the location
-    val loc = java.nio.file.Paths.get(
-      new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath, table)
-    graft.io.Fs.deleteRecursively(loc)
+    // leaves its directory; clear it or saveAsTable refuses the location.
+    // Resolve the location through the catalog (not hand-parsed warehouse
+    // conf) and delete via the Hadoop FS of whatever scheme it carries.
+    val loc = new org.apache.hadoop.fs.Path(
+      org.apache.spark.sql.graft.bridge.defaultTablePath(spark, table))
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(loc, true)
     df.write
       .bucketBy(nBuckets, keys.head, keys.tail: _*)
       .sortBy(keys.head, keys.tail: _*)

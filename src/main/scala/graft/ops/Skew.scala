@@ -28,10 +28,15 @@ object Skew {
     */
   def saltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
                  buckets: Int, joinType: String = "inner"): DataFrame = {
-    // deterministic salt: hash of all big-side columns mod buckets spreads
-    // rows of one hot key across buckets without an RNG (reproducible runs)
+    // salt = hash(all columns, row id): the row id disambiguates fully
+    // identical duplicate rows of a hot key (the common fact-load skew),
+    // which a pure content hash would pile into ONE salt bucket. The salt
+    // value never affects join results (the small side carries every salt),
+    // only the shuffle distribution, so the id's run-to-run instability is
+    // harmless.
     val salted = big.withColumn("__salt",
-      pmod(hash(big.columns.map(col).toSeq: _*), lit(buckets)))
+      pmod(hash((big.columns.map(col) :+ monotonically_increasing_id()).toSeq: _*),
+        lit(buckets)))
     val replicated = small.withColumn("__salt",
       explode(sequence(lit(0), lit(buckets - 1))))
     salted.join(replicated, keys :+ "__salt", joinType).drop("__salt")
@@ -50,7 +55,9 @@ object Skew {
       .withColumn("__hot", lit(true))
     val tagged = big.join(broadcast(hot), keys, "left_outer")
       .withColumn("__salt",
-        when(col("__hot"), pmod(hash(big.columns.map(col).toSeq: _*), lit(buckets)))
+        when(col("__hot"),
+          pmod(hash((big.columns.map(col) :+ monotonically_increasing_id()).toSeq: _*),
+            lit(buckets)))
           .otherwise(lit(0)))
       .drop("__hot")
     val smallTagged = small.join(broadcast(hot), keys, "left_outer")

@@ -540,10 +540,13 @@ object QEtl {
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
         |  ROWS UNBOUNDED PRECEDING)""".stripMargin)),
 
-    // TPC-H Q1-shaped grouped aggregate with exact integer arithmetic
+    // TPC-H Q1-shaped grouped aggregate with exact integer arithmetic.
+    // Native DateType compare (not a date_format string compare) so the
+    // predicate reaches the parquet scan and row-group stats prune — at
+    // 100 TB the string form is a full-table scan (VERDICT r2 #2).
     Qry("q25_pricing_summary",
       (s, dir) => t(s, dir, "lineitem")
-        .filter(ymd(col("l_shipdate")) <= "1998-09-02")
+        .filter(col("l_shipdate") <= to_date(lit("1998-09-02")))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(sum(col("l_quantity").cast("long")).as("sum_qty"),
           sum(round(col("l_extendedprice") * 100, 0).cast("long")).as("sum_base_cents"),
@@ -626,9 +629,12 @@ object QEtl {
       (s, dir) => {
         val cust = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
           .select(col("c_custkey"))
-        val ord = t(s, dir, "orders").filter(ymd(col("o_orderdate")) < "1995-03-15")
+        // native DateType compares: pushed to the scan (PushedFilters shows
+        // LessThan/GreaterThan on the date column), unlike the date_format
+        // string form which defeats row-group pruning
+        val ord = t(s, dir, "orders").filter(col("o_orderdate") < to_date(lit("1995-03-15")))
           .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
-        val li = t(s, dir, "lineitem").filter(ymd(col("l_shipdate")) > "1995-03-15")
+        val li = t(s, dir, "lineitem").filter(col("l_shipdate") > to_date(lit("1995-03-15")))
           .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
         li.join(ord, col("l_orderkey") === col("o_orderkey"))
           .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
@@ -686,6 +692,213 @@ object QEtl {
         |  CAST(weekofyear(o_orderdate) AS INT) AS iso_week,
         |  CAST(count(*) AS BIGINT) AS n_orders,
         |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
-        |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+        |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // F2/F3 — the USER catalog contract (reference validation.py:34-58):
+    // empty/blank name, email regex, NULL join_date — over customer rows
+    // dirtied deterministically (blank names at %11/%23, null email at %29,
+    // space-carrying email at %13, no-TLD email at %19, null join_date at
+    // %17). One narrow projection pass, zero shuffles.
+    Qry("q51_user_contract",
+      (s, dir) => {
+        val ck = col("c_custkey")
+        val u = t(s, dir, "customer").select(
+          ck.as("user_id"),
+          when(ck % 11 === 0, lit("")).when(ck % 23 === 0, lit("   "))
+            .otherwise(col("c_name")).as("name"),
+          when(ck % 29 === 0, lit(null).cast("string"))
+            .when(ck % 13 === 0, concat(lit("bad email "), ck.cast("string")))
+            .when(ck % 19 === 0, concat(lit("u"), ck.cast("string"), lit("@nodotcom")))
+            .otherwise(concat(lit("u"), ck.cast("string"), lit("@x.com"))).as("email"),
+          when(ck % 17 === 0, lit(null).cast("date"))
+            .otherwise(date_add(to_date(lit("2020-01-01")), (ck % 365).cast("int")))
+            .as("join_date"))
+        val v = new Validator(
+          Rules.userRules(col("user_id"), col("name"), col("email"), col("join_date")),
+          "user", col("user_id"), "users")
+        v.errors(v.annotate(u))
+      },
+      Some("""WITH u AS (SELECT c_custkey AS user_id,
+        |  CASE WHEN c_custkey % 11 = 0 THEN '' WHEN c_custkey % 23 = 0 THEN '   '
+        |       ELSE c_name END AS name,
+        |  CASE WHEN c_custkey % 29 = 0 THEN NULL
+        |       WHEN c_custkey % 13 = 0 THEN 'bad email ' || CAST(c_custkey AS VARCHAR)
+        |       WHEN c_custkey % 19 = 0 THEN 'u' || CAST(c_custkey AS VARCHAR) || '@nodotcom'
+        |       ELSE 'u' || CAST(c_custkey AS VARCHAR) || '@x.com' END AS email,
+        |  CASE WHEN c_custkey % 17 = 0 THEN NULL
+        |       ELSE DATE '2020-01-01' + CAST(c_custkey % 365 AS INT) END AS join_date
+        |FROM customer)
+        |SELECT 'user' AS entity, CAST(user_id AS VARCHAR) AS record_id,
+        |  'invalid_user' AS error_type, 'error' AS severity,
+        |  'Empty name for user ' || CAST(user_id AS VARCHAR) AS message
+        |FROM u WHERE name IS NULL OR trim(name) = ''
+        |UNION ALL
+        |SELECT 'user', CAST(user_id AS VARCHAR), 'invalid_user', 'error',
+        |  'Invalid email "' || coalesce(email, 'None') || '" for user ' || CAST(user_id AS VARCHAR)
+        |FROM u WHERE email IS NULL OR NOT regexp_matches(email, '^[^\s@]+@[^\s@]+\.[^\s@]+$')
+        |UNION ALL
+        |SELECT 'user', CAST(user_id AS VARCHAR), 'invalid_user', 'error',
+        |  'NULL join_date for user ' || CAST(user_id AS VARCHAR)
+        |FROM u WHERE join_date IS NULL""".stripMargin)),
+
+    // F9-adjacent — the PRODUCT catalog contract (validation.py:60-87):
+    // empty name, price >= 10000, negative stock. Injected prices are
+    // integer-valued doubles so the interpolated message repr is identical
+    // across engines (verified: Java 17 Double.toString == DuckDB VARCHAR
+    // cast over the whole part price domain).
+    Qry("q52_product_contract",
+      (s, dir) => {
+        val pk = col("p_partkey")
+        val p = t(s, dir, "part").select(
+          pk.as("product_id"),
+          when(pk % 19 === 0, lit("")).otherwise(col("p_name")).as("name"),
+          when(pk % 23 === 0, (pk % 5000 + 10000).cast("double"))
+            .otherwise(col("p_retailprice")).as("price"),
+          when(pk % 29 === 0, -(col("p_size").cast("int") + 1))
+            .otherwise(col("p_size").cast("int")).as("stock"))
+        val v = new Validator(
+          Rules.productRules(col("product_id"), col("name"), col("price"), col("stock")),
+          "product", col("product_id"), "products")
+        v.errors(v.annotate(p))
+      },
+      Some("""WITH p AS (SELECT p_partkey AS product_id,
+        |  CASE WHEN p_partkey % 19 = 0 THEN '' ELSE p_name END AS name,
+        |  CASE WHEN p_partkey % 23 = 0 THEN CAST(p_partkey % 5000 + 10000 AS DOUBLE)
+        |       ELSE p_retailprice END AS price,
+        |  CASE WHEN p_partkey % 29 = 0 THEN -(CAST(p_size AS INT) + 1)
+        |       ELSE CAST(p_size AS INT) END AS stock
+        |FROM part)
+        |SELECT 'product' AS entity, CAST(product_id AS VARCHAR) AS record_id,
+        |  'invalid_product' AS error_type, 'error' AS severity,
+        |  'Empty name for product ' || CAST(product_id AS VARCHAR) AS message
+        |FROM p WHERE name IS NULL OR trim(name) = ''
+        |UNION ALL
+        |SELECT 'product', CAST(product_id AS VARCHAR), 'price_ge_10000', 'error',
+        |  'Product ' || CAST(product_id AS VARCHAR) || ' price ' || CAST(price AS VARCHAR) || ' >= 10000'
+        |FROM p WHERE price >= 10000
+        |UNION ALL
+        |SELECT 'product', CAST(product_id AS VARCHAR), 'negative_stock', 'error',
+        |  'Product ' || CAST(product_id AS VARCHAR) || ' has negative stock ' || CAST(stock AS VARCHAR)
+        |FROM p WHERE stock < 0""".stripMargin)),
+
+    // J4/F9/U3/A7 at full strength — the transaction contract with REAL
+    // cross-entity price lookup (expectedPrice = the valid product's unit
+    // price) and REAL in-batch duplicate occurrence numbering, so
+    // price_mismatch (validation.py:161-165) and duplicate_tx_id
+    // (validation.py:155-159) actually fire and hash-match the oracle.
+    // Mismatch rows force quantity=1 so the interpolated "got" value is the
+    // total itself (no division repr divergence); every %31 tx appears
+    // twice so the 2nd occurrence logs the duplicate warning.
+    Qry("q53_tx_price_dup_contract",
+      (s, dir) => {
+        val ok = col("o_orderkey")
+        val base = t(s, dir, "orders").select(
+          ok.as("transaction_id"),
+          when(ok % 17 === 0, date_format(col("o_orderdate"), "dd-MM-yyyy"))
+            .otherwise(ymd(col("o_orderdate"))).as("date"),
+          when(ok % 11 === 0, col("o_custkey") + 1000000)
+            .otherwise(col("o_custkey")).as("user_id"),
+          when(ok % 13 === 0, ok % 2000 + 1000000)
+            .otherwise(ok % 2000).as("product_id"),
+          when(ok % 37 === 0, lit(1)).otherwise((ok % 7).cast("int") - 1).as("quantity"),
+          col("o_totalprice"),
+          element_at(array(lit("Bitcoin"), lit("Visa"), lit("MasterCard"),
+            lit("Wire Transfer"), lit("Other")), (ok % 5).cast("int") + 1).as("payment_type"),
+          element_at(array(lit("Pending"), lit("Success"), lit("Failed")),
+            (ok % 3).cast("int") + 1).as("status"))
+        val tx = base.unionByName(base.filter(col("transaction_id") % 31 === 0))
+        val joined = tx
+          .join(broadcast(t(s, dir, "customer").select(col("c_custkey").as("vu_user_id"))),
+            col("user_id") === col("vu_user_id"), "left_outer")
+          .join(broadcast(t(s, dir, "part").select(col("p_partkey").as("vp_product_id"),
+            col("p_retailprice").as("vp_price"))),
+            col("product_id") === col("vp_product_id"), "left_outer")
+          .withColumn("price",
+            when(col("vp_price").isNotNull,
+              when(col("transaction_id") % 37 === 0, col("vp_price") + 5.0)
+                .otherwise(round(col("vp_price") * col("quantity"), 2)))
+              .otherwise(col("o_totalprice")))
+          .withColumn("dup_occ", row_number().over(
+            Window.partitionBy("transaction_id").orderBy("product_id", "date")))
+        val v = new Validator(
+          Rules.transactionRules(col("transaction_id"), col("date"), col("user_id"),
+            col("product_id"), col("quantity"), col("payment_type"), col("status"),
+            col("price"), col("vu_user_id").isNotNull, col("vp_product_id").isNotNull,
+            col("vp_price"), col("dup_occ")),
+          "transaction", col("transaction_id"), "transactions")
+        v.errors(v.annotate(joined))
+      },
+      Some("""WITH base AS (SELECT o_orderkey AS transaction_id,
+        |    CASE WHEN o_orderkey % 17 = 0 THEN strftime(o_orderdate, '%d-%m-%Y')
+        |         ELSE strftime(o_orderdate, '%Y-%m-%d') END AS date,
+        |    CASE WHEN o_orderkey % 11 = 0 THEN o_custkey + 1000000 ELSE o_custkey END AS user_id,
+        |    CASE WHEN o_orderkey % 13 = 0 THEN o_orderkey % 2000 + 1000000
+        |         ELSE o_orderkey % 2000 END AS product_id,
+        |    CASE WHEN o_orderkey % 37 = 0 THEN 1 ELSE CAST(o_orderkey % 7 AS INT) - 1 END AS quantity,
+        |    o_totalprice,
+        |    ['Bitcoin','Visa','MasterCard','Wire Transfer','Other'][CAST(o_orderkey % 5 AS INT) + 1] AS payment_type,
+        |    ['Pending','Success','Failed'][CAST(o_orderkey % 3 AS INT) + 1] AS status
+        |  FROM orders),
+        |tx AS (SELECT * FROM base UNION ALL SELECT * FROM base WHERE transaction_id % 31 = 0),
+        |j1 AS (SELECT tx.*, c.c_custkey AS vu_user_id, p.p_partkey AS vp_product_id,
+        |    p.p_retailprice AS vp_price,
+        |    CASE WHEN p.p_retailprice IS NOT NULL THEN
+        |        CASE WHEN transaction_id % 37 = 0 THEN p.p_retailprice + 5.0
+        |             ELSE round(p.p_retailprice * quantity, 2) END
+        |      ELSE o_totalprice END AS price,
+        |    row_number() OVER (PARTITION BY transaction_id ORDER BY product_id, date) AS dup_occ
+        |  FROM tx LEFT JOIN customer c ON tx.user_id = c.c_custkey
+        |          LEFT JOIN part p ON tx.product_id = p.p_partkey),
+        |j AS (SELECT j1.*,
+        |    vu_user_id IS NOT NULL AS user_known,
+        |    vp_product_id IS NOT NULL AS product_known,
+        |    quantity = 0 AS qty_zero, quantity < 0 AS qty_neg,
+        |    lower(coalesce(payment_type, '')) NOT IN ('visa','mastercard','wire transfer','other') AS pay_bad,
+        |    lower(coalesce(status, '')) NOT IN ('success','failed') AS status_bad,
+        |    (COALESCE(try_strptime(date, '%Y-%m-%d'),
+        |      CASE WHEN contains(date, '/') THEN try_strptime(date, '%Y/%m/%d')
+        |           WHEN contains(date, 'T') THEN try_strptime(split_part(date, 'T', 1), '%Y-%m-%d')
+        |           WHEN regexp_matches(date, '^[0-9]{8}$') THEN try_strptime(date, '%Y%m%d')
+        |      END) IS NULL) AS date_bad
+        |  FROM j1)
+        |SELECT 'transaction' AS entity, CAST(transaction_id AS VARCHAR) AS record_id,
+        |       'orphan_user' AS error_type, 'error' AS severity,
+        |       'Transaction ' || CAST(transaction_id AS VARCHAR) || ' references non-existent user ' || CAST(user_id AS VARCHAR) AS message
+        |FROM j WHERE NOT user_known
+        |UNION ALL
+        |SELECT 'transaction', CAST(transaction_id AS VARCHAR), 'orphan_product', 'error',
+        |       'Transaction ' || CAST(transaction_id AS VARCHAR) || ' references non-existent product ' || CAST(product_id AS VARCHAR)
+        |FROM j WHERE NOT product_known
+        |UNION ALL
+        |SELECT 'transaction', CAST(transaction_id AS VARCHAR), 'qty_zero', 'error',
+        |       'Transaction ' || CAST(transaction_id AS VARCHAR) || ' has zero quantity'
+        |FROM j WHERE qty_zero
+        |UNION ALL
+        |SELECT 'transaction', CAST(transaction_id AS VARCHAR), 'qty_negative', 'error',
+        |       'Transaction ' || CAST(transaction_id AS VARCHAR) || ' has negative quantity ' || CAST(quantity AS VARCHAR)
+        |FROM j WHERE qty_neg
+        |UNION ALL
+        |SELECT 'transaction', CAST(transaction_id AS VARCHAR), 'invalid_payment_type', 'error',
+        |       'Transaction ' || CAST(transaction_id AS VARCHAR) || ' has invalid payment_type "' || payment_type || '"'
+        |FROM j WHERE pay_bad
+        |UNION ALL
+        |SELECT 'transaction', CAST(transaction_id AS VARCHAR), 'invalid_status', 'error',
+        |       'Transaction ' || CAST(transaction_id AS VARCHAR) || ' has invalid status "' || status || '"'
+        |FROM j WHERE status_bad
+        |UNION ALL
+        |SELECT 'transaction', CAST(transaction_id AS VARCHAR), 'bad_date_format', 'error',
+        |       'Transaction ' || CAST(transaction_id AS VARCHAR) || ' has unparseable date "' || date || '"'
+        |FROM j WHERE date_bad
+        |UNION ALL
+        |SELECT 'transaction', CAST(transaction_id AS VARCHAR), 'duplicate_tx_id', 'warning',
+        |       'Duplicate transaction_id ' || CAST(transaction_id AS VARCHAR)
+        |FROM j WHERE dup_occ >= 2
+        |UNION ALL
+        |SELECT 'transaction', CAST(transaction_id AS VARCHAR), 'price_mismatch', 'warning',
+        |       'Transaction ' || CAST(transaction_id AS VARCHAR) || ' price mismatch: expected '
+        |         || CAST(vp_price AS VARCHAR) || ', got ' || CAST(price / quantity AS VARCHAR)
+        |FROM j WHERE vp_price IS NOT NULL AND user_known AND product_known
+        |  AND NOT qty_zero AND NOT qty_neg AND NOT pay_bad AND NOT status_bad AND NOT date_bad
+        |  AND quantity > 0 AND abs(price / quantity - vp_price) > 0.01""".stripMargin))
   )
 }

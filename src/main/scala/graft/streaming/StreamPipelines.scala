@@ -99,8 +99,14 @@ object StreamPipelines {
             }
             cur.foreach { s =>
               state.update(s)
-              // evict once the watermark passes the session gap
-              state.setTimeoutTimestamp(s.lastUs / 1000 + gapUs / 1000 + 1)
+              // evict once the watermark passes the session gap; clamp past
+              // the current watermark — EventTimeTimeout throws on a
+              // timestamp <= watermark, and a batch whose newest event for
+              // this user is already older than (watermark - gap) would
+              // otherwise kill the query instead of just expiring the session
+              state.setTimeoutTimestamp(math.max(
+                s.lastUs / 1000 + gapUs / 1000 + 1,
+                state.getCurrentWatermarkMs() + 1))
             }
             closed.result().iterator
           }

@@ -62,7 +62,11 @@ object VectorOps {
     // so results are identical.
     val spark = scored.sparkSession
     import spark.implicits._
-    val shrunk = scored.as[(Long, Long, Double)].mapPartitions { it =>
+    // cosine() is null for malformed vectors (length mismatch / null input);
+    // drop those pairs BEFORE the typed decode — a null in a non-nullable
+    // Double field would kill the whole query instead of skipping the pair
+    val shrunk = scored.filter(col("cos").isNotNull)
+      .as[(Long, Long, Double)].mapPartitions { it =>
       val heaps = scala.collection.mutable.HashMap
         .empty[Long, scala.collection.mutable.PriorityQueue[(Double, Long)]]
       // priority = worst-first: root is the weakest kept candidate

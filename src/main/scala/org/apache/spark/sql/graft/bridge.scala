@@ -16,4 +16,11 @@ object bridge {
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
   /** input-type spec for array<float> binary expressions */
   val floatArrayInputs: Seq[AbstractDataType] = Seq(ArrayType(FloatType), ArrayType(FloatType))
+  /** Where the session catalog would place an unqualified managed table —
+    * robust to relative/space-containing warehouse dirs, unlike parsing
+    * `spark.sql.warehouse.dir` through java.net.URI by hand. */
+  def defaultTablePath(spark: org.apache.spark.sql.SparkSession, table: String): java.net.URI =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.catalog
+      .defaultTablePath(org.apache.spark.sql.catalyst.TableIdentifier(table))
 }

@@ -41,6 +41,23 @@ class PlanBudgetSpec extends SparkSpec {
     assert(shuffles("q25_pricing_summary") <= 2)
   }
 
+  test("date predicates reach the parquet scans (row-group pruning at 100 TB)") {
+    // native DateType compares — a date_format() wrapper here would leave
+    // only IsNotNull in PushedFilters and force a full fact scan at scale
+    assert(planOf("q25_pricing_summary").contains("LessThanOrEqual(l_shipdate"))
+    val q48 = planOf("q48_shipping_priority")
+    assert(q48.contains("GreaterThan(l_shipdate"))
+    assert(q48.contains("LessThan(o_orderdate"))
+  }
+
+  test("contract catalogs (user/product/tx) are pure narrow pipelines") {
+    assert(shuffles("q51_user_contract") === 0)
+    assert(shuffles("q52_product_contract") === 0)
+    // q53 pays exactly one exchange: the duplicate-occurrence window on
+    // transaction_id; the two dim lookups stay broadcasts
+    assert(shuffles("q53_tx_price_dup_contract") <= 1)
+  }
+
   test("per-row LLM operators shuffle only their spread() fan-out") {
     // repartition is one round-robin exchange; everything after is narrow
     Seq("q27_text_quality", "q30_simhash", "q31_lang_id", "q32_fingerprint",
