@@ -390,6 +390,111 @@ object QLlm {
         |    ORDER BY cos DESC, neighbor_id) AS INT) AS rank
         |FROM p QUALIFY rank <= 5""".stripMargin)),
 
+    // the CAPPED LSH pair operator — the library's hot-bucket guard
+    // (VectorOps.lshCandidatePairs default skew protection) exercised with
+    // a cap that actually bites at this sf (12 < the 15-row top buckets),
+    // and an oracle that reproduces the cap as a bucket-count HAVING join.
+    // q35 keeps the uncapped ground truth; this row proves the guard's
+    // semantics are exact, not just "drops something".
+    Qry("q54_ann_lsh_capped",
+      (s, dir) => VectorOps.lshCandidatePairs(
+        spread(s, t(s, dir, "embeddings")).select(col("vec_id").as("id"), col("embedding").as("vec")),
+        6, 0.1, maxBucketSize = 12),
+      Some({
+        val plane = (p: String, i: String) =>
+          s"(('0x' || substr(md5($p || '|' || $i), 1, 12))::BIGINT / 140737488355328.0 - 1.0)"
+        s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          |  FROM embeddings),
+          |b AS (SELECT vec_id, v, CAST(list_sum(list_transform(range(0, 6), p ->
+          |    CASE WHEN list_sum(list_transform(range(1, len(v) + 1),
+          |           i -> v[i] * ${plane("CAST(p AS VARCHAR)", "CAST(i - 1 AS VARCHAR)")})) > 0
+          |         THEN 1::BIGINT << p ELSE 0 END)) AS BIGINT) AS bucket FROM e),
+          |ok AS (SELECT bucket FROM b GROUP BY bucket HAVING count(*) <= 12),
+          |pairs AS (SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
+          |    list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b2.v[i]))
+          |      / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
+          |         * sqrt(list_sum(list_transform(b2.v, x -> x * x)))) AS cos
+          |  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+          |  JOIN ok ON ok.bucket = a.bucket)
+          |SELECT id_a, id_b, round(cos, 6) AS cos FROM pairs WHERE cos >= 0.1""".stripMargin
+      })),
+
+    // SimHash + Hamming distance: each injected near-dup / verbatim-dup doc
+    // paired with its original; the mutated (+10000) twins land at small
+    // but non-zero distance, verbatim (+20000) twins at exactly 0
+    Qry("q55_simhash_hamming",
+      (s, dir) => {
+        val sims = docsWithDups(s, dir)
+          .select(col("doc_id"), TextOps.simhash(TextOps.tokens(col("text")), 32).as("sim"))
+          .cache() // feeds both sides of the pair join — compute once
+        val dups = sims.filter(col("doc_id") >= 10000)
+          .select(when(col("doc_id") >= 20000, col("doc_id") - 20000)
+              .otherwise(col("doc_id") - 10000).as("id_a"),
+            col("doc_id").as("id_b"), col("sim").as("sim_b"))
+        sims.select(col("doc_id").as("id_a"), col("sim").as("sim_a"))
+          .join(dups, Seq("id_a"))
+          .select(col("id_a"), col("id_b"),
+            TextOps.hamming(col("sim_a"), col("sim_b"), 32).as("dist"))
+      },
+      Some(s"""WITH d0 AS ($docsWithDupsSql),
+        |d AS (SELECT doc_id, list_distinct($toksSql) AS dt FROM d0),
+        |h AS (SELECT doc_id, list_transform(dt, x -> ${h64("x")}) AS hs FROM d),
+        |sims AS (SELECT doc_id,
+        |  CAST(list_sum(list_transform(range(0, 32), j ->
+        |    CASE WHEN list_sum(list_transform(hs, h -> ((h >> j) & 1) * 2 - 1)) > 0
+        |         THEN 1::BIGINT << j ELSE 0 END)) AS BIGINT) AS sim
+        |  FROM h),
+        |pairs AS (SELECT CASE WHEN doc_id >= 20000 THEN doc_id - 20000
+        |         ELSE doc_id - 10000 END AS id_a,
+        |       doc_id AS id_b, sim AS sim_b
+        |  FROM sims WHERE doc_id >= 10000)
+        |SELECT p.id_a, p.id_b,
+        |  CAST(list_sum(list_transform(range(0, 32),
+        |    j -> (xor(a.sim, p.sim_b) >> j) & 1)) AS BIGINT) AS dist
+        |FROM pairs p JOIN sims a ON a.doc_id = p.id_a""".stripMargin)),
+
+    // IVF top-k via the typed TopKAgg aggregator — identical results to
+    // q45's window formulation (same oracle), but the bounded buffer
+    // merges map-side so the final shuffle carries ≤ k entries per
+    // (partition, query) instead of every probed candidate
+    Qry("q56_ivf_topk_agg",
+      (s, dir) => {
+        val e = spread(s, t(s, dir, "embeddings"))
+          .select(col("vec_id").as("id"), col("embedding").as("vec"))
+        VectorOps.ivfSearchAgg(e.filter(col("id") < 10), e,
+          nCentroids = 32, nprobe = 8, k = 5)
+      },
+      Some("""WITH e AS (SELECT vec_id AS id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |cents AS (SELECT id AS centroid_id, v AS cvec FROM e
+        |  ORDER BY md5('7|' || CAST(id AS VARCHAR)), id LIMIT 32),
+        |assigned AS (
+        |  SELECT e.id, e.v, c.centroid_id FROM e CROSS JOIN cents c
+        |  QUALIFY row_number() OVER (PARTITION BY e.id ORDER BY
+        |    (list_sum(list_transform(range(1, len(e.v) + 1), i -> e.v[i] * c.cvec[i]))
+        |     / (sqrt(list_sum(list_transform(e.v, x -> x * x)))
+        |        * sqrt(list_sum(list_transform(c.cvec, x -> x * x))))) DESC,
+        |    c.centroid_id) = 1),
+        |q AS (SELECT id AS query_id, v AS qv FROM e WHERE id < 10),
+        |probes AS (
+        |  SELECT q.query_id, q.qv, c.centroid_id FROM q CROSS JOIN cents c
+        |  QUALIFY row_number() OVER (PARTITION BY q.query_id ORDER BY
+        |    (list_sum(list_transform(range(1, len(q.qv) + 1), i -> q.qv[i] * c.cvec[i]))
+        |     / (sqrt(list_sum(list_transform(q.qv, x -> x * x)))
+        |        * sqrt(list_sum(list_transform(c.cvec, x -> x * x))))) DESC,
+        |    c.centroid_id) <= 8),
+        |p AS (
+        |  SELECT p.query_id, a.id AS neighbor_id,
+        |    (list_sum(list_transform(range(1, len(p.qv) + 1), i -> p.qv[i] * a.v[i]))
+        |     / (sqrt(list_sum(list_transform(p.qv, x -> x * x)))
+        |        * sqrt(list_sum(list_transform(a.v, x -> x * x))))) AS cos
+        |  FROM probes p JOIN assigned a USING (centroid_id)
+        |  WHERE a.id <> p.query_id)
+        |SELECT query_id, neighbor_id,
+        |  CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cos DESC, neighbor_id) AS INT) AS rank
+        |FROM p QUALIFY rank <= 5""".stripMargin)),
+
     // gap-based sessionization (30-min inactivity breaks)
     Qry("q40_sessionize",
       (s, dir) => {

@@ -168,8 +168,10 @@ object VectorOps {
     * recall-for-throughput trade versus [[bruteForceTopK]], with cost
     * |corpus|/nCentroids × nprobe per query instead of |corpus|.
     */
-  def ivfSearch(queries: DataFrame, corpus: DataFrame, nCentroids: Int,
-                nprobe: Int, k: Int, seed: Int = 7): DataFrame = {
+  /** The scored candidate set both IVF search variants rank: per query,
+    * exact cosine against every vector in its `nprobe` probed lists. */
+  private def ivfScored(queries: DataFrame, corpus: DataFrame, nCentroids: Int,
+                        nprobe: Int, seed: Int): DataFrame = {
     val assigned = ivfAssign(corpus, nCentroids, seed)
     val cents = ivfCentroids(corpus, nCentroids, seed)
     val probeW = Window.partitionBy("query_id").orderBy(col("__cos").desc, col("centroid_id"))
@@ -179,13 +181,41 @@ object VectorOps {
       .withColumn("__rn", row_number().over(probeW))
       .filter(col("__rn") <= nprobe)
       .select(col("query_id"), col("qv"), col("centroid_id"))
-    val rankW = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
     probes.join(assigned.select(col("centroid_id"), col("id").as("neighbor_id"),
         col("vec").as("cv")), Seq("centroid_id"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"), cosine(col("qv"), col("cv")).as("cos"))
+  }
+
+  def ivfSearch(queries: DataFrame, corpus: DataFrame, nCentroids: Int,
+                nprobe: Int, k: Int, seed: Int = 7): DataFrame = {
+    val rankW = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    ivfScored(queries, corpus, nCentroids, nprobe, seed)
       .withColumn("rank", row_number().over(rankW))
       .filter(col("rank") <= k)
+  }
+
+  /** [[ivfSearch]] with the final top-k done by the typed [[TopKAgg]]
+    * aggregator instead of a rank window: the bounded buffer merges
+    * MAP-SIDE, so the shuffle carries at most k entries per (partition,
+    * query) instead of every scored candidate — the shape that wins when
+    * probed lists are large. Same keep-order (cos desc, id asc), so results
+    * are identical to [[ivfSearch]] (minus the cos column: the aggregator
+    * output carries rank only).
+    */
+  def ivfSearchAgg(queries: DataFrame, corpus: DataFrame, nCentroids: Int,
+                   nprobe: Int, k: Int, seed: Int = 7): DataFrame = {
+    val scored = ivfScored(queries, corpus, nCentroids, nprobe, seed)
+    val spark = scored.sparkSession
+    import spark.implicits._
+    scored.filter(col("cos").isNotNull)
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .agg(TopKAgg(k).toColumn.name("topk"))
+      .flatMap { case (qid, entries) =>
+        entries.iterator.zipWithIndex.map { case ((_, id), i) => (qid, id, i + 1) }
+      }
+      .toDF("query_id", "neighbor_id", "rank")
   }
 
   /** Lloyd refinement over an [[ivfAssign]] output: per cluster, the new
