@@ -55,10 +55,16 @@ object Synthetic {
   val paymentTypes: Seq[String] = Seq("Visa", "MasterCard", "Wire Transfer", "Other")
   val statuses: Seq[String] = Seq("Success", "Failed")
 
+  /** Weighted status pick (reference populate.py:219-226: default weights
+    * [0.9, 0.1] over [success, failed]). */
+  def weightedStatus(id: Column, successWeight: Double = 0.9): Column =
+    when(rnd("st", id) < successWeight, lit("Success")).otherwise(lit("Failed"))
+
   /** Valid transactions for one day, price = round(unit_price * qty, 2)
     * like populate.py:263-264 (`price` is the line TOTAL). ~20% of ids
     * repeat with a second product — the multi-product pattern
-    * (populate.py:178, 287-290). */
+    * (populate.py:178, 287-290). Status follows the reference's 90/10
+    * success/failed weighting. */
   def transactions(spark: SparkSession, n: Int, day: String, nUsers: Int, nProducts: Int,
                    firstId: Long = 1): DataFrame = {
     val base = spark.range(firstId, firstId + n).select(
@@ -68,7 +74,7 @@ object Synthetic {
       (floor(rnd("p", col("id")) * nProducts) + 1).cast("long").as("product_id"),
       (floor(rnd("q", col("id")) * 5) + 1).cast("int").as("quantity"),
       pick("pay", col("id"), paymentTypes).as("payment_type"),
-      pick("st", col("id"), statuses).as("status"))
+      weightedStatus(col("id")).as("status"))
     val multi = base.filter(rnd("multi", col("transaction_id")) < 0.2)
       .withColumn("product_id",
         (((col("product_id") + floor(rnd("p2", col("transaction_id")) * (nProducts - 1))) % nProducts) + 1).cast("long"))
@@ -78,6 +84,58 @@ object Synthetic {
       .drop("unit_price")
       .select("transaction_id", "date", "user_id", "product_id", "quantity",
         "price", "payment_type", "status")
+  }
+
+  /** Transactions drawn against a real product CATALOG with the reference's
+    * pick distributions (populate.py:209-213, 258-264): the product pool is
+    * stock-weighted (weight = min(max(stock,1),10); out-of-stock products
+    * never picked), quantity is uniform on [1, min(5, stock)], price is the
+    * picked product's `price * qty` rounded to cents, and status follows
+    * the 90/10 weighting. `users`/`products` are the catalog frames
+    * ([[users]]/[[products]] shapes with dense 1..n ids).
+    *
+    * Generator utility, not a pipeline operator: the pool explode + global
+    * index window run over the (small) product catalog, and the pool join
+    * broadcasts — the big side (`spark.range(n)`) never shuffles.
+    */
+  def transactionsWeighted(spark: SparkSession, n: Int, day: String,
+                           users: DataFrame, products: DataFrame,
+                           firstId: Long = 1, successWeight: Double = 0.9): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pool = products.filter(col("stock") >= 1)
+      .select(col("product_id"), col("price").as("unit_price"), col("stock"),
+        explode(sequence(lit(1), least(greatest(col("stock"), lit(1)), lit(10)))).as("copy"))
+      .withColumn("pool_idx",
+        row_number().over(Window.orderBy("product_id", "copy")) - 1)
+      .drop("copy")
+    val poolSize = pool.count()
+    val nUsers = users.count()
+    val base = spark.range(firstId, firstId + n).select(
+      col("id").as("transaction_id"), lit(day).as("date"),
+      (floor(rnd("u", col("id")) * nUsers) + 1).cast("long").as("user_id"),
+      floor(rnd("pp", col("id")) * poolSize).cast("long").as("pool_idx"),
+      pick("pay", col("id"), paymentTypes).as("payment_type"),
+      weightedStatus(col("id"), successWeight).as("status"))
+    base.join(broadcast(pool), Seq("pool_idx"))
+      .withColumn("quantity",
+        (floor(rnd("q", col("transaction_id")) * least(lit(5), col("stock"))) + 1).cast("int"))
+      .withColumn("price", round(col("unit_price") * col("quantity"), 2))
+      .select("transaction_id", "date", "user_id", "product_id", "quantity",
+        "price", "payment_type", "status")
+  }
+
+  /** Post-generation stock decrement: successful transactions reduce their
+    * product's stock (reference populate.py:281-283, 305-318 — decremented
+    * per batch flush there; one batch here). Clamped at 0: the reference
+    * can't oversell because it re-checks availability per pick inside the
+    * loop; the set-based form caps instead. */
+  def applyStockDecrements(products: DataFrame, tx: DataFrame): DataFrame = {
+    val sold = tx.filter(lower(col("status")) === "success")
+      .groupBy("product_id").agg(sum("quantity").as("__sold"))
+    products.join(sold, Seq("product_id"), "left_outer")
+      .withColumn("stock",
+        greatest(lit(0L), col("stock") - coalesce(col("__sold"), lit(0L))).cast("int"))
+      .drop("__sold")
   }
 
   /** Mutate a deterministic subset of existing users — name/email changes
@@ -112,7 +170,11 @@ object Synthetic {
     * excessive_price_product, negative_stock_product}. Returns
     * (users, products, transactions) extras to union onto the valid data. */
   def invalid(spark: SparkSession, day: String, nUsers: Int, nProducts: Int,
-              perKind: Int = 2): (DataFrame, DataFrame, DataFrame) = {
+              perKind: Int = 2): (DataFrame, DataFrame, DataFrame) =
+    invalid(spark, day, nUsers, nProducts, perKind, None)
+
+  def invalid(spark: SparkSession, day: String, nUsers: Int, nProducts: Int,
+              perKind: Int, existingTx: Option[DataFrame]): (DataFrame, DataFrame, DataFrame) = {
     def ids(tag: String, base: Long) = spark.range(base, base + perKind).select(col("id"))
 
     val badUsers =
@@ -153,7 +215,29 @@ object Synthetic {
       tx(9700, _.withColumn("date", { // dd-MM-yyyy — unparseable by contract
         val Array(y, m, d) = day.split("-"); lit(s"$d-$m-$y")
       })),
-      tx(9800, identity).withColumn("transaction_id", col("transaction_id") - 9800 + 1) // duplicate ids
+      // duplicate ids: of RANDOM EXISTING transactions when a corpus is
+      // supplied (reference generate_invalid.py:326-356 — each duplicate
+      // copies a randomly chosen existing transaction_id with fresh random
+      // attributes; seeded-rank pick here so it is reproducible), else of
+      // low ids "that might exist soon" (the reference's empty-DB fallback)
+      existingTx match {
+        case Some(ex) =>
+          import org.apache.spark.sql.expressions.Window
+          val w = Window.orderBy("__r", "transaction_id")
+          val picked = ex.select(col("transaction_id"))
+            .withColumn("__r", md5(concat(lit("dup|"), col("transaction_id").cast("string"))))
+            .withColumn("__k", row_number().over(w) - 1)
+            .filter(col("__k") < perKind)
+            .select(col("__k"), col("transaction_id"))
+          tx(9800, identity)
+            .withColumn("__k", col("transaction_id") - 9800)
+            .drop("transaction_id")
+            .join(broadcast(picked), Seq("__k")).drop("__k")
+            .select("transaction_id", "date", "user_id", "product_id",
+              "quantity", "price", "payment_type", "status")
+        case None =>
+          tx(9800, identity).withColumn("transaction_id", col("transaction_id") - 9800 + 1)
+      }
     ).reduce(_ unionByName _)
 
     (badUsers, badProducts, badTx)

@@ -60,10 +60,22 @@ final class EtlRun(spark: SparkSession, warehouse: String) {
     * incremental scans, re-run anti-joins, backfill reads) then prune to
     * one partition directory — the Spark counterpart of the reference's
     * covering indexes (ETL/etl.py:383-400, SURVEY §4.3). Dim/log tables
-    * stay unpartitioned (small, always read whole). */
-  private def append(df: DataFrame, name: String, partitionCols: Seq[String] = Nil): Unit = {
-    val w = df.write.mode("append")
-    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(path(name))
+    * stay unpartitioned (small, always read whole).
+    *
+    * STAGED (all-or-nothing): the job writes to a sibling staging dir and
+    * only a fully successful write promotes its part-files into the table.
+    * This is the Spark approximation of the reference's per-stage
+    * commit/rollback (ETL/etl.py:460-498): a stage that dies mid-job
+    * leaves the target exactly as it was — no partial part-files — while
+    * stages that already committed stay committed, same as the reference. */
+  private[graft] def append(df: DataFrame, name: String, partitionCols: Seq[String] = Nil): Unit = {
+    val staging = Paths.get(path(s"${name}__append_staging"))
+    graft.io.Fs.deleteRecursively(staging) // leftover from a crashed run
+    val w = df.write.mode("overwrite")
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .parquet(staging.toString)
+    graft.io.Fs.promoteInto(staging, Paths.get(path(name)))
+    graft.io.Fs.deleteRecursively(staging)
     spark.catalog.refreshByPath(path(name))
   }
 

@@ -26,7 +26,11 @@ class EtlRunSpec extends SparkSpec {
   private def writeOltp(users: DataFrame, products: DataFrame, tx: DataFrame): Unit = {
     users.write.mode("overwrite").parquet(s"$wh/users")
     products.write.mode("overwrite").parquet(s"$wh/products")
-    tx.write.mode("overwrite").parquet(s"$wh/transactions")
+    // the transactions SOURCE is partitioned by its raw date string — the
+    // warehouse layout SURVEY §1.6 maps the reference's daily access to:
+    // the S3 extract's `date = today` equality then prunes to ONE
+    // partition directory instead of listing the whole table
+    tx.write.mode("overwrite").partitionBy("date").parquet(s"$wh/transactions")
     Seq("users", "products", "transactions").foreach(t =>
       spark.catalog.refreshByPath(s"$wh/$t"))
   }
@@ -153,6 +157,35 @@ class EtlRunSpec extends SparkSpec {
     val scan = pruned.queryExecution.executedPlan.toString
     assert(!scan.contains("load_date=") || scan.contains(s"load_date=$day1"))
     assert(pruned.count() > 0)
+  }
+
+  test("daily extract prunes the partitioned transactions source (S3 at 100 TB)") {
+    day1Run
+    val plan = etl.table("transactions", Schemas.transactions)
+      .filter(col("date") === day1).queryExecution.executedPlan.toString
+    // the raw-string equality lands in PartitionFilters — one directory
+    // read per day, the scale path for the incremental extract
+    assert(plan.contains("PartitionFilters"), plan.take(800))
+    assert(plan.contains(s"= $day1"), plan.take(800))
+  }
+
+  test("staged append is all-or-nothing: a mid-job failure leaves the table untouched") {
+    day1Run
+    import scala.jdk.CollectionConverters._
+    def partFiles: Set[String] = {
+      val walk = Files.walk(java.nio.file.Paths.get(s"$wh/fact_stock_history"))
+      try walk.iterator().asScala.map(_.toString).filter(_.endsWith(".parquet")).toSet
+      finally walk.close()
+    }
+    val rowsBefore = tbl("fact_stock_history").count()
+    val filesBefore = partFiles
+    // 4 partitions, one of which raises mid-task: some tasks succeed and
+    // land part-files in STAGING, but promotion never runs
+    val boom = spark.range(0, 8, 1, 4).select(
+      when(col("id") === 7, raise_error(lit("boom"))).otherwise(col("id")).as("x"))
+    intercept[Exception] { etl.append(boom, "fact_stock_history") }
+    assert(partFiles === filesBefore)
+    assert(tbl("fact_stock_history").count() === rowsBefore)
   }
 
   test("idempotent re-run: same day twice inserts nothing new") {

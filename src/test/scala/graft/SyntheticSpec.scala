@@ -27,6 +27,69 @@ class SyntheticSpec extends SparkSpec {
     assert(perId.filter(col("count") > 1).count() > 100) // multi-product ids exist
   }
 
+  test("transactionsWeighted follows the reference's pick distributions") {
+    val users = Synthetic.users(spark, 50)
+    val products = Synthetic.products(spark, 40)
+    val tx = Synthetic.transactionsWeighted(spark, 20000, "2025-01-01", users, products)
+    val n = tx.count().toDouble
+    // status weights 0.9/0.1 (populate.py:219-226)
+    val succ = tx.filter(col("status") === "Success").count() / n
+    assert(succ > 0.885 && succ < 0.915, s"success fraction $succ")
+    // stock-weighted product pool (populate.py:209-213): per-product pick
+    // counts track weight/totalWeight within a generous z-bound
+    val w = least(greatest(col("stock"), lit(1)), lit(10))
+    val weights = products.filter(col("stock") >= 1)
+      .select(col("product_id"), w.as("w"))
+    val totalW = weights.agg(sum("w")).first().getLong(0).toDouble
+    val offTarget = weights
+      .join(tx.groupBy("product_id").count(), Seq("product_id"), "left_outer")
+      .withColumn("c", coalesce(col("count"), lit(0L)).cast("double"))
+      .withColumn("e", col("w") / totalW * n)
+      .filter(abs(col("c") - col("e")) > greatest(lit(30.0), sqrt(col("e")) * 6))
+    assert(offTarget.count() === 0, offTarget.collect().mkString(", "))
+    // out-of-stock products are never picked; qty ∈ [1, min(5, stock)]
+    // (populate.py:258-262, 280-282)
+    val cat = products.select(col("product_id"), col("stock").as("cat_stock"))
+    val joined = tx.join(cat, Seq("product_id"))
+    assert(tx.join(cat.filter(col("cat_stock") < 1), Seq("product_id"), "left_semi").count() === 0)
+    assert(joined.filter(col("quantity") < 1 ||
+      col("quantity") > least(lit(5), col("cat_stock"))).count() === 0)
+  }
+
+  test("applyStockDecrements: success-only, clamped at zero") {
+    val products = Synthetic.products(spark, 40)
+    // small batch so stocks don't all clamp to zero (avg sold << avg stock)
+    val tx = Synthetic.transactionsWeighted(spark, 300, "2025-01-01",
+      Synthetic.users(spark, 50), products)
+    val after = Synthetic.applyStockDecrements(products, tx)
+    val sold = tx.filter(col("status") === "Success")
+      .groupBy("product_id").agg(sum("quantity").as("sold"))
+    val check = products.select(col("product_id"), col("stock").as("s0"))
+      .join(after.select(col("product_id"), col("stock").as("s1")), Seq("product_id"))
+      .join(sold, Seq("product_id"), "left_outer")
+      .withColumn("expected", greatest(lit(0L), col("s0") - coalesce(col("sold"), lit(0L))))
+    assert(check.filter(col("s1") =!= col("expected")).count() === 0)
+    assert(after.filter(col("stock") < 0).count() === 0)
+    // failed transactions decrement nothing (populate.py:281-283): counting
+    // ALL sales would land on a different stock for some product
+    val soldAll = tx.groupBy("product_id").agg(sum("quantity").as("sold_all"))
+    assert(tx.filter(col("status") === "Failed").count() > 0)
+    assert(check.join(soldAll, Seq("product_id"))
+      .filter(greatest(lit(0L), col("s0") - col("sold_all")) =!= col("s1")).count() > 0)
+  }
+
+  test("duplicate injection copies existing transaction ids when a corpus is given") {
+    val tx = Synthetic.transactions(spark, 500, "2025-01-01", 50, 20)
+    val (_, _, badT) = Synthetic.invalid(spark, "2025-01-01", 50, 20, 2, Some(tx))
+    val dupIds = badT.filter(col("transaction_id") < 9000)
+      .select("transaction_id").as[Long].collect()
+    assert(dupIds.length === 2)
+    val existing = tx.select("transaction_id").as[Long].collect().toSet
+    assert(dupIds.forall(existing), s"non-existing ids: ${dupIds.filterNot(existing).mkString(",")}")
+    // the other 8 kinds are untouched by the corpus-aware variant
+    assert(badT.count() === 18)
+  }
+
   test("mutateUsers changes ~frac of users and nothing else") {
     val base = Synthetic.users(spark, 200)
     val mut = Synthetic.mutateUsers(base, 0.2)
