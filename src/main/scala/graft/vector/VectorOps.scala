@@ -254,16 +254,24 @@ object VectorOps {
     */
   def lshCandidatePairs(vecs: DataFrame, nPlanes: Int, minCos: Double,
                         maxBucketSize: Int = 10000): DataFrame = {
+    // cache the bucketed projection: it feeds BOTH self-join branches (and
+    // the size aggregate) — without the barrier Catalyst re-inlines the
+    // nPlanes×dims srpBucket fold into every branch, tripling the one
+    // genuinely expensive per-row expression of this operator
     val b = vecs.select(col("id"), col("vec"), srpBucket(col("vec"), nPlanes).as("bucket"))
+      .cache()
     // Hot-bucket guard: a skewed bucket makes the self-join quadratic in
     // that bucket. Bucket sizes are a tiny aggregate (≤ 2^nPlanes rows →
     // broadcast); buckets past the cap are excluded from pairing — the
     // standard recall-for-stability trade (callers raise nPlanes to split
     // hot regions instead). No final distinct: with a single bucket column
-    // and id_a < id_b a pair can appear at most once.
-    val sizes = b.groupBy("bucket").agg(count(lit(1)).as("bucket_n"))
-      .filter(col("bucket_n") <= maxBucketSize)
-    val capped = b.join(broadcast(sizes.select("bucket")), Seq("bucket"))
+    // and id_a < id_b a pair can appear at most once. Disabled cap
+    // (Int.MaxValue) skips the size pass entirely.
+    val capped = if (maxBucketSize == Int.MaxValue) b else {
+      val sizes = b.groupBy("bucket").agg(count(lit(1)).as("bucket_n"))
+        .filter(col("bucket_n") <= maxBucketSize)
+      b.join(broadcast(sizes.select("bucket")), Seq("bucket"))
+    }
     val l = capped.select(col("bucket"), col("id").as("id_a"), col("vec").as("va"))
     val r = capped.select(col("bucket"), col("id").as("id_b"), col("vec").as("vb"))
     l.join(r, Seq("bucket")).filter(col("id_a") < col("id_b"))
