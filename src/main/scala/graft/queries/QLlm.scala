@@ -495,6 +495,154 @@ object QLlm {
         |    ORDER BY cos DESC, neighbor_id) AS INT) AS rank
         |FROM p QUALIFY rank <= 5""".stripMargin)),
 
+    // THE CURATION FLAGSHIP — the composed training-corpus pipeline every
+    // 100 TB text run needs: language filter → quality gate → exact dedup
+    // (keep smallest id per content hash) → MinHash-LSH near-dup removal
+    // (greedy: drop the larger id of every verified pair) → kept set.
+    // Each stage is an already-oracle-proven operator (q31, q27, q26, q29);
+    // this row proves the COMPOSITION end-to-end against DuckDB.
+    Qry("q57_corpus_curation",
+      (s, dir) => {
+        val toks = TextOps.tokens(col("text"))
+        val d = docsWithDups(s, dir)
+          .withColumn("n_tokens", size(toks))
+          .withColumn("lang_pred", TextOps.langId(toks))
+          .filter(col("n_tokens") >= 20 && col("lang_pred") === "en")
+          .cache()
+        val keepIds = d.groupBy(md5(TextOps.normText(col("text"))).as("h"))
+          .agg(min("doc_id").as("doc_id")).select("doc_id")
+        val kept = d.join(keepIds, Seq("doc_id"), "left_semi")
+          .select(col("doc_id"), col("n_tokens"),
+            TextOps.shingles(TextOps.tokens(col("text")), 3).as("sh"))
+          .cache()
+        val keys = kept.select(col("doc_id"), explode(
+          TextOps.lshBands(TextOps.minhashFromBase(
+            TextOps.minhashBase(col("sh")), 16), 8, 2)).as("band_key"))
+        val cand = keys.select(col("band_key"), col("doc_id").as("id_a"))
+          .join(keys.select(col("band_key"), col("doc_id").as("id_b")), Seq("band_key"))
+          .filter(col("id_a") < col("id_b"))
+          .select("id_a", "id_b").distinct()
+        val drop = cand
+          .join(kept.select(col("doc_id").as("id_a"), col("sh").as("sha")), Seq("id_a"))
+          .join(kept.select(col("doc_id").as("id_b"), col("sh").as("shb")), Seq("id_b"))
+          .filter(TextOps.jaccard(col("sha"), col("shb")) >= 0.5)
+          .select(col("id_b").as("doc_id")).distinct()
+        kept.join(drop, Seq("doc_id"), "left_anti").select("doc_id", "n_tokens")
+      },
+      Some({
+        val (as, bs) = TextOps.minhashParams(16)
+        val aArr = as.mkString("[", ",", "]")
+        val bArr = bs.mkString("[", ",", "]")
+        val scores = TextOps.langMarkers.map { case (lang, ms) =>
+          s"len(list_intersect(dt, [${ms.map(m => s"'$m'").mkString(",")}])) AS s_$lang"
+        }.mkString(", ")
+        s"""WITH d0 AS ($docsWithDupsSql),
+        |f AS (SELECT doc_id, text, $toksSql AS tk FROM d0),
+        |sc AS (SELECT doc_id, text, tk, len(tk) AS n_tokens,
+        |         list_distinct(tk) AS dt FROM f),
+        |lp AS (SELECT doc_id, text, tk, n_tokens, $scores FROM sc),
+        |keep0 AS (SELECT doc_id, text, tk, n_tokens FROM lp
+        |  WHERE n_tokens >= 20 AND
+        |    (CASE WHEN s_zh > greatest(s_de, s_en, s_es, s_fr) THEN 'zh'
+        |          WHEN s_fr > greatest(s_de, s_en, s_es) THEN 'fr'
+        |          WHEN s_es > greatest(s_de, s_en) THEN 'es'
+        |          WHEN s_en > s_de THEN 'en'
+        |          ELSE 'de' END) = 'en'),
+        |exact AS (SELECT md5($normSql) AS h, min(doc_id) AS doc_id
+        |  FROM keep0 GROUP BY 1),
+        |kept AS (SELECT k.doc_id, k.n_tokens, ${shinglesSql("k.tk")} AS sh
+        |  FROM keep0 k JOIN exact e ON k.doc_id = e.doc_id),
+        |bases AS (SELECT doc_id, sh,
+        |    list_transform(sh, s -> ${h64("s")} % ${TextOps.minhashM}) AS hs FROM kept),
+        |sigs AS (SELECT doc_id, sh,
+        |    list_transform(range(0, 16), i -> list_min(list_transform(hs,
+        |      h -> (h * ($aArr)[i + 1] + ($bArr)[i + 1]) % ${TextOps.minhashM}))) AS sig
+        |  FROM bases),
+        |keys AS (SELECT doc_id, unnest(list_transform(range(0, 8),
+        |    b -> CAST(b AS VARCHAR) || ':' || md5(array_to_string(
+        |           sig[b * 2 + 1 : b * 2 + 2], ',')))) AS band_key
+        |  FROM sigs),
+        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM keys a JOIN keys b ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+        |drop0 AS (SELECT DISTINCT id_b FROM cand
+        |  JOIN kept da ON da.doc_id = id_a JOIN kept db ON db.doc_id = id_b
+        |  WHERE (CASE WHEN len(list_distinct(da.sh || db.sh)) = 0 THEN 0.0
+        |    ELSE CAST(len(list_intersect(list_distinct(da.sh), list_distinct(db.sh))) AS DOUBLE)
+        |         / len(list_distinct(da.sh || db.sh)) END) >= 0.5)
+        |SELECT doc_id, n_tokens FROM kept
+        |WHERE doc_id NOT IN (SELECT id_b FROM drop0)""".stripMargin
+      })),
+
+    // stratified per-language sampling — "N docs per stratum", the
+    // balanced-corpus primitive; seeded-md5 rank so any engine reproduces
+    // the sample (the distributed ORDER BY RANDOM() LIMIT N per group)
+    Qry("q58_stratified_sample",
+      (s, dir) => {
+        val w = Window.partitionBy("lang")
+          .orderBy(md5(concat(lit("11|"), col("doc_id").cast("string"))), col("doc_id"))
+        spread(s, t(s, dir, "documents"))
+          .withColumn("rn", row_number().over(w)).filter(col("rn") <= 50)
+          .select(col("doc_id"), col("lang"))
+      },
+      Some("""SELECT doc_id, lang FROM documents
+        |QUALIFY row_number() OVER (PARTITION BY lang
+        |  ORDER BY md5('11|' || CAST(doc_id AS VARCHAR)), doc_id) <= 50""".stripMargin)),
+
+    // shard-local token packing: documents greedily packed into fixed
+    // token-budget bins (context windows) per shard — a running-sum window
+    // WITHIN each shard (lang here), never a global single-partition sort,
+    // which is what keeps the op linear at 100 TB
+    Qry("q59_token_packing",
+      (s, dir) => {
+        val w = Window.partitionBy("lang").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        spread(s, t(s, dir, "documents"))
+          .select(col("doc_id"), col("lang"),
+            size(TextOps.tokens(col("text"))).as("n_tokens"))
+          .withColumn("bin",
+            floor((sum("n_tokens").over(w) - col("n_tokens")) / 4096.0).cast("long"))
+      },
+      Some(s"""WITH d AS (SELECT doc_id, lang, len($toksSql) AS n_tokens FROM documents)
+        |SELECT doc_id, lang, n_tokens,
+        |  CAST(floor((sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        |    ROWS UNBOUNDED PRECEDING) - n_tokens) / 4096.0) AS BIGINT) AS bin
+        |FROM d""".stripMargin)),
+
+    // benchmark decontamination: corpus docs sharing any 8-gram with a
+    // benchmark set. Shingles are hashed to 60-bit ints BEFORE the join so
+    // the shuffle carries slim longs, not strings — the shape that holds
+    // when the corpus is 100 TB and the benchmark side broadcasts.
+    // Every %50 original is "benchmark"; its injected near-dup twins in
+    // the corpus (+10000/+20000) surface as hits.
+    Qry("q60_decontamination",
+      (s, dir) => {
+        val ex = docsWithDups(s, dir)
+          .select(col("doc_id"), explode(array_distinct(
+            TextOps.shingles(TextOps.tokens(col("text")), 8))).as("sh1"))
+          .select(col("doc_id"), TextOps.hash64(col("sh1")).as("h"))
+        val isBench = col("doc_id") < 10000 && col("doc_id") % 50 === 0
+        val benchSh = ex.filter(isBench).select("h").distinct()
+        ex.filter(!isBench)
+          .join(benchSh, Seq("h"), "left_semi")
+          .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+      },
+      Some(s"""WITH d0 AS ($docsWithDupsSql),
+        |tk AS (SELECT doc_id, $toksSql AS t FROM d0),
+        |sh AS (SELECT doc_id, unnest(list_distinct(
+        |    CASE WHEN len(t) >= 8
+        |      THEN list_transform(range(0, len(t) - 7),
+        |             i -> t[i + 1] || ' ' || t[i + 2] || ' ' || t[i + 3] || ' ' ||
+        |                  t[i + 4] || ' ' || t[i + 5] || ' ' || t[i + 6] || ' ' ||
+        |                  t[i + 7] || ' ' || t[i + 8])
+        |      ELSE [] END)) AS s1
+        |  FROM tk),
+        |hs AS (SELECT doc_id, ${h64("s1")} AS h FROM sh),
+        |bench AS (SELECT DISTINCT h FROM hs WHERE doc_id < 10000 AND doc_id % 50 = 0)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits
+        |FROM hs JOIN bench USING (h)
+        |WHERE NOT (doc_id < 10000 AND doc_id % 50 = 0)
+        |GROUP BY doc_id""".stripMargin)),
+
     // gap-based sessionization (30-min inactivity breaks)
     Qry("q40_sessionize",
       (s, dir) => {
