@@ -643,6 +643,62 @@ object QLlm {
         |WHERE NOT (doc_id < 10000 AND doc_id % 50 = 0)
         |GROUP BY doc_id""".stripMargin)),
 
+    // bounded-window interval join (batch twin of a watermarked
+    // stream-stream join): purchases within 30 min AFTER each click,
+    // banded by time bucket — each side shuffles once, 2× bounded
+    // fan-out, no per-key quadratic range join
+    Qry("q61_interval_join",
+      (s, dir) => {
+        val ev = events(s, dir)
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts").as("p_ts"), col("value"))
+        graft.ops.IntervalJoin.within(clicks, purchases, "user_id", "ts", "p_ts", 1800)
+          .select(col("event_id"), col("user_id"),
+            date_format(col("p_ts"), "yyyy-MM-dd HH:mm:ss").as("p_ts"),
+            round(col("value") * 100, 0).cast("long").as("value_cents"))
+      },
+      Some("""SELECT c.event_id, c.user_id,
+        |  strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS p_ts,
+        |  CAST(round(p.value * 100) AS BIGINT) AS value_cents
+        |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
+        |JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
+        |  ON c.user_id = p.user_id
+        |  AND epoch_us(p.ts) >= epoch_us(c.ts)
+        |  AND epoch_us(p.ts) < epoch_us(c.ts) + 1800000000""".stripMargin)),
+
+    // multimodal frame sampling through the real mapPartitions plumbing
+    // (typed Dataset[Media] → Dataset[Frame]; the deterministic stub
+    // decoder slices payload bytes) — oracle reproduces the stride/slice
+    // arithmetic over the same bytes, so the PLUMBING is hash-checked even
+    // though the codec is a stand-in
+    Qry("q62_frame_sample",
+      (s, dir) => {
+        implicit val sp: SparkSession = s
+        import s.implicits._
+        val media = t(s, dir, "documents")
+          .select(col("doc_id"),
+            when(col("doc_id") % 3 === 0, lit("video")).otherwise(lit("image"))
+              .as("media_type"),
+            col("text").cast("binary").as("payload"))
+          .as[graft.multimodal.Multimodal.Media]
+        graft.multimodal.Multimodal.sampleFrames(media, 4).toDF()
+          .select(col("doc_id"), col("frame_idx"),
+            length(col("frame_payload")).as("n_bytes"),
+            md5(col("frame_payload")).as("frame_md5"))
+      },
+      // documents text is pure ASCII (verified), so byte offsets == char
+      // offsets and VARCHAR substr mirrors the byte slices exactly
+      Some("""WITH v AS (SELECT doc_id, text, length(text) AS len
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |f AS (SELECT doc_id, text, len,
+        |    unnest(range(0, greatest(len // 64, 1), 4)) AS i FROM v)
+        |SELECT doc_id, CAST(i AS INT) AS frame_idx,
+        |  CAST(length(substr(text, CAST(i * 64 % greatest(len, 1) AS INT) + 1, 64)) AS INT) AS n_bytes,
+        |  md5(substr(text, CAST(i * 64 % greatest(len, 1) AS INT) + 1, 64)) AS frame_md5
+        |FROM f""".stripMargin)),
+
     // gap-based sessionization (30-min inactivity breaks)
     Qry("q40_sessionize",
       (s, dir) => {
