@@ -503,17 +503,22 @@ object QLlm {
     // this row proves the COMPOSITION end-to-end against DuckDB.
     Qry("q57_corpus_curation",
       (s, dir) => {
-        val toks = TextOps.tokens(col("text"))
+        // tokenize ONCE into a cached column: n_tokens, langId, the exact-
+        // dedup hash and the shingles all derive from `tk` — without this
+        // the regex+split chain runs 4× per doc
         val d = docsWithDups(s, dir)
-          .withColumn("n_tokens", size(toks))
-          .withColumn("lang_pred", TextOps.langId(toks))
-          .filter(col("n_tokens") >= 20 && col("lang_pred") === "en")
-          .cache()
-        val keepIds = d.groupBy(md5(TextOps.normText(col("text"))).as("h"))
-          .agg(min("doc_id").as("doc_id")).select("doc_id")
-        val kept = d.join(keepIds, Seq("doc_id"), "left_semi")
+          .withColumn("tk", TextOps.tokens(col("text")))
+          .withColumn("n_tokens", size(col("tk")))
+          .filter(col("n_tokens") >= 20 &&
+            TextOps.langId(col("tk")) === "en")
           .select(col("doc_id"), col("n_tokens"),
-            TextOps.shingles(TextOps.tokens(col("text")), 3).as("sh"))
+            md5(concat_ws(" ", col("tk"))).as("h"),
+            TextOps.shingles(col("tk"), 3).as("sh"))
+          .cache()
+        val keepIds = d.groupBy(col("h"))
+          .agg(min("doc_id").as("doc_id")).select("doc_id")
+        val kept = d.select("doc_id", "n_tokens", "sh")
+          .join(keepIds, Seq("doc_id"), "left_semi")
           .cache()
         val keys = kept.select(col("doc_id"), explode(
           TextOps.lshBands(TextOps.minhashFromBase(

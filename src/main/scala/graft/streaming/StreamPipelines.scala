@@ -138,6 +138,26 @@ object StreamPipelines {
       // would keep state forever
       .dropDuplicatesWithinWatermark(idCols.toArray)
 
+  /** Watermarked stream-stream interval join: right rows within
+    * `windowSec` AFTER each left row, per key — the streaming form of
+    * [[graft.ops.IntervalJoin.within]] (q61 is the batch twin). Inputs
+    * must carry disjoint column names (`leftTime`/`rightTime` are the two
+    * event-time columns). Both sides are watermarked, and the time-range
+    * predicate lets Spark bound each side's join state: a buffered left
+    * row is dropped once the watermark passes `leftTime + windowSec`, so
+    * state is (rate × window + watermark slack), not stream length.
+    */
+  def intervalJoinStream(left: DataFrame, right: DataFrame,
+                         leftKey: String, rightKey: String,
+                         leftTime: String, rightTime: String, windowSec: Long,
+                         watermark: String = "2 hours"): DataFrame = {
+    val l = left.withWatermark(leftTime, watermark)
+    val r = right.withWatermark(rightTime, watermark)
+    l.join(r, col(leftKey) === col(rightKey) &&
+      unix_micros(col(rightTime)) >= unix_micros(col(leftTime)) &&
+      unix_micros(col(rightTime)) < unix_micros(col(leftTime)) + windowSec * 1000000L)
+  }
+
   /** The data contract applied to a TRANSACTION STREAM: stream-static
     * broadcast joins resolve user/product existence and expected price,
     * then the one-pass rule engine annotates each row — every rule is a

@@ -58,6 +58,19 @@ class PlanBudgetSpec extends SparkSpec {
     assert(shuffles("q53_tx_price_dup_contract") <= 1)
   }
 
+  test("curation/decontamination/interval-join stay within their shuffle budgets") {
+    // q57 composition: spread fan-out + exact-dedup agg + semi-join +
+    // band self-join + pair distinct + verify joins + final anti-join —
+    // each a keyed exchange, none quadratic
+    assert(shuffles("q57_corpus_curation") <= 10)
+    // q59: one spread + the shard-local running-sum window
+    assert(shuffles("q59_token_packing") <= 2)
+    // q60: spread + shingle-hash join both sides + final per-doc aggregate
+    assert(shuffles("q60_decontamination") <= 5)
+    // q61: one exchange per side on (key, bucket) — never a range-join blowup
+    assert(shuffles("q61_interval_join") <= 2)
+  }
+
   test("per-row LLM operators shuffle only their spread() fan-out") {
     // repartition is one round-robin exchange; everything after is narrow
     Seq("q27_text_quality", "q30_simhash", "q31_lang_id", "q32_fingerprint",

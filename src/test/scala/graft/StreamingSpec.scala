@@ -101,6 +101,35 @@ class StreamingSpec extends SparkSpec {
     assert(got.groupBy("event_id").count().filter(col("count") > 1).count() === 0)
   }
 
+  test("stream-stream interval join matches the batch banded interval join") {
+    val out = Files.createTempDirectory("graft_ij_out").toString
+    val ev = StreamPipelines.readEvents(spark, eventsDir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user_id"), col("ts").as("p_ts"), col("value"))
+    val q = StreamPipelines.intervalJoinStream(clicks, purchases,
+        "user_id", "p_user_id", "ts", "p_ts", 1800)
+      .select(col("event_id"), col("user_id"), col("p_ts"), col("value"))
+      .writeStream.format("memory").queryName("ij")
+      .outputMode("append").trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$out/ckpt").start()
+    q.awaitTermination(120000)
+
+    val bev = spark.read.parquet(eventsDir)
+    val batch = graft.ops.IntervalJoin.within(
+      bev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts")),
+      bev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("p_ts"), col("value")),
+      "user_id", "ts", "p_ts", 1800)
+      .select(col("event_id"), col("user_id"), col("p_ts"), col("value"))
+
+    val streamed = spark.table("ij")
+    assert(streamed.count() > 0)
+    assert(sortedRows(streamed) === sortedRows(batch))
+  }
+
   test("streaming sessionization matches batch q40 for emitted sessions") {
     val out = Files.createTempDirectory("graft_sess_out").toString
     implicit val s = spark
