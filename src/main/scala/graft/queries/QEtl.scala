@@ -694,6 +694,79 @@ object QEtl {
         |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
         |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    // ROLLUP super-aggregates with grouping_id — the OLAP subtotal read
+    // path over the star schema (year × priority, exact cents); DuckDB's
+    // GROUPING(a,b) uses the same bitmask as Spark's grouping_id
+    Qry("q63_rollup_totals",
+      (s, dir) => t(s, dir, "orders")
+        .select(year(col("o_orderdate")).as("yr"),
+          col("o_orderpriority").as("prio"),
+          round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+        .rollup("yr", "prio")
+        .agg(grouping_id().as("gid"), count(lit(1)).as("n"), sum("cents").as("cents")),
+      Some("""SELECT CAST(year(o_orderdate) AS INT) AS yr, o_orderpriority AS prio,
+        |  CAST(GROUPING(yr, prio) AS BIGINT) AS gid,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM orders GROUP BY ROLLUP(yr, prio)""".stripMargin)),
+
+    // exact interpolated quantiles per group (both engines: sorted exact
+    // percentile with lower + frac*(upper-lower) interpolation in double)
+    Qry("q64_quantiles",
+      (s, dir) => t(s, dir, "orders")
+        .select(col("o_orderpriority").as("prio"),
+          round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+        .groupBy("prio")
+        .agg(expr("percentile(cents, 0.5)").as("p50"),
+          expr("percentile(cents, 0.95)").as("p95"),
+          count(lit(1)).as("n")),
+      Some("""SELECT o_orderpriority AS prio,
+        |  quantile_cont(CAST(round(o_totalprice * 100) AS BIGINT), 0.5) AS p50,
+        |  quantile_cont(CAST(round(o_totalprice * 100) AS BIGINT), 0.95) AS p95,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM orders GROUP BY 1""".stripMargin)),
+
+    // pivot (long → wide): order counts by year × status; the oracle's
+    // count(CASE...) yields 0 where the pivot fills null, so the Spark
+    // side zero-fills to match
+    Qry("q65_pivot_status",
+      (s, dir) => t(s, dir, "orders")
+        .select(year(col("o_orderdate")).as("yr"), col("o_orderstatus"))
+        .groupBy("yr").pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .na.fill(0L, Seq("F", "O", "P")),
+      Some("""SELECT CAST(year(o_orderdate) AS INT) AS yr,
+        |  CAST(count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS BIGINT) AS "F",
+        |  CAST(count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS BIGINT) AS "O",
+        |  CAST(count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS BIGINT) AS "P"
+        |FROM orders GROUP BY 1""".stripMargin)),
+
+    // month-over-month trend: lag window + exact COUNT(DISTINCT) — the
+    // remaining analytics window/aggregate shapes (neither appears
+    // elsewhere in the registry)
+    Qry("q66_monthly_trend",
+      (s, dir) => {
+        val monthly = t(s, dir, "orders")
+          .select(date_format(col("o_orderdate"), "yyyy-MM").as("month"),
+            col("o_custkey"),
+            round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+          .groupBy("month")
+          .agg(sum("cents").as("cents"),
+            countDistinct("o_custkey").as("n_customers"))
+        val w = Window.orderBy("month")
+        monthly
+          .withColumn("prev_cents", lag("cents", 1).over(w))
+          .withColumn("delta_cents", col("cents") - col("prev_cents"))
+      },
+      Some("""WITH m AS (SELECT strftime(o_orderdate, '%Y-%m') AS month,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents,
+        |    CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers
+        |  FROM orders GROUP BY 1)
+        |SELECT month, cents, n_customers,
+        |  lag(cents) OVER (ORDER BY month) AS prev_cents,
+        |  cents - lag(cents) OVER (ORDER BY month) AS delta_cents
+        |FROM m""".stripMargin)),
+
     // F2/F3 — the USER catalog contract (reference validation.py:34-58):
     // empty/blank name, email regex, NULL join_date — over customer rows
     // dirtied deterministically (blank names at %11/%23, null email at %29,
