@@ -704,6 +704,68 @@ object QLlm {
         |  md5(substr(text, CAST(i * 64 % greatest(len, 1) AS INT) + 1, 64)) AS frame_md5
         |FROM f""".stripMargin)),
 
+    // semi-structured extraction: JSON props column → typed field → rollup
+    // (get_json_object is a narrow codegen'd expression; no UDF)
+    Qry("q67_json_extract",
+      (s, dir) => events(s, dir)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("int").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("k").as("sum_k"),
+          count(when(col("k") > 50, 1)).as("n_high")),
+      Some("""SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+        |  CAST(count(CASE WHEN CAST(json_extract_string(props, '$.k') AS INT) > 50
+        |    THEN 1 END) AS BIGINT) AS n_high
+        |FROM events GROUP BY 1""".stripMargin)),
+
+    // PII scrubbing — the redaction pass every training corpus needs:
+    // deterministic synthetic emails/phones injected into a quarter of the
+    // docs, then email-pattern and long-digit-run replacement; counts +
+    // scrubbed-text hash prove the exact rewrite, not just "something
+    // changed". Pure per-row regex — narrow at any scale.
+    Qry("q68_pii_scrub",
+      (s, dir) => {
+        val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+        val withPii = spread(s, t(s, dir, "documents")).select(col("doc_id"),
+          when(col("doc_id") % 4 === 0,
+            concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
+              lit("@mail.example phone 555-"), col("doc_id").cast("string"), lit("1234")))
+            .otherwise(col("text")).as("t"))
+        withPii.select(col("doc_id"),
+          regexp_count(col("t"), lit(emailRe)).as("n_emails"),
+          md5(regexp_replace(regexp_replace(col("t"), emailRe, "<EMAIL>"),
+            "[0-9]{3,}", "<NUM>")).as("scrubbed_md5"))
+      },
+      Some("""WITH p AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 4 = 0
+        |      THEN text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+        |           '@mail.example phone 555-' || CAST(doc_id AS VARCHAR) || '1234'
+        |      ELSE text END AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(t,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails,
+        |  md5(regexp_replace(regexp_replace(t,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '[0-9]{3,}', '<NUM>', 'g')) AS scrubbed_md5
+        |FROM p""".stripMargin)),
+
+    // vocabulary building: corpus-wide token frequencies, deterministic
+    // top-100 — the classic map-side-combined wordcount; the top-k is a
+    // TakeOrdered over the (small) aggregated vocab, never a global sort
+    // of the token stream
+    Qry("q69_vocab_topk",
+      (s, dir) => spread(s, t(s, dir, "documents"))
+        .select(explode(TextOps.tokens(col("text"))).as("token"))
+        .filter(length(col("token")) > 0)
+        .groupBy("token").agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), col("token")).limit(100),
+      Some(s"""WITH tk AS (SELECT unnest($toksSql) AS token FROM documents)
+        |SELECT token, CAST(count(*) AS BIGINT) AS n FROM tk
+        |WHERE length(token) > 0
+        |GROUP BY 1 ORDER BY n DESC, token LIMIT 100""".stripMargin)),
+
     // gap-based sessionization (30-min inactivity breaks)
     Qry("q40_sessionize",
       (s, dir) => {
