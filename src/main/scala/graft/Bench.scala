@@ -11,6 +11,8 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       // events.parquet is TIMESTAMP(NANOS); Spark only reads it as long
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // native functions + date-string-compare pushdown rule
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -14,6 +14,8 @@ object Verify {
       .config("spark.ui.enabled", "false")
       // events.parquet is TIMESTAMP(NANOS); Spark only reads it as long
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // native functions + date-string-compare pushdown rule
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

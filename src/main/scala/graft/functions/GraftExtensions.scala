@@ -38,11 +38,15 @@ object GraftFunctions {
   }
 }
 
-/** `spark.sql.extensions` entry point (SparkSessionExtensions). */
+/** `spark.sql.extensions` entry point (SparkSessionExtensions): the native
+  * expressions as SQL functions plus the date-string-compare pushdown
+  * optimizer rule ([[graft.plans.DateStringComparePushdown]]). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.registry.foreach { case (name, usage, builder) =>
       ext.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo("graft.functions", name, usage), builder))
     }
+    ext.injectOptimizerRule(_ => graft.plans.DateStringComparePushdown)
+  }
 }

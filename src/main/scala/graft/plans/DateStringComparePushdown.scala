@@ -1,0 +1,113 @@
+package graft.plans
+
+import java.time.{LocalDate, ZoneId}
+import java.time.format.DateTimeFormatter
+import java.time.temporal.ChronoUnit
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.internal.SQLConf
+import org.apache.spark.sql.types.{DateType, StringType, TimestampType}
+
+/** Optimizer rule: comparisons of `date_format(col, 'yyyy-MM-dd')` against
+  * a string literal become native date/timestamp comparisons, so the
+  * predicate reaches the parquet scan (PushedFilters / row-group pruning)
+  * instead of evaluating a formatter per row behind an opaque string
+  * compare. This is the single most common pushdown-killing pattern in
+  * user queries (the reference's raw-string daily extract has exactly this
+  * shape), and at 100 TB it is the difference between pruned row groups
+  * and a full fact scan.
+  *
+  * Rewrites (ISO `yyyy-MM-dd` format only, literal must parse strictly):
+  *  - DATE column, any comparison op: compare the column to the DATE
+  *    literal directly — zero-padded ISO strings order exactly like the
+  *    dates they render (for 4-digit years, the DateType norm; years
+  *    ≥ 10000 already compared wrongly as strings, so nothing regresses).
+  *  - TIMESTAMP column: each op becomes a half-open bound on the day
+  *    boundary in the SESSION time zone (the same zone `date_format`
+  *    renders in, DST-correct via ZonedDateTime):
+  *    `= d` → `[start(d), start(d+1))`, `<= d` → `< start(d+1)`,
+  *    `> d` → `>= start(d+1)`, `< d` → `< start(d)`, `>= d` → `>= start(d)`.
+  *    `<=>` is NOT rewritten for timestamps (the conjunction form maps a
+  *    null input to null where `<=>` yields false — visible outside
+  *    filters).
+  *
+  * Null semantics are preserved: both the formatted and the native form
+  * null-propagate identically for every rewritten op. Unparseable or
+  * non-ISO literals are left untouched (their string-compare semantics
+  * genuinely differ). Injected via [[graft.functions.GraftExtensions]].
+  */
+object DateStringComparePushdown extends Rule[LogicalPlan] {
+
+  private val isoFmt = DateTimeFormatter.ISO_LOCAL_DATE
+
+  private def isIsoFormat(fmt: Expression): Boolean = fmt match {
+    case Literal(s, StringType) => s != null && s.toString == "yyyy-MM-dd"
+    case _ => false
+  }
+
+  private def parseDay(lit: Literal): Option[LocalDate] = lit match {
+    case Literal(s, StringType) if s != null =>
+      try Some(LocalDate.parse(s.toString, isoFmt)) catch { case _: Exception => None }
+    case _ => None
+  }
+
+  private def dateLit(d: LocalDate): Literal =
+    Literal(d.toEpochDay.toInt, DateType)
+
+  private def dayStartMicros(d: LocalDate): Long = {
+    val zone = ZoneId.of(SQLConf.get.sessionLocalTimeZone)
+    ChronoUnit.MICROS.between(java.time.Instant.EPOCH, d.atStartOfDay(zone).toInstant)
+  }
+
+  private def tsLit(d: LocalDate): Literal =
+    Literal(dayStartMicros(d), TimestampType)
+
+  /** The timestamp rewrite for `date_format(ts) <op> day`, or None when the
+    * op has no single/range bound form we rewrite. */
+  private def tsRewrite(cmp: BinaryComparison, ts: Expression, day: LocalDate): Option[Expression] =
+    cmp match {
+      case _: EqualTo => Some(And(
+        GreaterThanOrEqual(ts, tsLit(day)), LessThan(ts, tsLit(day.plusDays(1)))))
+      case _: LessThan => Some(LessThan(ts, tsLit(day)))
+      case _: LessThanOrEqual => Some(LessThan(ts, tsLit(day.plusDays(1))))
+      case _: GreaterThan => Some(GreaterThanOrEqual(ts, tsLit(day.plusDays(1))))
+      case _: GreaterThanOrEqual => Some(GreaterThanOrEqual(ts, tsLit(day)))
+      case _ => None // EqualNullSafe: null → false vs null, not filter-safe everywhere
+    }
+
+  /** Mirror an op for literal-on-the-left shapes: `'d' < f(c)` ⟺ `f(c) > 'd'`. */
+  private def flip(cmp: BinaryComparison, l: Expression, r: Expression): BinaryComparison =
+    cmp match {
+      case _: LessThan => GreaterThan(l, r)
+      case _: LessThanOrEqual => GreaterThanOrEqual(l, r)
+      case _: GreaterThan => LessThan(l, r)
+      case _: GreaterThanOrEqual => LessThanOrEqual(l, r)
+      case _: EqualTo => EqualTo(l, r)
+      case other => other.withNewChildren(Seq(l, r)).asInstanceOf[BinaryComparison]
+    }
+
+  private def rewrite(cmp: BinaryComparison, fmtChild: Expression,
+                      day: LocalDate): Option[Expression] = fmtChild.dataType match {
+    case DateType => cmp match {
+      case _: EqualTo | _: EqualNullSafe | _: LessThan | _: LessThanOrEqual |
+           _: GreaterThan | _: GreaterThanOrEqual =>
+        Some(cmp.withNewChildren(Seq(fmtChild, dateLit(day))))
+      case _ => None
+    }
+    case TimestampType => tsRewrite(cmp, fmtChild, day)
+    case _ => None
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
+    case cmp: BinaryComparison => (cmp.left, cmp.right) match {
+      case (DateFormatClass(child, fmt, _), l: Literal) if isIsoFormat(fmt) =>
+        parseDay(l).flatMap(rewrite(cmp, child, _)).getOrElse(cmp)
+      case (l: Literal, DateFormatClass(child, fmt, _)) if isIsoFormat(fmt) =>
+        parseDay(l).flatMap(d => rewrite(flip(cmp, cmp.right, cmp.left), child, d))
+          .getOrElse(cmp)
+      case _ => cmp
+    }
+  }
+}

@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The DateStringComparePushdown optimizer rule (injected via
+  * GraftExtensions, active in this suite's session): `date_format(col,
+  * 'yyyy-MM-dd') <cmp> 'literal'` must reach the parquet scan as a native
+  * date/timestamp predicate, with identical results, and must NOT rewrite
+  * when the literal's string-compare semantics genuinely differ.
+  */
+class PlanRuleSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def plan(df: DataFrame): String = df.queryExecution.executedPlan.toString
+
+  private def orders = spark.read.parquet(s"$sfDir/orders.parquet")
+
+  private def events = {
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  test("DATE column: formatted-string compares push as native date filters") {
+    val df = orders.filter(date_format(col("o_orderdate"), "yyyy-MM-dd") < "1995-03-15")
+      .select("o_orderkey")
+    assert(plan(df).contains("LessThan(o_orderdate"), plan(df).take(600))
+    // identical results to the native form
+    val native = orders.filter(col("o_orderdate") < to_date(lit("1995-03-15")))
+      .select("o_orderkey")
+    assert(sortedRows(df) === sortedRows(native))
+  }
+
+  test("DATE column: literal-on-the-left flips and pushes") {
+    val df = orders.filter(lit("1995-03-15") > date_format(col("o_orderdate"), "yyyy-MM-dd"))
+      .select("o_orderkey")
+    assert(plan(df).contains("LessThan(o_orderdate"), plan(df).take(600))
+  }
+
+  test("TIMESTAMP column: formatted equality becomes a day range; pushes on µs parquet") {
+    // the reference's raw-string daily-extract shape (SURVEY S3). On the
+    // nanos-as-long testdata the ts column is derived (timestamp_micros),
+    // so the bounds stay in the Filter; the rewrite itself must still
+    // replace the per-row formatter with native bounds
+    val df = events.filter(date_format(col("ts"), "yyyy-MM-dd") === "2024-01-18")
+      .select("event_id")
+    val p = plan(df)
+    assert(p.contains(">= 2024-01-18 00:00:00") && p.contains("< 2024-01-19 00:00:00"),
+      p.take(800))
+    val native = events.filter(col("ts") >= to_timestamp(lit("2024-01-18 00:00:00")) &&
+      col("ts") < to_timestamp(lit("2024-01-19 00:00:00")))
+      .select("event_id")
+    assert(sortedRows(df) === sortedRows(native))
+    assert(df.count() > 0)
+
+    // on a REAL µs-timestamp parquet the range reaches PushedFilters
+    val dir = java.nio.file.Files.createTempDirectory("graft_rule_ts").toString
+    events.select("event_id", "ts").write.mode("overwrite").parquet(dir)
+    val pushed = spark.read.parquet(dir)
+      .filter(date_format(col("ts"), "yyyy-MM-dd") === "2024-01-18")
+    val pp = plan(pushed)
+    assert(pp.contains("PushedFilters: [IsNotNull(ts), GreaterThanOrEqual(ts"), pp.take(800))
+    assert(pushed.count() === df.count())
+  }
+
+  test("TIMESTAMP column: inequality maps to the correct day boundary") {
+    val le = events.filter(date_format(col("ts"), "yyyy-MM-dd") <= "2024-01-18")
+    val leNative = events.filter(col("ts") < to_timestamp(lit("2024-01-19 00:00:00")))
+    assert(le.count() === leNative.count())
+    val gt = events.filter(date_format(col("ts"), "yyyy-MM-dd") > "2024-01-18")
+    val gtNative = events.filter(col("ts") >= to_timestamp(lit("2024-01-19 00:00:00")))
+    assert(gt.count() === gtNative.count())
+  }
+
+  test("guards: non-ISO literals and non-ISO formats stay as string compares") {
+    // '1995-3-15' parses as a date loosely but NOT strictly — its string
+    // compare ('1995-3...' > '1995-0...') differs from the date compare,
+    // so the rule must leave it alone
+    val loose = orders.filter(date_format(col("o_orderdate"), "yyyy-MM-dd") < "1995-3-15")
+    assert(!plan(loose).contains("LessThan(o_orderdate"), plan(loose).take(600))
+    // a different format string is out of scope
+    val fmt = orders.filter(date_format(col("o_orderdate"), "dd-MM-yyyy") < "15-03-1995")
+    assert(!plan(fmt).contains("LessThan(o_orderdate"), plan(fmt).take(600))
+    // and the loose literal's results are the (string-compare) originals
+    val manual = orders
+      .filter(date_format(col("o_orderdate"), "yyyy-MM-dd") < "1995-3-15").count()
+    val expected = orders
+      .select(date_format(col("o_orderdate"), "yyyy-MM-dd").as("s"))
+      .filter(col("s") < "1995-3-15").count()
+    assert(manual === expected)
+  }
+}

@@ -28,6 +28,8 @@ object SparkSpec {
       .config("spark.ui.enabled", "false")
       // testdata events.parquet is TIMESTAMP(NANOS)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // native functions + date-string-compare pushdown rule
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
