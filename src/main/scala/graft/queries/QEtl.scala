@@ -767,6 +767,33 @@ object QEtl {
         |  cents - lag(cents) OVER (ORDER BY month) AS delta_cents
         |FROM m""".stripMargin)),
 
+    // CSV ingest roundtrip, oracle-proven lossless: customer (comma- and
+    // quote-bearing strings, doubles) written as quoted CSV and read back
+    // through the permissive corrupt-record reader must hash-match the
+    // original parquet table — the ingest contract as a CORRECTNESS row,
+    // not just a spec
+    Qry("q70_csv_ingest",
+      (s, dir) => {
+        val src = t(s, dir, "customer")
+        val tmp = java.nio.file.Files.createTempDirectory("graft_q70_csv").toString
+        src.write.mode("overwrite").option("header", "true").csv(tmp)
+        graft.io.Tables.readCsv(s, tmp, src.schema)
+          .drop("_corrupt_record")
+      },
+      Some("SELECT * FROM customer")),
+
+    // JSON-lines ingest roundtrip — same contract, nested-free schema;
+    // doubles survive via shortest-round-trip repr on both legs
+    Qry("q71_jsonl_ingest",
+      (s, dir) => {
+        val src = t(s, dir, "part")
+        val tmp = java.nio.file.Files.createTempDirectory("graft_q71_jsonl").toString
+        src.write.mode("overwrite").json(tmp)
+        graft.io.Tables.readJsonl(s, tmp, src.schema)
+          .drop("_corrupt_record")
+      },
+      Some("SELECT * FROM part")),
+
     // F2/F3 — the USER catalog contract (reference validation.py:34-58):
     // empty/blank name, email regex, NULL join_date — over customer rows
     // dirtied deterministically (blank names at %11/%23, null email at %29,
