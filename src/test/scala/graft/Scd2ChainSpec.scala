@@ -58,10 +58,15 @@ class Scd2ChainSpec extends SparkSpec {
         frac = 0.15, tag = s"d$i")
       val products = Synthetic.mutateProducts(Synthetic.products(spark, nProducts),
         frac = 0.2, tag = s"d$i")
-      val tx = Synthetic.transactions(spark, 120, day, nUsers, nProducts,
+      // reference-distribution transactions: stock-weighted product pool,
+      // 90/10 status, qty ≤ min(5, stock) — then success-only decrements
+      // feed the NEXT day's catalog, so the chain exercises the stock
+      // lifecycle the way populate.py's loop does
+      val tx = Synthetic.transactionsWeighted(spark, 120, day, users, products,
         firstId = 1 + i * 1000)
+      val productsAfterSales = Synthetic.applyStockDecrements(products, tx)
       users.write.mode("overwrite").parquet(s"$wh/users")
-      products.write.mode("overwrite").parquet(s"$wh/products")
+      productsAfterSales.write.mode("overwrite").parquet(s"$wh/products")
       tx.write.mode("overwrite").parquet(s"$wh/transactions")
       Seq("users", "products", "transactions").foreach(t =>
         spark.catalog.refreshByPath(s"$wh/$t"))
