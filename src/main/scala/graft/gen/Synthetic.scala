@@ -223,11 +223,15 @@ object Synthetic {
       existingTx match {
         case Some(ex) =>
           import org.apache.spark.sql.expressions.Window
+          // seeded-rank pick via orderBy().limit() — TakeOrdered, fully
+          // parallel; the index window then runs over perKind rows only
+          // (an unpartitioned window over the whole corpus would funnel
+          // every row through one task)
           val w = Window.orderBy("__r", "transaction_id")
           val picked = ex.select(col("transaction_id"))
             .withColumn("__r", md5(concat(lit("dup|"), col("transaction_id").cast("string"))))
+            .orderBy("__r", "transaction_id").limit(perKind)
             .withColumn("__k", row_number().over(w) - 1)
-            .filter(col("__k") < perKind)
             .select(col("__k"), col("transaction_id"))
           tx(9800, identity)
             .withColumn("__k", col("transaction_id") - 9800)

@@ -16,9 +16,10 @@ object Fs {
   /** Move every data file under `src` into `dst`, preserving relative
     * partition subdirectories (`col=value/...`) and merging with whatever
     * `dst` already holds. Spark part-file names carry task UUIDs, so moves
-    * never collide with existing files. Used to make appends all-or-
-    * nothing: the stage writes to a staging dir first and only a fully
-    * successful job's files are promoted. */
+    * never collide with existing files, and re-running a half-finished
+    * promotion simply moves the remainder — the operation is idempotent.
+    * Used to make appends all-or-nothing: the stage writes to a staging
+    * dir first and only a fully successful job's files are promoted. */
   def promoteInto(src: Path, dst: Path): Unit = {
     Files.createDirectories(dst)
     val ls = Files.list(src)
@@ -29,4 +30,7 @@ object Fs {
         Files.move(entry, dst.resolve(name))
     } finally ls.close()
   }
+
+  /** True when `p` holds a Spark `_SUCCESS` job-commit marker. */
+  def hasSuccessMarker(p: Path): Boolean = Files.exists(p.resolve("_SUCCESS"))
 }

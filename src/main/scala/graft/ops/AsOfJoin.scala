@@ -50,14 +50,15 @@ object AsOfJoin {
     // compares start_date first), so element_at(filtered, -1) is the
     // latest valid version
     // tie-break: on equal start_date the OPEN version (end_date null) must
-    // win, but null sorts first in a struct sort — sort on
-    // coalesce(end_date, 9999-12-31) so the current version lands last and
-    // element_at(-1) picks it
+    // win, but null sorts first in a struct sort — sort on an explicit
+    // open flag (open=1 lands last) then end_date. A sentinel date like
+    // 9999-12-31 would collide with sources that emit that very sentinel
+    // as a closed end_date.
     val versions = dim
       .groupBy(col(dimKey).as("pit_key"))
       .agg(sort_array(collect_list(struct(
         (col("start_date") +:
-          coalesce(col("end_date"), to_date(lit("9999-12-31"))).as("__end_sort") +:
+          when(col("end_date").isNull, 1).otherwise(0).as("__open_sort") +:
           col("end_date") +: attrCols.map(col)): _*
       ))).as("pit_versions"))
     val matched = filter(col("pit_versions"), v =>

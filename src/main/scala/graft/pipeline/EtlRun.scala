@@ -67,14 +67,24 @@ final class EtlRun(spark: SparkSession, warehouse: String) {
     * This is the Spark approximation of the reference's per-stage
     * commit/rollback (ETL/etl.py:460-498): a stage that dies mid-job
     * leaves the target exactly as it was — no partial part-files — while
-    * stages that already committed stay committed, same as the reference. */
+    * stages that already committed stay committed, same as the reference.
+    *
+    * Crash recovery: Spark's `_SUCCESS` marker gates the promotion. A
+    * staging dir WITHOUT the marker is a dead job's debris and is
+    * discarded; one WITH the marker is a committed-but-interrupted
+    * promotion, which the next append COMPLETES (promoteInto is
+    * idempotent — part-file names are unique) rather than deleting, so a
+    * JVM crash mid-promotion can delay the append but never lose or
+    * truncate it. */
   private[graft] def append(df: DataFrame, name: String, partitionCols: Seq[String] = Nil): Unit = {
     val staging = Paths.get(path(s"${name}__append_staging"))
-    graft.io.Fs.deleteRecursively(staging) // leftover from a crashed run
+    val target = Paths.get(path(name))
+    if (graft.io.Fs.hasSuccessMarker(staging)) graft.io.Fs.promoteInto(staging, target)
+    graft.io.Fs.deleteRecursively(staging)
     val w = df.write.mode("overwrite")
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
       .parquet(staging.toString)
-    graft.io.Fs.promoteInto(staging, Paths.get(path(name)))
+    graft.io.Fs.promoteInto(staging, target)
     graft.io.Fs.deleteRecursively(staging)
     spark.catalog.refreshByPath(path(name))
   }

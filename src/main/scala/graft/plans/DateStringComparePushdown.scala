@@ -56,24 +56,28 @@ object DateStringComparePushdown extends Rule[LogicalPlan] {
   private def dateLit(d: LocalDate): Literal =
     Literal(d.toEpochDay.toInt, DateType)
 
-  private def dayStartMicros(d: LocalDate): Long = {
-    val zone = ZoneId.of(SQLConf.get.sessionLocalTimeZone)
+  /** Day-boundary micros in the zone the MATCHED date_format renders in —
+    * its analysis-time-resolved timeZoneId, not the (possibly since
+    * changed) optimization-time session zone. */
+  private def dayStartMicros(d: LocalDate, tz: Option[String]): Long = {
+    val zone = ZoneId.of(tz.getOrElse(SQLConf.get.sessionLocalTimeZone))
     ChronoUnit.MICROS.between(java.time.Instant.EPOCH, d.atStartOfDay(zone).toInstant)
   }
 
-  private def tsLit(d: LocalDate): Literal =
-    Literal(dayStartMicros(d), TimestampType)
+  private def tsLit(d: LocalDate, tz: Option[String]): Literal =
+    Literal(dayStartMicros(d, tz), TimestampType)
 
   /** The timestamp rewrite for `date_format(ts) <op> day`, or None when the
     * op has no single/range bound form we rewrite. */
-  private def tsRewrite(cmp: BinaryComparison, ts: Expression, day: LocalDate): Option[Expression] =
+  private def tsRewrite(cmp: BinaryComparison, ts: Expression, day: LocalDate,
+                        tz: Option[String]): Option[Expression] =
     cmp match {
       case _: EqualTo => Some(And(
-        GreaterThanOrEqual(ts, tsLit(day)), LessThan(ts, tsLit(day.plusDays(1)))))
-      case _: LessThan => Some(LessThan(ts, tsLit(day)))
-      case _: LessThanOrEqual => Some(LessThan(ts, tsLit(day.plusDays(1))))
-      case _: GreaterThan => Some(GreaterThanOrEqual(ts, tsLit(day.plusDays(1))))
-      case _: GreaterThanOrEqual => Some(GreaterThanOrEqual(ts, tsLit(day)))
+        GreaterThanOrEqual(ts, tsLit(day, tz)), LessThan(ts, tsLit(day.plusDays(1), tz))))
+      case _: LessThan => Some(LessThan(ts, tsLit(day, tz)))
+      case _: LessThanOrEqual => Some(LessThan(ts, tsLit(day.plusDays(1), tz)))
+      case _: GreaterThan => Some(GreaterThanOrEqual(ts, tsLit(day.plusDays(1), tz)))
+      case _: GreaterThanOrEqual => Some(GreaterThanOrEqual(ts, tsLit(day, tz)))
       case _ => None // EqualNullSafe: null → false vs null, not filter-safe everywhere
     }
 
@@ -89,23 +93,24 @@ object DateStringComparePushdown extends Rule[LogicalPlan] {
     }
 
   private def rewrite(cmp: BinaryComparison, fmtChild: Expression,
-                      day: LocalDate): Option[Expression] = fmtChild.dataType match {
-    case DateType => cmp match {
-      case _: EqualTo | _: EqualNullSafe | _: LessThan | _: LessThanOrEqual |
-           _: GreaterThan | _: GreaterThanOrEqual =>
-        Some(cmp.withNewChildren(Seq(fmtChild, dateLit(day))))
+                      day: LocalDate, tz: Option[String]): Option[Expression] =
+    fmtChild.dataType match {
+      case DateType => cmp match {
+        case _: EqualTo | _: EqualNullSafe | _: LessThan | _: LessThanOrEqual |
+             _: GreaterThan | _: GreaterThanOrEqual =>
+          Some(cmp.withNewChildren(Seq(fmtChild, dateLit(day))))
+        case _ => None
+      }
+      case TimestampType => tsRewrite(cmp, fmtChild, day, tz)
       case _ => None
     }
-    case TimestampType => tsRewrite(cmp, fmtChild, day)
-    case _ => None
-  }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
     case cmp: BinaryComparison => (cmp.left, cmp.right) match {
-      case (DateFormatClass(child, fmt, _), l: Literal) if isIsoFormat(fmt) =>
-        parseDay(l).flatMap(rewrite(cmp, child, _)).getOrElse(cmp)
-      case (l: Literal, DateFormatClass(child, fmt, _)) if isIsoFormat(fmt) =>
-        parseDay(l).flatMap(d => rewrite(flip(cmp, cmp.right, cmp.left), child, d))
+      case (DateFormatClass(child, fmt, tz), l: Literal) if isIsoFormat(fmt) =>
+        parseDay(l).flatMap(rewrite(cmp, child, _, tz)).getOrElse(cmp)
+      case (l: Literal, DateFormatClass(child, fmt, tz)) if isIsoFormat(fmt) =>
+        parseDay(l).flatMap(d => rewrite(flip(cmp, cmp.right, cmp.left), child, d, tz))
           .getOrElse(cmp)
       case _ => cmp
     }

