@@ -188,6 +188,48 @@ class EtlRunSpec extends SparkSpec {
     assert(tbl("fact_stock_history").count() === rowsBefore)
   }
 
+  test("staged append recovery: interrupted promotion completes, dead-job debris is dropped") {
+    day1Run
+    // use the UNPARTITIONED error log: recovered root-level part-files and
+    // partition-dir layouts must not mix within one table
+    val staging = java.nio.file.Paths.get(s"$wh/etl_error_log__append_staging")
+    val rowsBefore = tbl("etl_error_log").count()
+    import scala.jdk.CollectionConverters._
+    def strayFileFrom(dir: String): java.nio.file.Path = {
+      val w = Files.walk(java.nio.file.Paths.get(dir))
+      try w.iterator().asScala.find(_.toString.endsWith(".parquet")).get
+      finally w.close()
+    }
+
+    // simulate a crash AFTER job commit but MID-promotion: staging holds a
+    // _SUCCESS marker plus one not-yet-moved part-file
+    val strayDf = tbl("etl_error_log").limit(3).withColumn("run_id", lit(90L))
+    val tmpOut = Files.createTempDirectory("graft_stray").toString
+    strayDf.write.mode("overwrite").parquet(tmpOut)
+    Files.createDirectories(staging)
+    Files.createFile(staging.resolve("_SUCCESS"))
+    val stray = strayFileFrom(tmpOut)
+    Files.move(stray, staging.resolve("recovered-" + stray.getFileName))
+
+    // the next append must first COMPLETE the interrupted promotion, then
+    // land its own rows
+    val extra = tbl("etl_error_log").limit(2).withColumn("run_id", lit(91L))
+    etl.append(extra, "etl_error_log")
+    assert(tbl("etl_error_log").count() === rowsBefore + 3 + 2)
+    assert(tbl("etl_error_log").filter(col("run_id") === 90L).count() === 3)
+    assert(!Files.exists(staging))
+
+    // a MARKERLESS staging dir is a dead job's debris: dropped, not promoted
+    Files.createDirectories(staging)
+    strayDf.write.mode("overwrite").parquet(tmpOut + "_2")
+    val stray2 = strayFileFrom(tmpOut + "_2")
+    Files.move(stray2, staging.resolve("dead-" + stray2.getFileName))
+    val extra2 = tbl("etl_error_log").limit(1).withColumn("run_id", lit(92L))
+    etl.append(extra2, "etl_error_log")
+    assert(tbl("etl_error_log").count() === rowsBefore + 3 + 2 + 1)
+    assert(tbl("etl_error_log").filter(col("run_id") === 90L).count() === 3)
+  }
+
   test("idempotent re-run: same day twice inserts nothing new") {
     day1Run
     // ensure day-2 state exists (ordering safety if run standalone)
