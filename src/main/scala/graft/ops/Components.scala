@@ -1,0 +1,56 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Connected components over an edge list by iterative min-label
+  * propagation — the clustering step of a near-duplicate dedup pipeline
+  * (LSH pairs → components → keep one doc per component). The reference
+  * pipeline stops at pair level; a 100 TB corpus needs the transitive
+  * closure or chained near-dups (A~B, B~C) survive dedup.
+  *
+  * Algorithm: every vertex starts labeled with itself; each round every
+  * vertex takes the min label among itself and its neighbors; converged
+  * when no label changes. Rounds needed = graph diameter (near-dup
+  * clusters are small stars/chains, so 2–4 in practice, `maxIter` is a
+  * safety bound). Each round is ONE shuffle (union + min-aggregate on
+  * vertex id); `localCheckpoint` truncates the lineage so the plan stays
+  * flat across iterations (on a cluster, prefer reliable `checkpoint`
+  * with a checkpoint dir — same call shape). The convergence probe is a
+  * `limit(1).count` on changed labels — an early-out, not a full scan.
+  */
+object Components {
+
+  /** @param vertices single column `id`
+    * @param edges    columns `src`,`dst`; undirected (either orientation)
+    * @return columns `id`, `lbl` — `lbl` is the min vertex id of the
+    *         component, deterministic for any edge orientation/order
+    */
+  def connectedComponents(vertices: DataFrame, edges: DataFrame, maxIter: Int = 25): DataFrame = {
+    // reliable checkpoint when a checkpoint dir is configured (survives
+    // executor loss on a cluster); executor-local otherwise (local mode)
+    def cut(df: DataFrame): DataFrame =
+      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
+      else df.localCheckpoint()
+
+    // symmetrize once: propagation below only follows src -> dst
+    val sym = cut(edges.select(col("src"), col("dst"))
+      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst"))))
+
+    var labels = cut(vertices.select(col("id"), col("id").as("lbl")))
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val prop = sym.join(labels, sym("src") === labels("id"))
+        .select(sym("dst").as("id"), col("lbl"))
+      val next = cut(labels.unionByName(prop)
+        .groupBy("id").agg(min("lbl").as("lbl")))
+      converged = next.join(labels.withColumnRenamed("lbl", "prev_lbl"), Seq("id"))
+        .filter(col("lbl") =!= col("prev_lbl"))
+        .limit(1).count() == 0L
+      labels = next
+      iter += 1
+    }
+    labels
+  }
+}

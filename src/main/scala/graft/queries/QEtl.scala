@@ -767,6 +767,114 @@ object QEtl {
         |  cents - lag(cents) OVER (ORDER BY month) AS delta_cents
         |FROM m""".stripMargin)),
 
+    // CUBE super-aggregates (all four grouping combinations) — the
+    // complement of q63's ROLLUP; same bitmask contract between Spark
+    // grouping_id() and DuckDB GROUPING()
+    Qry("q74_cube_totals",
+      (s, dir) => t(s, dir, "orders")
+        .select(year(col("o_orderdate")).as("yr"),
+          col("o_orderstatus").as("status"),
+          round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+        .cube("yr", "status")
+        .agg(grouping_id().as("gid"), count(lit(1)).as("n"), sum("cents").as("cents")),
+      Some("""SELECT CAST(year(o_orderdate) AS INT) AS yr, o_orderstatus AS status,
+        |  CAST(GROUPING(yr, status) AS BIGINT) AS gid,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM orders GROUP BY CUBE(yr, status)""".stripMargin)),
+
+    // correlated EXISTS subquery through the SQL surface (temp views +
+    // spark.sql) — Catalyst decorrelates it into a left-semi hash join on
+    // l_orderkey, so the "subquery per row" never happens at any scale;
+    // the date range prunes the orders scan
+    Qry("q75_exists_orders",
+      (s, dir) => {
+        t(s, dir, "orders").createOrReplaceTempView("g_orders")
+        t(s, dir, "lineitem").createOrReplaceTempView("g_lineitem")
+        s.sql("""SELECT o_orderpriority, count(*) AS n_orders
+          FROM g_orders
+          WHERE o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1995-07-01'
+            AND EXISTS (SELECT 1 FROM g_lineitem
+                        WHERE l_orderkey = o_orderkey AND l_discount > 0.05)
+          GROUP BY o_orderpriority""")
+      },
+      Some("""SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+        |FROM orders
+        |WHERE o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1995-07-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_discount > 0.05)
+        |GROUP BY o_orderpriority""".stripMargin)),
+
+    // 7-day moving average over the daily revenue series — a RANGE frame
+    // keyed on day number, so date gaps widen the window correctly where
+    // a ROWS frame would silently span them. The global-order window runs
+    // AFTER the daily aggregate (a few thousand rows at any corpus size);
+    // the fact-table pass is the parallel groupBy
+    Qry("q76_moving_avg",
+      (s, dir) => {
+        val daily = t(s, dir, "orders")
+          .groupBy(col("o_orderdate").cast("date").as("d"))
+          .agg(sum(round(col("o_totalprice") * 100, 0).cast("long")).as("cents"))
+        val w = Window.orderBy("dn").rangeBetween(-6, 0)
+        daily.withColumn("dn", datediff(col("d"), lit("1995-01-01").cast("date")))
+          .withColumn("avg7_cents", round(avg("cents").over(w), 4))
+          .select(date_format(col("d"), "yyyy-MM-dd").as("d"),
+            col("cents"), col("avg7_cents"))
+      },
+      Some("""WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1)
+        |SELECT strftime(d, '%Y-%m-%d') AS d, cents,
+        |  round(avg(cents) OVER (ORDER BY d RANGE BETWEEN INTERVAL 6 DAYS PRECEDING
+        |    AND CURRENT ROW), 4) AS avg7_cents
+        |FROM daily""".stripMargin)),
+
+    // ntile deciles WITHIN nation — the window is partitioned (one shuffle
+    // on nationkey), never the single-partition global sort a bare
+    // ntile-over-everything would be; the grouped output is nation × decile
+    Qry("q77_ntile_deciles",
+      (s, dir) => t(s, dir, "customer")
+        .select(col("c_nationkey"), col("c_custkey"),
+          round(col("c_acctbal") * 100, 0).cast("long").as("bal_cents"))
+        .withColumn("decile", ntile(10).over(
+          Window.partitionBy("c_nationkey").orderBy(col("bal_cents"), col("c_custkey"))))
+        .groupBy("c_nationkey", "decile")
+        .agg(count(lit(1)).as("n"), min("bal_cents").as("lo"), max("bal_cents").as("hi")),
+      Some("""WITH d AS (SELECT c_nationkey, c_custkey,
+        |    CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents,
+        |    ntile(10) OVER (PARTITION BY c_nationkey
+        |      ORDER BY CAST(round(c_acctbal * 100) AS BIGINT), c_custkey) AS decile
+        |  FROM customer)
+        |SELECT c_nationkey, CAST(decile AS INT) AS decile,
+        |  CAST(count(*) AS BIGINT) AS n, min(bal_cents) AS lo, max(bal_cents) AS hi
+        |FROM d GROUP BY 1, 2""".stripMargin)),
+
+    // multiset difference (EXCEPT ALL): per-customer surplus of finished
+    // over open orders, multiplicity preserved — Catalyst lowers exceptAll
+    // to a count-aggregate + generate, one shuffle per side
+    Qry("q78_multiset_except",
+      (s, dir) => {
+        def ks(st: String) = t(s, dir, "orders")
+          .filter(col("o_orderstatus") === st).select("o_custkey")
+        ks("F").exceptAll(ks("O"))
+      },
+      Some("""SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |EXCEPT ALL
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'""".stripMargin)),
+
+    // array aggregation: per-order sorted part basket (collect_list +
+    // sort_array), serialized to a string so both engines compare the same
+    // canonical form — the market-basket input shape
+    Qry("q79_order_baskets",
+      (s, dir) => t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(concat_ws(",", sort_array(collect_list(col("l_partkey")))).as("parts"),
+          count(lit(1)).as("n_items")),
+      Some("""SELECT l_orderkey,
+        |  array_to_string(list_sort(list(l_partkey)), ',') AS parts,
+        |  CAST(count(*) AS BIGINT) AS n_items
+        |FROM lineitem GROUP BY 1""".stripMargin)),
+
     // CSV ingest roundtrip, oracle-proven lossless: customer (comma- and
     // quote-bearing strings, doubles) written as quoted CSV and read back
     // through the permissive corrupt-record reader must hash-match the

@@ -648,6 +648,92 @@ object QLlm {
         |WHERE NOT (doc_id < 10000 AND doc_id % 50 = 0)
         |GROUP BY doc_id""".stripMargin)),
 
+    // near-dup CLUSTERS: the q29 pair pipeline closed transitively via
+    // min-label propagation ([[graft.ops.Components]]) — without the
+    // closure, chained near-dups (A~B, B~C, A!~C) survive pairwise dedup.
+    // The oracle computes the same fixpoint as a recursive CTE.
+    Qry("q72_dedup_clusters",
+      (s, dir) => {
+        val docs = docsWithDups(s, dir)
+          .select(col("doc_id"), TextOps.shingles(TextOps.tokens(col("text")), 3).as("sh"))
+          .filter(size(col("sh")) > 0)
+          .cache()
+        val keys = docs.select(col("doc_id"), explode(
+          TextOps.lshBands(TextOps.minhashFromBase(
+            TextOps.minhashBase(col("sh")), 16), 8, 2)).as("band_key"))
+        val cand = keys.select(col("band_key"), col("doc_id").as("id_a"))
+          .join(keys.select(col("band_key"), col("doc_id").as("id_b")), Seq("band_key"))
+          .filter(col("id_a") < col("id_b"))
+          .select("id_a", "id_b").distinct()
+        val edges = cand
+          .join(docs.select(col("doc_id").as("id_a"), col("sh").as("sha")), Seq("id_a"))
+          .join(docs.select(col("doc_id").as("id_b"), col("sh").as("shb")), Seq("id_b"))
+          .filter(TextOps.jaccard(col("sha"), col("shb")) >= 0.5)
+          .select(col("id_a").as("src"), col("id_b").as("dst"))
+        graft.ops.Components.connectedComponents(
+            docs.select(col("doc_id").as("id")), edges)
+          .select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
+          .withColumn("n_members",
+            count(lit(1)).over(Window.partitionBy("cluster_id")))
+      },
+      Some({
+        val (as, bs) = TextOps.minhashParams(16)
+        val aArr = as.mkString("[", ",", "]")
+        val bArr = bs.mkString("[", ",", "]")
+        s"""WITH RECURSIVE d0 AS ($docsWithDupsSql),
+        |d AS (SELECT doc_id, ${shinglesSql(toksSql)} AS sh FROM d0),
+        |docs AS (SELECT doc_id, sh FROM d WHERE len(sh) > 0),
+        |bases AS (SELECT doc_id, sh,
+        |    list_transform(sh, s -> ${h64("s")} % ${TextOps.minhashM}) AS hs FROM docs),
+        |sigs AS (SELECT doc_id, sh,
+        |    list_transform(range(0, 16), i -> list_min(list_transform(hs,
+        |      h -> (h * ($aArr)[i + 1] + ($bArr)[i + 1]) % ${TextOps.minhashM}))) AS sig
+        |  FROM bases),
+        |keys AS (SELECT doc_id, unnest(list_transform(range(0, 8),
+        |    b -> CAST(b AS VARCHAR) || ':' || md5(array_to_string(
+        |           sig[b * 2 + 1 : b * 2 + 2], ',')))) AS band_key
+        |  FROM sigs),
+        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM keys a JOIN keys b ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+        |pairs AS (SELECT id_a, id_b
+        |  FROM cand JOIN docs da ON da.doc_id = id_a JOIN docs db ON db.doc_id = id_b
+        |  WHERE (CASE WHEN len(list_distinct(da.sh || db.sh)) = 0 THEN 0.0
+        |    ELSE CAST(len(list_intersect(list_distinct(da.sh), list_distinct(db.sh))) AS DOUBLE)
+        |         / len(list_distinct(da.sh || db.sh)) END) >= 0.5),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION ALL SELECT id_b, id_a FROM pairs),
+        |reach(id, lbl) AS (
+        |  SELECT doc_id, doc_id FROM docs
+        |  UNION
+        |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id),
+        |cc AS (SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY 1)
+        |SELECT id AS doc_id, cluster_id,
+        |  CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS n_members
+        |FROM cc""".stripMargin
+      })),
+
+    // set operations (INTERSECT / EXCEPT): engaged-but-not-converted
+    // audiences. Catalyst lowers both to aggregates + semi/anti joins —
+    // each input is pre-shrunk to a distinct key set before the ops, so
+    // the shuffles carry user ids only
+    Qry("q73_set_ops",
+      (s, dir) => {
+        // early-window cut keeps each set selective (every user eventually
+        // does everything over the full month)
+        val ev = events(s, dir).filter(col("ts") < lit("2024-01-04").cast("timestamp"))
+        def ids(tpe: String) =
+          ev.filter(col("event_type") === tpe).select("user_id").distinct()
+        ids("click").intersect(ids("view")).except(ids("purchase"))
+      },
+      Some("""(SELECT DISTINCT user_id FROM events
+        |  WHERE event_type = 'click' AND ts < TIMESTAMP '2024-01-04'
+        |INTERSECT
+        |SELECT DISTINCT user_id FROM events
+        |  WHERE event_type = 'view' AND ts < TIMESTAMP '2024-01-04')
+        |EXCEPT
+        |SELECT DISTINCT user_id FROM events
+        |  WHERE event_type = 'purchase' AND ts < TIMESTAMP '2024-01-04'""".stripMargin)),
+
     // bounded-window interval join (batch twin of a watermarked
     // stream-stream join): purchases within 30 min AFTER each click,
     // banded by time bucket — each side shuffles once, 2× bounded

@@ -1,0 +1,46 @@
+package graft
+
+import graft.ops.Components
+
+/** Connected components (min-label propagation) — the transitive-closure
+  * step of near-dup dedup clustering (q72).
+  */
+class ComponentsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("chain, star, isolated vertex all get min-id labels") {
+    // chain 1-2-3-4 (diameter > 1 forces multiple propagation rounds),
+    // star 10-{11,12}, isolated 20
+    val verts = Seq(1L, 2L, 3L, 4L, 10L, 11L, 12L, 20L).toDF("id")
+    val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L), (12L, 10L))
+      .toDF("src", "dst")
+    val out = Components.connectedComponents(verts, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toSet
+    assert(out === Set(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L))
+  }
+
+  test("edge orientation does not matter") {
+    val verts = Seq(5L, 6L, 7L).toDF("id")
+    val fwd = Seq((5L, 6L), (6L, 7L)).toDF("src", "dst")
+    val rev = Seq((6L, 5L), (7L, 6L)).toDF("src", "dst")
+    assert(sortedRows(Components.connectedComponents(verts, fwd)) ===
+      sortedRows(Components.connectedComponents(verts, rev)))
+  }
+
+  test("maxIter bounds the rounds on a long chain") {
+    // a 12-vertex chain needs ~11 rounds to fully converge; with
+    // maxIter=2 labels must still be a valid PARTIAL propagation
+    // (monotone non-increasing, within the component)
+    val n = 12L
+    val verts = (1L to n).toDF("id")
+    val edges = (1L until n).map(i => (i, i + 1)).toDF("src", "dst")
+    val full = Components.connectedComponents(verts, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toSet
+    assert(full === (1L to n).map(_ -> 1L).toSet)
+    val partial = Components.connectedComponents(verts, edges, maxIter = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(partial.forall { case (id, lbl) => lbl <= id && lbl >= 1L })
+  }
+}
