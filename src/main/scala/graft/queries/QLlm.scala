@@ -719,8 +719,16 @@ object QLlm {
     Qry("q73_set_ops",
       (s, dir) => {
         // early-window cut keeps each set selective (every user eventually
-        // does everything over the full month)
-        val ev = events(s, dir).filter(col("ts") < lit("2024-01-04").cast("timestamp"))
+        // does everything over the full month). The cut is applied to the
+        // RAW ts column — under nanosAsLong that is a plain long compare,
+        // which reaches PushedFilters; a compare on the converted
+        // timestamp column would not (PlanAudit-verified)
+        val raw = t(s, dir, "events")
+        val ev = raw.schema("ts").dataType match {
+          case org.apache.spark.sql.types.LongType =>
+            raw.filter(col("ts") < lit(1704326400L * 1000000000L)) // 2024-01-04T00:00Z ns
+          case _ => raw.filter(col("ts") < lit("2024-01-04").cast("timestamp"))
+        }
         def ids(tpe: String) =
           ev.filter(col("event_type") === tpe).select("user_id").distinct()
         ids("click").intersect(ids("view")).except(ids("purchase"))
