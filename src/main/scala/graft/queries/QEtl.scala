@@ -875,6 +875,50 @@ object QEtl {
         |  CAST(count(*) AS BIGINT) AS n_items
         |FROM lineitem GROUP BY 1""".stripMargin)),
 
+    // schema-evolution union: two parquet "eras" of the part table (the
+    // old shard lacks price) merged with unionByName(allowMissingColumns)
+    // — the ingestion contract when a 100 TB lake carries years of
+    // written-once files with drifting schemas; missing columns null-fill
+    Qry("q80_schema_evolution",
+      (s, dir) => {
+        val p = t(s, dir, "part")
+        val v1 = p.filter(col("p_partkey") % 2 === 0)
+          .select(col("p_partkey"), col("p_name"))
+        val v2 = p.filter(col("p_partkey") % 2 === 1)
+          .select(col("p_partkey"), col("p_name"),
+            round(col("p_retailprice") * 100, 0).cast("long").as("price_cents"))
+        v1.unionByName(v2, allowMissingColumns = true)
+      },
+      Some("""SELECT p_partkey, p_name, NULL::BIGINT AS price_cents
+        |FROM part WHERE p_partkey % 2 = 0
+        |UNION ALL
+        |SELECT p_partkey, p_name, CAST(round(p_retailprice * 100) AS BIGINT)
+        |FROM part WHERE p_partkey % 2 = 1""".stripMargin)),
+
+    // null-safe equi-join (<=>): the warehouse unknown-member pattern —
+    // facts with a NULL key land on the dim's sentinel row instead of
+    // silently dropping. Spark plans EqualNullSafe as a HASH join key
+    // (not a cartesian filter), so the shape survives scale; the single
+    // null dim row broadcasts with the rest of the dim
+    Qry("q81_null_safe_join",
+      (s, dir) => {
+        val dim = t(s, dir, "customer").select(col("c_custkey").as("k"), col("c_name"))
+          .unionByName(s.range(1).select(
+            lit(null).cast("long").as("k"), lit("UNKNOWN").as("c_name")))
+        val facts = t(s, dir, "orders").select(
+          when(col("o_custkey") % 13 === 0, lit(null)).otherwise(col("o_custkey"))
+            .cast("long").as("k"),
+          col("o_orderkey"))
+        facts.join(dim, facts("k") <=> dim("k"))
+          .select(col("o_orderkey"), col("c_name"))
+      },
+      Some("""WITH dim AS (SELECT c_custkey AS k, c_name FROM customer
+        |    UNION ALL SELECT NULL, 'UNKNOWN'),
+        |f AS (SELECT CASE WHEN o_custkey % 13 = 0 THEN NULL
+        |    ELSE o_custkey END AS k, o_orderkey FROM orders)
+        |SELECT f.o_orderkey, dim.c_name
+        |FROM f JOIN dim ON f.k IS NOT DISTINCT FROM dim.k""".stripMargin)),
+
     // CSV ingest roundtrip, oracle-proven lossless: customer (comma- and
     // quote-bearing strings, doubles) written as quoted CSV and read back
     // through the permissive corrupt-record reader must hash-match the

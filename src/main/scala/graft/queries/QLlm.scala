@@ -742,6 +742,18 @@ object QLlm {
         |SELECT DISTINCT user_id FROM events
         |  WHERE event_type = 'purchase' AND ts < TIMESTAMP '2024-01-04'""".stripMargin)),
 
+    // positional explode (posexplode): token + ordinal — the n-gram /
+    // position-feature primitive; Generate is narrow (no shuffle), output
+    // capped at 5 tokens per doc here to keep the row a prefix sample
+    Qry("q82_posexplode",
+      (s, dir) => spread(s, t(s, dir, "documents"))
+        .select(col("doc_id"), posexplode(TextOps.tokens(col("text"))))
+        .toDF("doc_id", "pos", "token")
+        .filter(col("pos") < 5),
+      Some(s"""WITH d AS (SELECT doc_id, $toksSql AS tk FROM documents)
+        |SELECT doc_id, CAST(u.i - 1 AS INT) AS pos, tk[u.i] AS token
+        |FROM d, unnest(generate_series(1, least(len(tk), 5))) AS u(i)""".stripMargin)),
+
     // bounded-window interval join (batch twin of a watermarked
     // stream-stream join): purchases within 30 min AFTER each click,
     // banded by time bucket — each side shuffles once, 2× bounded

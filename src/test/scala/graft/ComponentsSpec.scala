@@ -29,6 +29,29 @@ class ComponentsSpec extends SparkSpec {
       sortedRows(Components.connectedComponents(verts, rev)))
   }
 
+  test("random graphs match a union-find model") {
+    for (seed <- Seq(7, 21, 99)) {
+      val rnd = new scala.util.Random(seed)
+      val n = 30
+      val edgeList = Seq.fill(20)((rnd.nextInt(n) + 1L, rnd.nextInt(n) + 1L))
+        .filter { case (a, b) => a != b }
+      // reference model: plain union-find
+      val parent = scala.collection.mutable.Map((1L to n).map(i => i -> i): _*)
+      def find(x: Long): Long = if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+      edgeList.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(ra) = rb
+      }
+      val expected = (1L to n).map { i =>
+        val root = find(i)
+        i -> (1L to n).filter(find(_) == root).min
+      }.toMap
+      val got = Components.connectedComponents(
+          (1L to n).toDF("id"), edgeList.toDF("src", "dst"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === expected, s"seed=$seed")
+    }
+  }
+
   test("maxIter bounds the rounds on a long chain") {
     // a 12-vertex chain needs ~11 rounds to fully converge; with
     // maxIter=2 labels must still be a valid PARTIAL propagation

@@ -71,6 +71,18 @@ class PlanBudgetSpec extends SparkSpec {
     assert(shuffles("q61_interval_join") <= 2)
   }
 
+  test("analytics/set-op additions stay within their shuffle budgets") {
+    // q73: distinct per side + the set-op joins; the ts cut must reach the
+    // scan as a LONG compare (nanosAsLong mode) — a compare on the
+    // converted timestamp column silently un-pushes it
+    assert(shuffles("q73_set_ops") <= 3)
+    assert(planOf("q73_set_ops").contains("LessThan(ts,1704326400000000000)"))
+    assert(shuffles("q74_cube_totals") <= 1)   // expand feeds ONE agg exchange
+    assert(shuffles("q76_moving_avg") <= 2)    // daily agg + post-agg window
+    assert(shuffles("q77_ntile_deciles") <= 2) // nation window + rollup agg
+    assert(shuffles("q79_order_baskets") <= 1) // one groupBy exchange
+  }
+
   test("per-row LLM operators shuffle only their spread() fan-out") {
     // repartition is one round-robin exchange; everything after is narrow
     Seq("q27_text_quality", "q30_simhash", "q31_lang_id", "q32_fingerprint",
