@@ -919,6 +919,84 @@ object QEtl {
         |SELECT f.o_orderkey, dim.c_name
         |FROM f JOIN dim ON f.k IS NOT DISTINCT FROM dim.k""".stripMargin)),
 
+    // exact integer moments: mean/variance from BIGINT power sums, so the
+    // result is bit-identical across engines — float stddev_samp/var_samp
+    // accumulate in engine-specific order and can NOT be hash-compared;
+    // this is the deterministic formulation (quantities are whole numbers)
+    Qry("q84_exact_moments",
+      (s, dir) => t(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_quantity").cast("long").as("q"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), sum("q").as("s"),
+          sum(col("q") * col("q")).as("ss"))
+        .select(col("l_returnflag"), col("n"), col("s"), col("ss"),
+          round(col("s").cast("double") / col("n"), 6).as("mean_q"),
+          round((col("n") * col("ss") - col("s") * col("s")).cast("double")
+            / (col("n") * (col("n") - 1)), 6).as("var_q")),
+      Some("""WITH m AS (SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS s,
+        |    CAST(sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS BIGINT) AS ss
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, n, s, ss,
+        |  round(CAST(s AS DOUBLE) / n, 6) AS mean_q,
+        |  round(CAST(n * ss - s * s AS DOUBLE) / (n * (n - 1)), 6) AS var_q
+        |FROM m""".stripMargin)),
+
+    // percent_rank within nation (deterministic: the order has a full
+    // tiebreak) — cumulative-distribution ranking at one shuffle
+    Qry("q85_percent_rank",
+      (s, dir) => t(s, dir, "customer")
+        .select(col("c_nationkey"), col("c_custkey"),
+          round(col("c_acctbal") * 100, 0).cast("long").as("bal_cents"))
+        .withColumn("pr", round(percent_rank().over(
+          Window.partitionBy("c_nationkey").orderBy("bal_cents", "c_custkey")), 6)),
+      Some("""SELECT c_nationkey, c_custkey,
+        |  CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents,
+        |  round(percent_rank() OVER (PARTITION BY c_nationkey
+        |    ORDER BY CAST(round(c_acctbal * 100) AS BIGINT), c_custkey), 6) AS pr
+        |FROM customer""".stripMargin)),
+
+    // record-linkage distance: levenshtein over adjacent-key candidate
+    // pairs — the fuzzy-match primitive; banding on an id keeps the pair
+    // count linear (a real pipeline blocks on zip/sorted-neighborhood the
+    // same way). Both engines run the classic DP, integer-exact.
+    Qry("q86_fuzzy_link",
+      (s, dir) => {
+        val c = t(s, dir, "customer").select(col("c_custkey"), col("c_name"))
+        val a = c.select(col("c_custkey").as("k"), col("c_name").as("name_a"))
+        val b = c.select((col("c_custkey") - 1).as("k"), col("c_name").as("name_b"))
+        a.join(b, Seq("k"))
+          .select(col("k"), levenshtein(col("name_a"), col("name_b")).as("dist"))
+      },
+      Some("""SELECT a.c_custkey AS k, levenshtein(a.c_name, b.c_name) AS dist
+        |FROM customer a JOIN customer b ON b.c_custkey = a.c_custkey + 1""".stripMargin)),
+
+    // calendar scaffold + gap fill: generate the full date spine from the
+    // observed bounds (sequence/explode off a 1-row aggregate — broadcast,
+    // never a driver loop), left-join the daily series, zero-fill gaps
+    Qry("q87_calendar_scaffold",
+      (s, dir) => {
+        val daily = t(s, dir, "orders")
+          .groupBy(col("o_orderdate").cast("date").as("d"))
+          .agg(sum(round(col("o_totalprice") * 100, 0).cast("long")).as("cents"))
+        val spine = daily.agg(min("d").as("d0"), max("d").as("d1"))
+          .select(explode(sequence(col("d0"), col("d1"), expr("interval 1 day"))).as("d"))
+        spine.join(daily, Seq("d"), "left")
+          .select(date_format(col("d"), "yyyy-MM-dd").as("d"),
+            coalesce(col("cents"), lit(0L)).as("cents"),
+            col("cents").isNotNull.as("had_sales"))
+      },
+      Some("""WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1),
+        |spine AS (SELECT CAST(unnest(generate_series(
+        |    (SELECT min(d) FROM daily), (SELECT max(d) FROM daily),
+        |    INTERVAL 1 DAY)) AS DATE) AS d)
+        |SELECT strftime(spine.d, '%Y-%m-%d') AS d,
+        |  coalesce(daily.cents, 0) AS cents,
+        |  daily.cents IS NOT NULL AS had_sales
+        |FROM spine LEFT JOIN daily ON spine.d = daily.d""".stripMargin)),
+
     // CSV ingest roundtrip, oracle-proven lossless: customer (comma- and
     // quote-bearing strings, doubles) written as quoted CSV and read back
     // through the permissive corrupt-record reader must hash-match the

@@ -742,6 +742,27 @@ object QLlm {
         |SELECT DISTINCT user_id FROM events
         |  WHERE event_type = 'purchase' AND ts < TIMESTAMP '2024-01-04'""".stripMargin)),
 
+    // forward-fill (last non-null over an ordered per-key frame): carry
+    // each user's most recent purchase amount onto every later event —
+    // the gap-filling primitive for sparse time series; one shuffle on
+    // user_id, the IGNORE NULLS window is a single ordered pass
+    Qry("q83_forward_fill",
+      (s, dir) => {
+        val ev = events(s, dir)
+        val purchaseCents = when(col("event_type") === "purchase",
+          round(col("value") * 100, 0).cast("long"))
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ev.select(col("event_id"), col("user_id"),
+          last(purchaseCents, ignoreNulls = true).over(w).as("last_purchase_cents"))
+      },
+      Some("""SELECT event_id, user_id,
+        |  last_value(CASE WHEN event_type = 'purchase'
+        |      THEN CAST(round(value * 100) AS BIGINT) END IGNORE NULLS)
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |          ROWS UNBOUNDED PRECEDING) AS last_purchase_cents
+        |FROM events""".stripMargin)),
+
     // positional explode (posexplode): token + ordinal — the n-gram /
     // position-feature primitive; Generate is narrow (no shuffle), output
     // capped at 5 tokens per doc here to keep the row a prefix sample
