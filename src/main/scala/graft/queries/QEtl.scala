@@ -1234,6 +1234,147 @@ object QEtl {
         |         || CAST(vp_price AS VARCHAR) || ', got ' || CAST(price / quantity AS VARCHAR)
         |FROM j WHERE vp_price IS NOT NULL AND user_known AND product_known
         |  AND NOT qty_zero AND NOT qty_neg AND NOT pay_bad AND NOT status_bad AND NOT date_bad
-        |  AND quantity > 0 AND abs(price / quantity - vp_price) > 0.01""".stripMargin))
+        |  AND quantity > 0 AND abs(price / quantity - vp_price) > 0.01""".stripMargin)),
+
+    // conversion funnel: per-user FIRST timestamp of each stage, then
+    // strictly-ordered stage progression counts — two aggregates (one on
+    // user_id, one global 1-row), no self-joins, no window; the shape a
+    // 100 TB event log needs (the per-user reduce is map-side combinable)
+    Qry("q89_event_funnel",
+      (s, dir) => {
+        val perUser = events(s, dir).groupBy("user_id").agg(
+          min(when(col("event_type") === "view", col("ts"))).as("t_view"),
+          min(when(col("event_type") === "click", col("ts"))).as("t_click"),
+          min(when(col("event_type") === "purchase", col("ts"))).as("t_purchase"))
+        perUser.agg(
+          count(lit(1)).as("n_users"),
+          count(col("t_view")).as("n_viewed"),
+          count(when(col("t_click") > col("t_view"), 1)).as("n_clicked_after_view"),
+          count(when(col("t_click") > col("t_view") &&
+            col("t_purchase") > col("t_click"), 1)).as("n_full_funnel"))
+      },
+      Some("""WITH u AS (SELECT user_id,
+        |    min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+        |    min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+        |    min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+        |  FROM events GROUP BY 1)
+        |SELECT CAST(count(*) AS BIGINT) AS n_users,
+        |  CAST(count(t_view) AS BIGINT) AS n_viewed,
+        |  CAST(count(CASE WHEN t_click > t_view THEN 1 END) AS BIGINT)
+        |    AS n_clicked_after_view,
+        |  CAST(count(CASE WHEN t_click > t_view AND t_purchase > t_click
+        |    THEN 1 END) AS BIGINT) AS n_full_funnel
+        |FROM u""".stripMargin)),
+
+    // RFM segmentation: recency/frequency/monetary per customer, quartiled
+    // WITHIN nation (ntile inside a partition — never the global sort a
+    // naive RFM does), monetary in exact cents; the reference date is a
+    // 1-row broadcast, not a second scan-wide join
+    Qry("q90_rfm_segments",
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        val perCust = o.groupBy(col("o_custkey"))
+          .agg(max(col("o_orderdate").cast("date")).as("last_order"),
+            count(lit(1)).as("frequency"),
+            sum(round(col("o_totalprice") * 100, 0).cast("long")).as("monetary_cents"))
+        val ref = o.agg(max(col("o_orderdate").cast("date")).as("ref_date"))
+        val base = perCust.crossJoin(broadcast(ref))
+          .withColumn("recency_days", datediff(col("ref_date"), col("last_order")))
+          .join(t(s, dir, "customer").select(col("c_custkey"), col("c_nationkey")),
+            col("o_custkey") === col("c_custkey"))
+        def quart(order: Column*) = ntile(4).over(
+          Window.partitionBy("c_nationkey").orderBy(order: _*))
+        base.select(col("c_custkey"), col("c_nationkey"), col("recency_days"),
+            col("frequency"), col("monetary_cents"),
+            quart(col("recency_days"), col("c_custkey")).as("r_q"),
+            quart(col("frequency").desc, col("c_custkey")).as("f_q"),
+            quart(col("monetary_cents").desc, col("c_custkey")).as("m_q"))
+          .withColumn("segment", concat_ws("-", col("r_q"), col("f_q"), col("m_q")))
+      },
+      Some("""WITH pc AS (SELECT o_custkey, max(CAST(o_orderdate AS DATE)) AS last_order,
+        |    CAST(count(*) AS BIGINT) AS frequency,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS monetary_cents
+        |  FROM orders GROUP BY 1),
+        |r AS (SELECT max(CAST(o_orderdate AS DATE)) AS ref_date FROM orders),
+        |base AS (SELECT c.c_custkey, c.c_nationkey,
+        |    CAST(datediff('day', pc.last_order, r.ref_date) AS INT) AS recency_days,
+        |    pc.frequency, pc.monetary_cents
+        |  FROM pc JOIN customer c ON pc.o_custkey = c.c_custkey CROSS JOIN r),
+        |q AS (SELECT c_custkey, c_nationkey, recency_days, frequency, monetary_cents,
+        |    CAST(ntile(4) OVER (PARTITION BY c_nationkey
+        |      ORDER BY recency_days, c_custkey) AS INT) AS r_q,
+        |    CAST(ntile(4) OVER (PARTITION BY c_nationkey
+        |      ORDER BY frequency DESC, c_custkey) AS INT) AS f_q,
+        |    CAST(ntile(4) OVER (PARTITION BY c_nationkey
+        |      ORDER BY monetary_cents DESC, c_custkey) AS INT) AS m_q
+        |  FROM base)
+        |SELECT c_custkey, c_nationkey, recency_days, frequency, monetary_cents,
+        |  r_q, f_q, m_q,
+        |  CAST(r_q AS VARCHAR) || '-' || CAST(f_q AS VARCHAR) || '-'
+        |    || CAST(m_q AS VARCHAR) AS segment
+        |FROM q""".stripMargin)),
+
+    // cohort retention: customers bucketed by first-order month, activity
+    // counted per month offset — integer month arithmetic (year·12+month)
+    // so every cell is exact; one shuffle on custkey for the cohort join
+    // (AQE broadcasts the slim cohort side at runtime), one for the cell agg
+    Qry("q91_cohort_retention",
+      (s, dir) => {
+        val o = t(s, dir, "orders").select(col("o_custkey"),
+          (year(col("o_orderdate").cast("date")) * 12 +
+            month(col("o_orderdate").cast("date"))).as("ym"))
+        val cohort = o.groupBy("o_custkey").agg(min("ym").as("cohort_ym"))
+        o.join(cohort, "o_custkey")
+          .groupBy(col("cohort_ym"), (col("ym") - col("cohort_ym")).as("month_offset"))
+          .agg(countDistinct("o_custkey").as("n_active"))
+      },
+      Some("""WITH o AS (SELECT o_custkey,
+        |    CAST(year(CAST(o_orderdate AS DATE)) * 12
+        |      + month(CAST(o_orderdate AS DATE)) AS INT) AS ym
+        |  FROM orders),
+        |c AS (SELECT o_custkey, min(ym) AS cohort_ym FROM o GROUP BY 1)
+        |SELECT c.cohort_ym, o.ym - c.cohort_ym AS month_offset,
+        |  CAST(count(DISTINCT o.o_custkey) AS BIGINT) AS n_active
+        |FROM o JOIN c USING (o_custkey) GROUP BY 1, 2""".stripMargin)),
+
+    // market-basket co-occurrence: part pairs sharing an order. The self
+    // join is ORDER-local (equi-join on l_orderkey), so the fan-out is
+    // quadratic only in basket size — bounded and small — never in table
+    // size; support-2 floor keeps the output the interesting tail
+    Qry("q92_basket_pairs",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey")).distinct()
+        val a = li.select(col("l_orderkey").as("ok"), col("l_partkey").as("part_a"))
+        val b = li.select(col("l_orderkey").as("ok"), col("l_partkey").as("part_b"))
+        a.join(b, Seq("ok")).filter(col("part_a") < col("part_b"))
+          .groupBy("part_a", "part_b").agg(count(lit(1)).as("n_orders"))
+          .filter(col("n_orders") >= 2)
+      },
+      Some("""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+        |SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+        |  CAST(count(*) AS BIGINT) AS n_orders
+        |FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+        |  AND a.l_partkey < b.l_partkey
+        |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin)),
+
+    // fixed-width value histogram in exact cents: bucket boundaries are
+    // integer arithmetic (the $25k-wide floor), counts and sums exact —
+    // one map-side-combinable aggregate, the profiling primitive
+    Qry("q93_value_histogram",
+      (s, dir) => t(s, dir, "orders")
+        .select(round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+        .select(floor(col("cents") / 2500000.0).cast("long").as("bucket"), col("cents"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_orders"), sum("cents").as("sum_cents"))
+        .withColumn("bucket_lo_cents", col("bucket") * 2500000L),
+      Some("""WITH c AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |g AS (SELECT CAST(floor(cents / 2500000.0) AS BIGINT) AS bucket,
+        |    CAST(count(*) AS BIGINT) AS n_orders,
+        |    CAST(sum(cents) AS BIGINT) AS sum_cents
+        |  FROM c GROUP BY 1)
+        |SELECT bucket, n_orders, sum_cents,
+        |  bucket * 2500000 AS bucket_lo_cents FROM g""".stripMargin))
   )
 }

@@ -919,6 +919,66 @@ object QLlm {
         |SELECT user_id, CAST(session_num AS BIGINT) AS session_num,
         |  CAST(count(*) AS BIGINT) AS n_events,
         |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start
-        |FROM s GROUP BY user_id, session_num""".stripMargin))
+        |FROM s GROUP BY user_id, session_num""".stripMargin)),
+
+    // BM25 keyword retrieval ([[graft.text.Search.bm25]]): per-doc term
+    // frequencies straight off the token array (no explode), corpus stats
+    // as a 1-row broadcast — ONE narrow pass over the corpus, zero data
+    // shuffles; contributions summed in fixed term order so the double is
+    // engine-reproducible (ln is the 1-ulp exception → round 6). Top-20
+    // is orderBy+limit — TakeOrdered, never a global sort.
+    Qry("q88_bm25_search",
+      (s, dir) => graft.text.Search.bm25(
+          spread(s, t(s, dir, "documents")), col("doc_id"), col("text"),
+          Seq("spark", "merge", "window"))
+        .filter(col("score") > 0)
+        .select(col("doc_id"), round(col("score"), 6).as("score"))
+        .orderBy(desc("score"), col("doc_id")).limit(20),
+      Some({
+        val tfs = Seq("spark", "merge", "window").zipWithIndex.map { case (t, i) =>
+          s"len(list_filter(tk, x -> x = '$t')) AS tf_$i"
+        }.mkString(",\n  ")
+        val dfs = (0 to 2).map(i =>
+          s"sum(CASE WHEN tf_$i > 0 THEN 1 ELSE 0 END) AS df_$i").mkString(", ")
+        val contribs = (0 to 2).map(i =>
+          s"""(ln((n_docs - df_$i + 0.5) / (df_$i + 0.5) + 1.0)
+             |    * (CAST(tf_$i AS DOUBLE) * (1.2 + 1.0))
+             |    / (CAST(tf_$i AS DOUBLE) + 1.2 * (1.0 - 0.75
+             |       + 0.75 * (CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / n_docs)))))"""
+            .stripMargin).mkString("\n  + ")
+        s"""WITH d AS (SELECT doc_id, $toksSql AS tk FROM documents),
+        |base AS (SELECT doc_id, len(tk) AS dl,
+        |  $tfs
+        |  FROM d),
+        |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(dl) AS BIGINT) AS sum_dl, $dfs FROM base),
+        |scored AS (SELECT doc_id,
+        |  $contribs AS score
+        |  FROM base CROSS JOIN stats)
+        |SELECT doc_id, round(score, 6) AS score FROM scored WHERE score > 0
+        |ORDER BY round(score, 6) DESC, doc_id LIMIT 20""".stripMargin
+      })),
+
+    // TF-IDF top terms per document ([[graft.text.Search.tfidfTopTerms]]):
+    // tf via one (doc,term) aggregate, df via the vocabulary-sized rollup
+    // (broadcast back), top-k via a PER-DOCUMENT window — no global sort;
+    // ranking happens on the ROUNDED weight so both engines break ties the
+    // same way regardless of ln's last ulp
+    Qry("q94_tfidf_terms",
+      (s, dir) => graft.text.Search.tfidfTopTerms(
+        spread(s, t(s, dir, "documents")), col("doc_id"), col("text"), 3),
+      Some(s"""WITH tok AS (SELECT doc_id, unnest($toksSql) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM tok
+        |  WHERE length(term) > 0 GROUP BY 1, 2),
+        |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+        |s AS (SELECT tf.doc_id, tf.term, tf.tf, df.df,
+        |    round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS tfidf
+        |  FROM tf JOIN df USING (term) CROSS JOIN n),
+        |r AS (SELECT doc_id, term, tf, df, tfidf,
+        |    CAST(row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY tfidf DESC, term) AS INT) AS rnk
+        |  FROM s)
+        |SELECT doc_id, term, tf, df, tfidf, rnk FROM r WHERE rnk <= 3""".stripMargin))
   )
 }

@@ -91,4 +91,22 @@ class PlanBudgetSpec extends SparkSpec {
       assert(shuffles(q) <= 1, s"$q grew a shuffle")
     }
   }
+
+  test("retrieval and funnel operators hold their scan-bound shapes") {
+    // BM25: tf off the token array + a 1-row stats broadcast — the corpus
+    // is read ONCE and nothing but that row moves (spread() is the only
+    // exchange); this is the plan that reads 100 TB without shuffling it
+    assert(shuffles("q88_bm25_search") <= 1)
+    assert(planOf("q88_bm25_search").contains("BroadcastExchange"))
+    // tf-idf: (doc,term) agg + vocab broadcast + per-doc window
+    assert(shuffles("q94_tfidf_terms") <= 4)
+    // funnel: one keyed aggregate, one 1-row reduce — no self-joins
+    assert(shuffles("q89_event_funnel") <= 2)
+    // RFM: per-customer agg + nation windows; the reference date broadcasts
+    assert(shuffles("q90_rfm_segments") <= 3)
+    assert(shuffles("q91_cohort_retention") <= 3)
+    // basket pairs: order-local self-join — distinct + join + pair agg
+    assert(shuffles("q92_basket_pairs") <= 3)
+    assert(shuffles("q93_value_histogram") <= 1)
+  }
 }
