@@ -1375,6 +1375,92 @@ object QEtl {
         |    CAST(sum(cents) AS BIGINT) AS sum_cents
         |  FROM c GROUP BY 1)
         |SELECT bucket, n_orders, sum_cents,
-        |  bucket * 2500000 AS bucket_lo_cents FROM g""".stripMargin))
+        |  bucket * 2500000 AS bucket_lo_cents FROM g""".stripMargin)),
+
+    // behavioral transition matrix: (event_type → next event_type) counts
+    // with per-source probabilities — lead() inside the per-user window
+    // (one shuffle on user_id), then a 25-cell aggregate; the Markov-chain
+    // input every session-model pipeline derives
+    Qry("q97_event_transitions",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val probW = Window.partitionBy("from_type")
+        events(s, dir)
+          .select(col("user_id"), col("event_type"),
+            lead("event_type", 1).over(w).as("next_type"))
+          .filter(col("next_type").isNotNull)
+          .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("prob",
+            round(col("n").cast("double") / sum("n").over(probW), 6))
+      },
+      Some("""WITH nx AS (SELECT event_type,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS next_type
+        |  FROM events),
+        |g AS (SELECT event_type AS from_type, next_type AS to_type,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM nx WHERE next_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n,
+        |  round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY from_type), 6)
+        |    AS prob
+        |FROM g""".stripMargin)),
+
+    // outlier days by z-score — mean/variance from exact BIGINT power sums
+    // (the q84 trick), so the flag threshold is the same double on every
+    // engine; the global stats row broadcasts back onto the daily series
+    Qry("q98_revenue_anomaly",
+      (s, dir) => {
+        val daily = t(s, dir, "orders")
+          .groupBy(col("o_orderdate").cast("date").as("d"))
+          .agg(sum(round(col("o_totalprice") * 100, 0).cast("long")).as("cents"))
+        // the squares sum past int64 at scale — accumulate exactly in
+        // decimal (Spark) / hugeint (DuckDB), go double only at the end
+        val stats = daily.agg(count(lit(1)).as("n"), sum("cents").as("s"),
+          sum(col("cents").cast("decimal(18,0)") * col("cents").cast("decimal(18,0)"))
+            .as("ss"))
+        val mean = col("s").cast("double") / col("n")
+        val variance = (col("n").cast("double") * col("ss").cast("double") -
+          col("s").cast("double") * col("s").cast("double")) /
+          (col("n").cast("double") * (col("n") - 1))
+        daily.crossJoin(broadcast(stats))
+          .withColumn("z", (col("cents").cast("double") - mean) / sqrt(variance))
+          .filter(abs(col("z")) > 2.0)
+          .select(date_format(col("d"), "yyyy-MM-dd").as("d"),
+            col("cents"), round(col("z"), 4).as("z"))
+      },
+      Some("""WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1),
+        |st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(cents) AS BIGINT) AS s,
+        |    sum(CAST(cents AS HUGEINT) * cents) AS ss FROM daily),
+        |z AS (SELECT d, cents,
+        |    (CAST(cents AS DOUBLE) - CAST(s AS DOUBLE) / n)
+        |      / sqrt((CAST(n AS DOUBLE) * CAST(ss AS DOUBLE)
+        |              - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+        |             / (CAST(n AS DOUBLE) * (n - 1))) AS z
+        |  FROM daily CROSS JOIN st)
+        |SELECT strftime(d, '%Y-%m-%d') AS d, cents, round(z, 4) AS z
+        |FROM z WHERE abs(z) > 2.0""".stripMargin)),
+
+    // heavy-hitter profile: the hottest join keys with their share of the
+    // table — the measurement that decides when [[graft.ops.Skew]] salting
+    // is worth its exchange; top-k is TakeOrdered over the aggregated keys
+    Qry("q99_heavy_hitters",
+      (s, dir) => {
+        val cnt = t(s, dir, "orders").groupBy("o_custkey").agg(count(lit(1)).as("n"))
+        val tot = t(s, dir, "orders").agg(count(lit(1)).as("total"))
+        cnt.crossJoin(broadcast(tot))
+          .select(col("o_custkey"), col("n"),
+            round(col("n").cast("double") / col("total"), 6).as("share"))
+          .orderBy(desc("n"), col("o_custkey")).limit(20)
+      },
+      Some("""WITH c AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS n
+        |  FROM orders GROUP BY 1),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS total FROM orders)
+        |SELECT o_custkey, n, round(CAST(n AS DOUBLE) / total, 6) AS share
+        |FROM c CROSS JOIN t
+        |ORDER BY n DESC, o_custkey LIMIT 20""".stripMargin))
   )
 }

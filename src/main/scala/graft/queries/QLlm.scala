@@ -979,6 +979,82 @@ object QLlm {
         |    CAST(row_number() OVER (PARTITION BY doc_id
         |      ORDER BY tfidf DESC, term) AS INT) AS rnk
         |  FROM s)
-        |SELECT doc_id, term, tf, df, tfidf, rnk FROM r WHERE rnk <= 3""".stripMargin))
+        |SELECT doc_id, term, tf, df, tfidf, rnk FROM r WHERE rnk <= 3""".stripMargin)),
+
+    // SLIDING windows (1 h window, 15 min slide): Spark's native window()
+    // operator emits each event into its 4 overlapping windows — the batch
+    // twin of the streaming sliding aggregate. The oracle reproduces the
+    // epoch-aligned starts with exact µs arithmetic (k·15 min back from
+    // the event's 15-min floor), so the window assignment itself is what
+    // gets hash-checked
+    Qry("q95_sliding_window",
+      (s, dir) => events(s, dir)
+        .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm").as("window_start"),
+          col("event_type"), col("n")),
+      Some("""WITH f AS (SELECT event_type,
+        |    (epoch_us(ts) // 900000000) * 900000000 AS floor_us FROM events),
+        |w AS (SELECT event_type,
+        |    make_timestamp(floor_us - k * 900000000) AS ws
+        |  FROM f, unnest(range(0, 4)) AS t(k))
+        |SELECT strftime(ws, '%Y-%m-%d %H:%M') AS window_start, event_type,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM w GROUP BY 1, 2""".stripMargin)),
+
+    // rolling engagement: DAU and trailing-7-day WAU per day. The WAU is
+    // NOT a distinct-over-range window (no engine does that scalably) —
+    // each distinct (user, day) fans out to the ≤7 report days it supports,
+    // then one exact count-distinct per day; bounded 7× fan-out of the
+    // already-deduped pairs, so the shape survives any event volume
+    Qry("q96_active_users",
+      (s, dir) => {
+        val ud = events(s, dir)
+          .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+        val days = ud.select("d").distinct()
+        val dau = ud.groupBy("d").agg(countDistinct("user_id").as("dau"))
+        val wau = ud.select(col("user_id"),
+            explode(sequence(lit(0), lit(6))).as("k"), col("d"))
+          .select(col("user_id"), date_add(col("d"), col("k")).as("d"))
+          .join(days, Seq("d"), "left_semi")
+          .groupBy("d").agg(countDistinct("user_id").as("wau"))
+        dau.join(wau, Seq("d"))
+          .select(date_format(col("d"), "yyyy-MM-dd").as("d"),
+            col("dau"), col("wau"))
+      },
+      Some("""WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+        |days AS (SELECT DISTINCT d FROM ud),
+        |dau AS (SELECT d, CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+        |  FROM ud GROUP BY 1),
+        |fan AS (SELECT user_id, d + CAST(k AS INT) AS d
+        |  FROM ud, unnest(range(0, 7)) AS t(k)),
+        |wau AS (SELECT fan.d, CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+        |  FROM fan JOIN days ON days.d = fan.d GROUP BY 1)
+        |SELECT strftime(dau.d, '%Y-%m-%d') AS d, dau, wau
+        |FROM dau JOIN wau ON dau.d = wau.d""".stripMargin)),
+
+    // character-trigram profiles per language ([[TextOps.charNgrams]]):
+    // top-30 trigrams by frequency within each lang — the script/encoding
+    // fingerprint a real language-ID swaps in for the marker heuristic;
+    // explode + (lang, gram) aggregate + per-lang window, no global sort
+    Qry("q100_char_trigrams",
+      (s, dir) => {
+        val w = Window.partitionBy("lang").orderBy(desc("n"), col("tg"))
+        spread(s, t(s, dir, "documents"))
+          .select(col("lang"), explode(TextOps.charNgrams(col("text"), 3)).as("tg"))
+          .groupBy("lang", "tg").agg(count(lit(1)).as("n"))
+          .withColumn("rnk", row_number().over(w).cast("int"))
+          .filter(col("rnk") <= 30)
+      },
+      Some(s"""WITH d AS (SELECT lang, $normSql AS nm FROM documents),
+        |tg AS (SELECT lang, unnest(CASE WHEN length(nm) >= 3
+        |    THEN list_transform(range(1, length(nm) - 1), i -> substr(nm, CAST(i AS INT), 3))
+        |    ELSE [] END) AS tg
+        |  FROM d),
+        |g AS (SELECT lang, tg, CAST(count(*) AS BIGINT) AS n FROM tg GROUP BY 1, 2),
+        |r AS (SELECT lang, tg, n,
+        |    CAST(row_number() OVER (PARTITION BY lang ORDER BY n DESC, tg) AS INT) AS rnk
+        |  FROM g)
+        |SELECT lang, tg, n, rnk FROM r WHERE rnk <= 30""".stripMargin))
   )
 }

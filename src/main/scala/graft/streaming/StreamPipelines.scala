@@ -48,6 +48,18 @@ object StreamPipelines {
       .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm").as("window_start"),
         col("event_type"), col("n"), col("sum_cents"))
 
+  /** Watermarked SLIDING-window counts (1 h window, 15 min slide) — the
+    * streaming form of batch q95; each event feeds its 4 overlapping
+    * windows, state keyed by (window, event_type) exactly as the tumbling
+    * aggregate (4× the state rows, same eviction-by-watermark bound). */
+  def slidingCounts(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm").as("window_start"),
+        col("event_type"), col("n"))
+
   /** One event as consumed by the session operator. */
   final case class SessionEvent(event_id: Long, ts: java.sql.Timestamp, user_id: Long)
 

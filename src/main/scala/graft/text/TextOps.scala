@@ -102,6 +102,15 @@ object TextOps {
             x => x.cast("string"))))))
     }
 
+  /** Character `n`-grams of the normalized text (empty array when shorter
+    * than `n` chars) — the language/script profiling primitive. Same O(1)
+    * per-position indexing rationale as [[shingles]]. */
+  def charNgrams(text: Column, n: Int): Column = letOnce(normText(text)) { nm =>
+    when(length(nm) >= n,
+      transform(sequence(lit(1), length(nm) - (n - 1)), i => nm.substr(i, lit(n))))
+      .otherwise(array().cast("array<string>"))
+  }
+
   /** Jaccard similarity of two string arrays treated as SETS (inputs need
     * not be distinct; both sides are deduped). Exact ratio of two small
     * integers — deterministic across engines. */

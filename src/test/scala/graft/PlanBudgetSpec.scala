@@ -109,4 +109,21 @@ class PlanBudgetSpec extends SparkSpec {
     assert(shuffles("q92_basket_pairs") <= 3)
     assert(shuffles("q93_value_histogram") <= 1)
   }
+
+  test("engagement/profiling operators hold their bounded-fan-out shapes") {
+    // sliding windows: the 4× expand happens map-side; ONE agg exchange
+    assert(shuffles("q95_sliding_window") <= 1)
+    // DAU/WAU: dedup + bounded 7× fan-out + two distinct aggs + day join —
+    // never a distinct-over-range window
+    assert(shuffles("q96_active_users") <= 6)
+    // transitions: per-user lead window + the 25-cell agg (+ prob window)
+    assert(shuffles("q97_event_transitions") <= 3)
+    // anomaly: daily agg + 1-row stats broadcast back onto the series
+    assert(shuffles("q98_revenue_anomaly") <= 2)
+    assert(planOf("q98_revenue_anomaly").contains("BroadcastExchange"))
+    // heavy hitters: keyed agg + TakeOrdered — no global sort exchange
+    assert(shuffles("q99_heavy_hitters") <= 2)
+    // trigram profiles: explode map-side + (lang,gram) agg + per-lang window
+    assert(shuffles("q100_char_trigrams") <= 3)
+  }
 }

@@ -48,6 +48,29 @@ class StreamingSpec extends SparkSpec {
       Seq("window_start", "event_type", "n", "sum_cents")).count() === streamed.count())
   }
 
+  test("streaming sliding-window counts equal the batch sliding aggregation") {
+    val out = Files.createTempDirectory("graft_stream_out").toString
+    val q = StreamPipelines.slidingCounts(
+        StreamPipelines.readEvents(spark, eventsDir))
+      .writeStream.format("memory").queryName("sliding")
+      .outputMode("append").trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$out/ckpt").start()
+    q.awaitTermination(120000)
+
+    val batch = spark.read.parquet(eventsDir)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm").as("window_start"),
+        col("event_type"), col("n"))
+
+    val streamed = spark.table("sliding")
+    assert(streamed.count() > 0)
+    // every event lands in 4 windows → the emitted set must be ~4× the
+    // tumbling cardinality and each row must match batch exactly
+    assert(streamed.join(batch,
+      Seq("window_start", "event_type", "n")).count() === streamed.count())
+  }
+
   test("streaming contract validation equals the batch validator split") {
     import graft.gen.Synthetic
     val day = "2025-03-01"

@@ -26,6 +26,14 @@ class TextOpsSpec extends SparkSpec {
     assert(out(1) === Seq.empty)
   }
 
+  test("charNgrams: sliding character windows over normalized text") {
+    val df = Seq("AB  cd", "ab").toDF("t")
+      .select(TextOps.charNgrams(col("t"), 3).as("g"))
+    val out = df.as[Seq[String]].collect().toSeq
+    assert(out(0) === Seq("ab ", "b c", " cd"))   // normalized: "ab cd"
+    assert(out(1) === Seq.empty)                  // shorter than n
+  }
+
   test("identical docs have identical minhash signatures (both constructions)") {
     val df = Seq("the quick brown fox jumps", "the quick brown fox jumps").toDF("t")
       .select(TextOps.shingles(TextOps.tokens(col("t")), 3).as("sh"))
