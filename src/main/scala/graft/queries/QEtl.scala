@@ -1461,6 +1461,40 @@ object QEtl {
         |t AS (SELECT CAST(count(*) AS BIGINT) AS total FROM orders)
         |SELECT o_custkey, n, round(CAST(n AS DOUBLE) / total, 6) AS share
         |FROM c CROSS JOIN t
-        |ORDER BY n DESC, o_custkey LIMIT 20""".stripMargin))
+        |ORDER BY n DESC, o_custkey LIMIT 20""".stripMargin)),
+
+    // column profiling (the ANALYZE-TABLE primitive): null counts, exact
+    // distinct counts, min/max per column — computed in ONE pass (the
+    // multi-distinct Expand), then unpivoted with stack(); the oracle has
+    // to scan once per column, which is exactly the cost this shape saves
+    Qry("q105_column_profile",
+      (s, dir) => {
+        val cols = Seq("c_custkey", "c_name", "c_nationkey")
+        val aggs = cols.flatMap { c => Seq(
+          (count(lit(1)) - count(col(c))).as(s"${c}_nulls"),
+          countDistinct(col(c)).as(s"${c}_nd"),
+          min(col(c)).cast("string").as(s"${c}_min"),
+          max(col(c)).cast("string").as(s"${c}_max"))
+        }
+        val stackArgs = cols.map(c =>
+          s"'$c', ${c}_nulls, ${c}_nd, ${c}_min, ${c}_max").mkString(", ")
+        t(s, dir, "customer").agg(aggs.head, aggs.tail: _*)
+          .selectExpr(s"stack(${cols.size}, $stackArgs) AS " +
+            "(column_name, n_nulls, n_distinct, min_s, max_s)")
+      },
+      Some("""SELECT 'c_custkey' AS column_name,
+        |  CAST(count(*) - count(c_custkey) AS BIGINT) AS n_nulls,
+        |  CAST(count(DISTINCT c_custkey) AS BIGINT) AS n_distinct,
+        |  CAST(min(c_custkey) AS VARCHAR) AS min_s,
+        |  CAST(max(c_custkey) AS VARCHAR) AS max_s FROM customer
+        |UNION ALL
+        |SELECT 'c_name', CAST(count(*) - count(c_name) AS BIGINT),
+        |  CAST(count(DISTINCT c_name) AS BIGINT),
+        |  min(c_name), max(c_name) FROM customer
+        |UNION ALL
+        |SELECT 'c_nationkey', CAST(count(*) - count(c_nationkey) AS BIGINT),
+        |  CAST(count(DISTINCT c_nationkey) AS BIGINT),
+        |  CAST(min(c_nationkey) AS VARCHAR),
+        |  CAST(max(c_nationkey) AS VARCHAR) FROM customer""".stripMargin))
   )
 }

@@ -1055,6 +1055,151 @@ object QLlm {
         |r AS (SELECT lang, tg, n,
         |    CAST(row_number() OVER (PARTITION BY lang ORDER BY n DESC, tg) AS INT) AS rnk
         |  FROM g)
-        |SELECT lang, tg, n, rnk FROM r WHERE rnk <= 30""".stripMargin))
+        |SELECT lang, tg, n, rnk FROM r WHERE rnk <= 30""".stripMargin)),
+
+    // HYBRID retrieVAL — reciprocal-rank fusion of the BM25 top-20 (q88's
+    // scorer) with the exact cosine top-20 for query vector 0
+    // ([[graft.text.Search.rrfFuse]]): the lexical+vector merge every RAG
+    // index runs. Both lists are k-bounded, so the fusion join is over
+    // ≤ 2k rows regardless of corpus size; ranks fuse in fixed order
+    Qry("q101_hybrid_rrf",
+      (s, dir) => {
+        val bmW = Window.orderBy(desc("score"), col("doc_id"))
+        val bmTop = graft.text.Search.bm25(
+            spread(s, t(s, dir, "documents")), col("doc_id"), col("text"),
+            Seq("spark", "merge", "window"))
+          .filter(col("score") > 0)
+          .select(col("doc_id"), round(col("score"), 6).as("score"))
+          .orderBy(desc("score"), col("doc_id")).limit(20)
+          .withColumn("rnk", row_number().over(bmW).cast("int"))
+        val e = spread(s, t(s, dir, "embeddings"))
+          .select(col("vec_id").as("id"), col("embedding").as("vec"))
+        val vecTop = VectorOps.bruteForceTopK(e.filter(col("id") === 0), e, 20)
+          .select(col("neighbor_id").as("doc_id"), col("rank").cast("int").as("rnk"))
+        graft.text.Search.rrfFuse(bmTop.select("doc_id", "rnk"), vecTop)
+          .select(col("doc_id"), col("rnk_a"), col("rnk_b"),
+            round(col("rrf"), 6).as("rrf"))
+      },
+      Some({
+        val tfs = Seq("spark", "merge", "window").zipWithIndex.map { case (t, i) =>
+          s"len(list_filter(tk, x -> x = '$t')) AS tf_$i"
+        }.mkString(",\n  ")
+        val dfs = (0 to 2).map(i =>
+          s"sum(CASE WHEN tf_$i > 0 THEN 1 ELSE 0 END) AS df_$i").mkString(", ")
+        val contribs = (0 to 2).map(i =>
+          s"""(ln((n_docs - df_$i + 0.5) / (df_$i + 0.5) + 1.0)
+             |    * (CAST(tf_$i AS DOUBLE) * (1.2 + 1.0))
+             |    / (CAST(tf_$i AS DOUBLE) + 1.2 * (1.0 - 0.75
+             |       + 0.75 * (CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / n_docs)))))"""
+            .stripMargin).mkString("\n  + ")
+        s"""WITH d AS (SELECT doc_id, $toksSql AS tk FROM documents),
+        |base AS (SELECT doc_id, len(tk) AS dl,
+        |  $tfs
+        |  FROM d),
+        |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(dl) AS BIGINT) AS sum_dl, $dfs FROM base),
+        |scored AS (SELECT doc_id,
+        |  $contribs AS score
+        |  FROM base CROSS JOIN stats),
+        |bm AS (SELECT doc_id, round(score, 6) AS score FROM scored WHERE score > 0
+        |  ORDER BY round(score, 6) DESC, doc_id LIMIT 20),
+        |bmr AS (SELECT doc_id, CAST(row_number() OVER
+        |    (ORDER BY score DESC, doc_id) AS INT) AS rnk_a FROM bm),
+        |e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+        |p AS (SELECT e.vec_id AS doc_id,
+        |    list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i] * e.v[i]))
+        |      / (sqrt(list_sum(list_transform(qv, x -> x * x)))
+        |         * sqrt(list_sum(list_transform(e.v, x -> x * x)))) AS cos
+        |  FROM q, e WHERE e.vec_id <> 0),
+        |vr AS (SELECT doc_id, CAST(row_number() OVER
+        |    (ORDER BY cos DESC, doc_id) AS INT) AS rnk_b
+        |  FROM p QUALIFY rnk_b <= 20)
+        |SELECT COALESCE(bmr.doc_id, vr.doc_id) AS doc_id, rnk_a, rnk_b,
+        |  round(COALESCE(1.0 / (60 + rnk_a), 0.0)
+        |    + COALESCE(1.0 / (60 + rnk_b), 0.0), 6) AS rrf
+        |FROM bmr FULL OUTER JOIN vr ON bmr.doc_id = vr.doc_id""".stripMargin
+      })),
+
+    // boilerplate detection: repeated-5-gram ratio ([[TextOps
+    // .dupNgramRatio]], the Gopher repetition rule) + token-count bounds →
+    // keep/drop flag. Pure per-row expressions; the keep decision compares
+    // the UNROUNDED exact ratio so both engines flip at the same doc
+    Qry("q102_boilerplate",
+      (s, dir) => {
+        val tk = TextOps.tokens(col("text"))
+        val dup = TextOps.dupNgramRatio(tk, 5)
+        spread(s, t(s, dir, "documents")).select(col("doc_id"),
+          size(tk).as("n_tokens"),
+          round(dup, 6).as("dup5_ratio"),
+          (size(tk) >= 20 && size(tk) <= 100000 && dup < 0.3).as("keep"))
+      },
+      Some(s"""WITH d AS (SELECT doc_id, $toksSql AS tk FROM documents),
+        |s AS (SELECT doc_id, len(tk) AS n_tokens,
+        |    CASE WHEN len(tk) >= 5
+        |      THEN list_transform(range(0, len(tk) - 4),
+        |             i -> tk[i + 1] || ' ' || tk[i + 2] || ' ' || tk[i + 3]
+        |                  || ' ' || tk[i + 4] || ' ' || tk[i + 5])
+        |      ELSE [] END AS sh
+        |  FROM d),
+        |r AS (SELECT doc_id, n_tokens,
+        |    CASE WHEN len(sh) = 0 THEN 0.0
+        |      ELSE 1.0 - CAST(len(list_distinct(sh)) AS DOUBLE) / len(sh) END AS dup5
+        |  FROM s)
+        |SELECT doc_id, n_tokens, round(dup5, 6) AS dup5_ratio,
+        |  (n_tokens >= 20 AND n_tokens <= 100000 AND dup5 < 0.3) AS keep
+        |FROM r""".stripMargin)),
+
+    // URL/domain extraction — source-reputation scoring for web corpora:
+    // deterministic synthetic URLs injected into a third of the docs (the
+    // q68 PII pattern), domains pulled with one codegen'd
+    // regexp_extract_all, counted per domain. Narrow + one small agg
+    Qry("q103_url_domains",
+      (s, dir) => {
+        val withUrls = spread(s, t(s, dir, "documents")).select(col("doc_id"),
+          when(col("doc_id") % 3 === 0,
+            concat(col("text"), lit(" see https://site"),
+              (col("doc_id") % 20).cast("string"), lit(".example/page and http://cdn"),
+              (col("doc_id") % 7).cast("string"), lit(".example/x")))
+            .otherwise(col("text")).as("t"))
+        withUrls
+          .select(explode(regexp_extract_all(col("t"),
+            lit("https?://([a-z0-9.-]+)/"), lit(1))).as("domain"))
+          .groupBy("domain").agg(count(lit(1)).as("n"))
+      },
+      Some("""WITH p AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0
+        |      THEN text || ' see https://site' || CAST(doc_id % 20 AS VARCHAR)
+        |           || '.example/page and http://cdn' || CAST(doc_id % 7 AS VARCHAR)
+        |           || '.example/x'
+        |      ELSE text END AS t
+        |  FROM documents),
+        |d AS (SELECT unnest(regexp_extract_all(t, 'https?://([a-z0-9.-]+)/', 1))
+        |    AS domain FROM p)
+        |SELECT domain, CAST(count(*) AS BIGINT) AS n FROM d
+        |WHERE domain <> '' GROUP BY 1""".stripMargin)),
+
+    // int8 scalar quantization ([[VectorOps.scalarQuantize]]): per-dim
+    // extrema → one row of arrays → broadcast back; codes serialized to a
+    // canonical string so both engines compare the same form
+    Qry("q104_scalar_quantization",
+      (s, dir) => VectorOps.scalarQuantize(
+          spread(s, t(s, dir, "embeddings")), col("vec_id"), col("embedding"))
+        .select(col("id").as("vec_id"),
+          concat_ws(",", transform(col("q8"), x => x.cast("string"))).as("q8")),
+      Some("""WITH e AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |dims AS (SELECT CAST(t.i AS INT) AS i,
+        |    min(v[CAST(t.i AS INT) + 1]) AS mn, max(v[CAST(t.i AS INT) + 1]) AS mx
+        |  FROM e, unnest(range(0, len(v))) AS t(i) GROUP BY 1),
+        |st AS (SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs
+        |  FROM dims),
+        |q AS (SELECT vec_id, list_transform(range(1, len(v) + 1), j ->
+        |    CAST(CAST(CASE WHEN mxs[j] = mns[j] THEN 0.0
+        |      ELSE round((v[j] - mns[j]) * 255.0 / (mxs[j] - mns[j])) END
+        |      AS INT) AS VARCHAR)) AS ql
+        |  FROM e CROSS JOIN st)
+        |SELECT vec_id, array_to_string(ql, ',') AS q8 FROM q""".stripMargin))
   )
 }

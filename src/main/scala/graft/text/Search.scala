@@ -60,6 +60,20 @@ object Search {
     scored.select(col("doc_id"), contribs.reduce(_ + _).as("score"))
   }
 
+  /** Reciprocal-rank fusion of two rankings (the lexical+vector hybrid
+    * merge): `rrf = 1/(c + rank_a) + 1/(c + rank_b)`, a list missing the
+    * doc contributing 0. Both inputs are `(doc_id, rnk)` top-k lists —
+    * tiny next to the corpus, so the outer join broadcasts; the sum is a
+    * FIXED-ORDER two-term expression, deterministic on any engine. */
+  def rrfFuse(a: DataFrame, b: DataFrame, c: Int = 60): DataFrame = {
+    val la = a.select(col("doc_id"), col("rnk").as("rnk_a"))
+    val lb = b.select(col("doc_id"), col("rnk").as("rnk_b"))
+    la.join(lb, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("rnk_a"), col("rnk_b"),
+        (coalesce(lit(1.0) / (lit(c) + col("rnk_a")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(c) + col("rnk_b")), lit(0.0))).as("rrf"))
+  }
+
   /** Top-`k` TF-IDF terms per document over the WHOLE vocabulary.
     *
     * `tfidf = tf · ln(N / df)`. Unlike [[bm25]] (fixed query terms), this

@@ -111,6 +111,16 @@ object TextOps {
       .otherwise(array().cast("array<string>"))
   }
 
+  /** Repeated-`n`-gram ratio: `1 − distinct/total` over the doc's word
+    * `n`-grams — the boilerplate/template signal (Gopher-style repetition
+    * rule). 0.0 for docs too short to have any `n`-gram. Exact ratio of
+    * two small integers. */
+  def dupNgramRatio(toks: Column, n: Int): Column =
+    letOnce(shingles(toks, n)) { sh =>
+      when(size(sh) === 0, lit(0.0))
+        .otherwise(lit(1.0) - size(array_distinct(sh)).cast("double") / size(sh))
+    }
+
   /** Jaccard similarity of two string arrays treated as SETS (inputs need
     * not be distinct; both sides are deduped). Exact ratio of two small
     * integers — deterministic across engines. */

@@ -41,6 +41,32 @@ object VectorOps {
         sqrt(aggregate(db, lit(0.0), (acc, x) => acc + x * x)))
   }
 
+  /** Int8 scalar quantization of an embedding column: per-dimension
+    * min/max over the corpus (ONE aggregate whose output is a single row
+    * of arrays — it broadcasts back onto the scan), then
+    * `q_i = round((x_i − mn_i) · 255 / (mx_i − mn_i))` per row. This is
+    * the 4× storage cut every 100 TB vector store takes before indexing;
+    * all arithmetic is scalar double ops on exact per-dim extrema, so any
+    * engine reproduces the codes bit-for-bit.
+    * Returns `(id, q8: array<int>)`. Degenerate dims (mx == mn) code to 0.
+    */
+  def scalarQuantize(corpus: DataFrame, id: Column, vec: Column): DataFrame = {
+    val e = corpus.select(id.as("id"), d(vec).as("v"))
+    val dims = e.select(posexplode(col("v"))).toDF("i", "x")
+      .groupBy("i").agg(min("x").as("mn"), max("x").as("mx"))
+    val stats = dims
+      .agg(array_sort(collect_list(struct(col("i"), col("mn"), col("mx")))).as("st"))
+      .select(transform(col("st"), s => s.getField("mn")).as("mns"),
+        transform(col("st"), s => s.getField("mx")).as("mxs"))
+    e.crossJoin(broadcast(stats)).select(col("id"),
+      transform(col("v"), (x, i) => {
+        val mn = element_at(col("mns"), i + 1)
+        val mx = element_at(col("mxs"), i + 1)
+        when(mx === mn, lit(0))
+          .otherwise(round((x - mn) * 255.0 / (mx - mn), 0).cast("int"))
+      }).as("q8"))
+  }
+
   /** Exact top-k neighbors for each query vector (brute force baseline).
     * `queries`/`corpus`: (id, vec). The query side is broadcast — valid by
     * construction for an interactive top-k (|Q| small); the corpus side

@@ -126,4 +126,18 @@ class PlanBudgetSpec extends SparkSpec {
     // trigram profiles: explode map-side + (lang,gram) agg + per-lang window
     assert(shuffles("q100_char_trigrams") <= 3)
   }
+
+  test("hybrid retrieval / quantization / profiling hold their shapes") {
+    // RRF: both rank lists are k-bounded before the fusion join; the only
+    // full-corpus work is the BM25 pass (0 data shuffles) + cosine scan
+    assert(shuffles("q101_hybrid_rrf") <= 6)
+    // boilerplate + URL extraction: narrow per-row + one small agg
+    assert(shuffles("q102_boilerplate") <= 1)
+    assert(shuffles("q103_url_domains") <= 2)
+    // quantization: per-dim extrema agg collapses to one broadcast row
+    assert(shuffles("q104_scalar_quantization") <= 3)
+    assert(planOf("q104_scalar_quantization").contains("BroadcastExchange"))
+    // profiling: the multi-distinct Expand is ONE pass over the table
+    assert(shuffles("q105_column_profile") <= 2)
+  }
 }

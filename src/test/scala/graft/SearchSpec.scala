@@ -39,6 +39,18 @@ class SearchSpec extends SparkSpec {
     assert(zero._2 === 0.0)
   }
 
+  test("rrfFuse: fixed-order reciprocal sum, full-outer semantics") {
+    val a = Seq((1L, 1), (2L, 2)).toDF("doc_id", "rnk")
+    val b = Seq((2L, 1), (3L, 2)).toDF("doc_id", "rnk")
+    val out = Search.rrfFuse(a, b).select("doc_id", "rrf")
+      .as[(Long, Double)].collect().toMap
+    assert(math.abs(out(1L) - 1.0 / 61) < 1e-15)            // only list a
+    assert(math.abs(out(2L) - (1.0 / 62 + 1.0 / 61)) < 1e-15) // both
+    assert(math.abs(out(3L) - 1.0 / 62) < 1e-15)            // only list b
+    // both-list doc must outrank either single-list doc here
+    assert(out(2L) > out(1L) && out(2L) > out(3L))
+  }
+
   test("tfidfTopTerms ranks corpus-rare terms first, caps at k per doc") {
     val out = Search.tfidfTopTerms(corpus.toDF("doc_id", "text"),
         col("doc_id"), col("text"), 2)

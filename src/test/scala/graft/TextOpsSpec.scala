@@ -34,6 +34,18 @@ class TextOpsSpec extends SparkSpec {
     assert(out(1) === Seq.empty)                  // shorter than n
   }
 
+  test("dupNgramRatio: 0 for short/unique docs, exact ratio for repeats") {
+    val df = Seq(
+      "a b",                    // too short for 2-grams? no — 1 shingle, unique
+      "a b a b a b",            // 5 bigrams, 2 distinct -> 1 - 2/5
+      "w x y z").toDF("t")
+      .select(TextOps.dupNgramRatio(TextOps.tokens(col("t")), 2).as("r"))
+    val out = df.as[Double].collect().toSeq
+    assert(out(0) === 0.0)
+    assert(math.abs(out(1) - (1.0 - 2.0 / 5)) < 1e-15)
+    assert(out(2) === 0.0)
+  }
+
   test("identical docs have identical minhash signatures (both constructions)") {
     val df = Seq("the quick brown fox jumps", "the quick brown fox jumps").toDF("t")
       .select(TextOps.shingles(TextOps.tokens(col("t")), 3).as("sh"))

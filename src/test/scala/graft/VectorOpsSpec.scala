@@ -27,6 +27,27 @@ class VectorOpsSpec extends SparkSpec {
     assert(math.abs(df.as[Double].head() - 1.0) < 1e-12)
   }
 
+  test("scalarQuantize: extremes map to 0/255, codes reconstruct within half a step") {
+    val vecs = Seq(
+      (1L, Seq(0.0f, -1.0f)),
+      (2L, Seq(1.0f, 1.0f)),
+      (3L, Seq(0.5f, 0.0f)))
+    val out = VectorOps.scalarQuantize(vecs.toDF("vec_id", "embedding"),
+        col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Int])].collect().toMap
+    assert(out(1L) === Seq(0, 0))       // per-dim minima
+    assert(out(2L) === Seq(255, 255))   // per-dim maxima
+    assert(out(3L) === Seq(128, 128))   // midpoints round to 128 (half-up)
+    // reconstruction: |x − (q/255·(mx−mn)+mn)| ≤ step/2 for every cell
+    val (mn, mx) = (Seq(0.0, -1.0), Seq(1.0, 1.0))
+    vecs.foreach { case (id, v) =>
+      v.zipWithIndex.foreach { case (x, i) =>
+        val rec = out(id)(i) / 255.0 * (mx(i) - mn(i)) + mn(i)
+        assert(math.abs(x - rec) <= (mx(i) - mn(i)) / 255.0 / 2 + 1e-12)
+      }
+    }
+  }
+
   test("bruteForceTopK returns k nearest by cosine, excluding self") {
     val vecs = Seq(
       (1L, Seq(1.0f, 0.0f)),
