@@ -1495,6 +1495,105 @@ object QEtl {
         |SELECT 'c_nationkey', CAST(count(*) - count(c_nationkey) AS BIGINT),
         |  CAST(count(DISTINCT c_nationkey) AS BIGINT),
         |  CAST(min(c_nationkey) AS VARCHAR),
-        |  CAST(max(c_nationkey) AS VARCHAR) FROM customer""".stripMargin))
+        |  CAST(max(c_nationkey) AS VARCHAR) FROM customer""".stripMargin)),
+
+    // winsorization: clip the value column at the (rounded-cent) p01/p99 —
+    // outlier taming before any float-sensitive model sees the data. The
+    // two percentiles are ONE 1-row aggregate broadcast back onto the
+    // scan; clipping is integer arithmetic after rounding the cut points,
+    // so the clipped sums stay exact
+    Qry("q106_winsorize",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+          .select(col("l_returnflag"),
+            round(col("l_extendedprice") * 100, 0).cast("long").as("cents"))
+        val cuts = li.agg(
+          round(expr("percentile(cents, 0.01)"), 0).cast("long").as("p01"),
+          round(expr("percentile(cents, 0.99)"), 0).cast("long").as("p99"))
+        li.crossJoin(broadcast(cuts))
+          .select(col("l_returnflag"),
+            greatest(least(col("cents"), col("p99")), col("p01")).as("w"),
+            (col("cents") < col("p01")).as("lo"), (col("cents") > col("p99")).as("hi"))
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"), sum("w").as("sum_w_cents"),
+            min("w").as("min_w"), max("w").as("max_w"),
+            count(when(col("lo"), 1)).as("n_clipped_lo"),
+            count(when(col("hi"), 1)).as("n_clipped_hi"))
+      },
+      Some("""WITH li AS (SELECT l_returnflag,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS cents FROM lineitem),
+        |cuts AS (SELECT CAST(round(quantile_cont(cents, 0.01)) AS BIGINT) AS p01,
+        |    CAST(round(quantile_cont(cents, 0.99)) AS BIGINT) AS p99 FROM li),
+        |w AS (SELECT l_returnflag,
+        |    greatest(least(cents, p99), p01) AS w,
+        |    cents < p01 AS lo, cents > p99 AS hi
+        |  FROM li CROSS JOIN cuts)
+        |SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(w) AS BIGINT) AS sum_w_cents,
+        |  min(w) AS min_w, max(w) AS max_w,
+        |  CAST(count(CASE WHEN lo THEN 1 END) AS BIGINT) AS n_clipped_lo,
+        |  CAST(count(CASE WHEN hi THEN 1 END) AS BIGINT) AS n_clipped_hi
+        |FROM w GROUP BY 1""".stripMargin)),
+
+    // snapshot diff (the CDC / change-feed primitive): two dimension
+    // snapshots full-outer joined on the business key, every row
+    // classified added / removed / changed — the input SCD2 merges and
+    // downstream incremental consumers need. Snapshot B is derived from A
+    // by deterministic key arithmetic (deletes at %17, updates at %5,
+    // inserts at +1M for %13)
+    Qry("q107_snapshot_diff",
+      (s, dir) => {
+        val a = t(s, dir, "customer").select(col("c_custkey").as("k"),
+          round(col("c_acctbal") * 100, 0).cast("long").as("bal_a"))
+        val b0 = t(s, dir, "customer").filter(col("c_custkey") % 17 =!= 0)
+          .select(col("c_custkey").as("k"),
+            when(col("c_custkey") % 5 === 0,
+              round(col("c_acctbal") * 100, 0).cast("long") + 12345L)
+              .otherwise(round(col("c_acctbal") * 100, 0).cast("long")).as("bal_b"))
+        val b = b0.unionByName(
+          t(s, dir, "customer").filter(col("c_custkey") % 13 === 0)
+            .select((col("c_custkey") + 1000000L).as("k"),
+              round(col("c_acctbal") * 100, 0).cast("long").as("bal_b")))
+        a.join(b, Seq("k"), "full_outer")
+          .withColumn("change_type",
+            when(col("bal_a").isNull, "added")
+              .when(col("bal_b").isNull, "removed")
+              .when(col("bal_a") =!= col("bal_b"), "changed")
+              .otherwise("unchanged"))
+          .filter(col("change_type") =!= "unchanged")
+          .select(col("k"), col("bal_a"), col("bal_b"), col("change_type"))
+      },
+      Some("""WITH a AS (SELECT c_custkey AS k,
+        |    CAST(round(c_acctbal * 100) AS BIGINT) AS bal_a FROM customer),
+        |b AS (SELECT c_custkey AS k,
+        |    CASE WHEN c_custkey % 5 = 0
+        |      THEN CAST(round(c_acctbal * 100) AS BIGINT) + 12345
+        |      ELSE CAST(round(c_acctbal * 100) AS BIGINT) END AS bal_b
+        |  FROM customer WHERE c_custkey % 17 <> 0
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000,
+        |    CAST(round(c_acctbal * 100) AS BIGINT)
+        |  FROM customer WHERE c_custkey % 13 = 0),
+        |j AS (SELECT COALESCE(a.k, b.k) AS k, bal_a, bal_b,
+        |    CASE WHEN bal_a IS NULL THEN 'added'
+        |         WHEN bal_b IS NULL THEN 'removed'
+        |         WHEN bal_a <> bal_b THEN 'changed'
+        |         ELSE 'unchanged' END AS change_type
+        |  FROM a FULL OUTER JOIN b ON a.k = b.k)
+        |SELECT k, bal_a, bal_b, change_type FROM j
+        |WHERE change_type <> 'unchanged'""".stripMargin)),
+
+    // deterministic hash sampling (the TABLESAMPLE twin any engine can
+    // reproduce): md5-derived bucket < rate — a pure per-row filter that
+    // pushes nothing to RNG state, re-runs identically on any cluster
+    // layout, and composes with incremental loads (same ids always in)
+    Qry("q108_hash_sample",
+      (s, dir) => t(s, dir, "orders")
+        .filter(pmod(graft.text.TextOps.hash64(
+          concat(lit("s42|"), col("o_orderkey").cast("string"))), lit(100)) < 10)
+        .select(col("o_orderkey"), col("o_custkey")),
+      Some("""SELECT o_orderkey, o_custkey FROM orders
+        |WHERE (('0x' || substr(md5('s42|' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT)
+        |  % 100 < 10""".stripMargin))
   )
 }

@@ -140,4 +140,15 @@ class PlanBudgetSpec extends SparkSpec {
     // profiling: the multi-distinct Expand is ONE pass over the table
     assert(shuffles("q105_column_profile") <= 2)
   }
+
+  test("winsorize/CDC/sampling hold their shapes") {
+    // winsorize: percentile cuts collapse to a 1-row broadcast; the clip
+    // itself is narrow and the rollup is one agg exchange
+    assert(shuffles("q106_winsorize") <= 3)
+    assert(planOf("q106_winsorize").contains("BroadcastExchange"))
+    // snapshot diff: one full-outer hash join on the business key
+    assert(shuffles("q107_snapshot_diff") <= 3)
+    // hash sample: a pure per-row filter — zero exchanges
+    assert(shuffles("q108_hash_sample") === 0)
+  }
 }
