@@ -1200,6 +1200,58 @@ object QLlm {
         |      ELSE round((v[j] - mns[j]) * 255.0 / (mxs[j] - mns[j])) END
         |      AS INT) AS VARCHAR)) AS ql
         |  FROM e CROSS JOIN st)
-        |SELECT vec_id, array_to_string(ql, ',') AS q8 FROM q""".stripMargin))
+        |SELECT vec_id, array_to_string(ql, ',') AS q8 FROM q""".stripMargin)),
+
+    // unigram token entropy per doc — the distributional quality signal
+    // (template spam ≈ low entropy, natural text ≈ high). Per-doc term
+    // frequencies via one (doc,term) aggregate; the float fold is a
+    // SORTED sequential reduce in both engines (the q32 list_reduce
+    // contract), so the double survives the hash compare
+    Qry("q109_token_entropy",
+      (s, dir) => {
+        val tf = spread(s, t(s, dir, "documents"))
+          .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
+          .filter(length(col("term")) > 0)
+          .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        val p = col("tf").cast("double") / col("n_tokens")
+        tf.withColumn("n_tokens", sum("tf").over(Window.partitionBy("doc_id")))
+          .select(col("doc_id"), col("n_tokens"), (-(p * log(p))).as("c"))
+          .groupBy("doc_id", "n_tokens")
+          .agg(round(aggregate(array_sort(collect_list(col("c"))),
+            lit(0.0), (a, x) => a + x), 6).as("entropy"))
+      },
+      Some(s"""WITH tok AS (SELECT doc_id, unnest($toksSql) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM tok
+        |  WHERE length(term) > 0 GROUP BY 1, 2),
+        |n AS (SELECT doc_id, term, tf,
+        |    CAST(sum(tf) OVER (PARTITION BY doc_id) AS BIGINT) AS n_tokens FROM tf),
+        |c AS (SELECT doc_id, n_tokens,
+        |    -((CAST(tf AS DOUBLE) / n_tokens) * ln(CAST(tf AS DOUBLE) / n_tokens)) AS c
+        |  FROM n)
+        |SELECT doc_id, n_tokens,
+        |  round(list_reduce(list_prepend(0.0, list_sort(list(c))),
+        |    (a, x) -> a + x), 6) AS entropy
+        |FROM c GROUP BY 1, 2""".stripMargin)),
+
+    // weighted sampling without replacement (Efraimidis–Spirakis A-Res):
+    // key = ln(u)/w with a seeded md5 uniform — longer docs (w = n_chars)
+    // proportionally likelier, the data-mixing primitive for weighting
+    // sources in a training blend. Top-k by key is TakeOrdered (never a
+    // global sort); the same seed reproduces the same sample anywhere
+    Qry("q110_weighted_sample",
+      (s, dir) => {
+        val u = (pmod(TextOps.hash64(concat(lit("ws|"), col("doc_id").cast("string"))),
+          lit(1000000000L)) + 1).cast("double") / 1000000000.0
+        spread(s, t(s, dir, "documents"))
+          .select(col("doc_id"), col("n_chars"),
+            round(log(u) / col("n_chars"), 9).as("k"))
+          .orderBy(desc("k"), col("doc_id")).limit(50)
+      },
+      Some(s"""WITH k AS (SELECT doc_id, n_chars,
+        |    round(ln(CAST(${h64("'ws|' || CAST(doc_id AS VARCHAR)")}
+        |        % 1000000000 + 1 AS DOUBLE) / 1000000000.0) / n_chars, 9) AS k
+        |  FROM documents)
+        |SELECT doc_id, n_chars, k FROM k
+        |ORDER BY k DESC, doc_id LIMIT 50""".stripMargin))
   )
 }

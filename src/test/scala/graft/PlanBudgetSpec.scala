@@ -150,5 +150,9 @@ class PlanBudgetSpec extends SparkSpec {
     assert(shuffles("q107_snapshot_diff") <= 3)
     // hash sample: a pure per-row filter — zero exchanges
     assert(shuffles("q108_hash_sample") === 0)
+    // entropy: (doc,term) agg + per-doc window + per-doc fold
+    assert(shuffles("q109_token_entropy") <= 3)
+    // weighted sample: per-row key + TakeOrdered — spread() only
+    assert(shuffles("q110_weighted_sample") <= 1)
   }
 }
