@@ -1450,7 +1450,9 @@ object QEtl {
     Qry("q99_heavy_hitters",
       (s, dir) => {
         val cnt = t(s, dir, "orders").groupBy("o_custkey").agg(count(lit(1)).as("n"))
-        val tot = t(s, dir, "orders").agg(count(lit(1)).as("total"))
+        // total = sum of the group counts: derived from the (small)
+        // aggregated side, never a second pass over the fact table
+        val tot = cnt.agg(sum("n").as("total"))
         cnt.crossJoin(broadcast(tot))
           .select(col("o_custkey"), col("n"),
             round(col("n").cast("double") / col("total"), 6).as("share"))
@@ -1539,8 +1541,9 @@ object QEtl {
     // snapshots full-outer joined on the business key, every row
     // classified added / removed / changed — the input SCD2 merges and
     // downstream incremental consumers need. Snapshot B is derived from A
-    // by deterministic key arithmetic (deletes at %17, updates at %5,
-    // inserts at +1M for %13)
+    // by deterministic key arithmetic (deletes at %17, updates at %5;
+    // inserts mirror into the NEGATIVE key space, which cannot collide
+    // with a real key at any scale — a fixed positive offset would)
     Qry("q107_snapshot_diff",
       (s, dir) => {
         val a = t(s, dir, "customer").select(col("c_custkey").as("k"),
@@ -1552,7 +1555,7 @@ object QEtl {
               .otherwise(round(col("c_acctbal") * 100, 0).cast("long")).as("bal_b"))
         val b = b0.unionByName(
           t(s, dir, "customer").filter(col("c_custkey") % 13 === 0)
-            .select((col("c_custkey") + 1000000L).as("k"),
+            .select((-col("c_custkey") - 1).as("k"),
               round(col("c_acctbal") * 100, 0).cast("long").as("bal_b")))
         a.join(b, Seq("k"), "full_outer")
           .withColumn("change_type",
@@ -1571,7 +1574,7 @@ object QEtl {
         |      ELSE CAST(round(c_acctbal * 100) AS BIGINT) END AS bal_b
         |  FROM customer WHERE c_custkey % 17 <> 0
         |  UNION ALL
-        |  SELECT c_custkey + 1000000,
+        |  SELECT -c_custkey - 1,
         |    CAST(round(c_acctbal * 100) AS BIGINT)
         |  FROM customer WHERE c_custkey % 13 = 0),
         |j AS (SELECT COALESCE(a.k, b.k) AS k, bal_a, bal_b,

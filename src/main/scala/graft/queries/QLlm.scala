@@ -72,6 +72,43 @@ object QLlm {
       |UNION ALL SELECT doc_id + 10000, text || ' trailing marker' FROM documents WHERE doc_id % 5 = 0
       |UNION ALL SELECT doc_id + 20000, text FROM documents WHERE doc_id % 7 = 0""".stripMargin
 
+  // ---- shared BM25 fragments (q88 + the q101 fusion) -------------------
+  private val bm25Terms = Seq("spark", "merge", "window")
+
+  /** The Spark-side BM25 top-20: scorer + rounded order + limit. */
+  private def bm25Top(s: SparkSession, dir: String): DataFrame =
+    graft.text.Search.bm25(
+        spread(s, t(s, dir, "documents")), col("doc_id"), col("text"), bm25Terms)
+      .filter(col("score") > 0)
+      .select(col("doc_id"), round(col("score"), 6).as("score"))
+      .orderBy(desc("score"), col("doc_id")).limit(20)
+
+  /** DuckDB CTE chain ending in `scored(doc_id, score)` — mirrors
+    * [[graft.text.Search.bm25]] expression-for-expression (see q88 notes);
+    * shared verbatim by q88 and q101 so the formula can never fork. */
+  private val bm25ScoredCtes: String = {
+    val tfs = bm25Terms.zipWithIndex.map { case (t, i) =>
+      s"len(list_filter(tk, x -> x = '$t')) AS tf_$i"
+    }.mkString(",\n  ")
+    val dfs = bm25Terms.indices.map(i =>
+      s"sum(CASE WHEN tf_$i > 0 THEN 1 ELSE 0 END) AS df_$i").mkString(", ")
+    val contribs = bm25Terms.indices.map(i =>
+      s"""(ln((n_docs - df_$i + 0.5) / (df_$i + 0.5) + 1.0)
+         |    * (CAST(tf_$i AS DOUBLE) * (1.2 + 1.0))
+         |    / (CAST(tf_$i AS DOUBLE) + 1.2 * (1.0 - 0.75
+         |       + 0.75 * (CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / n_docs)))))"""
+        .stripMargin).mkString("\n  + ")
+    s"""d AS (SELECT doc_id, $toksSql AS tk FROM documents),
+    |base AS (SELECT doc_id, len(tk) AS dl,
+    |  $tfs
+    |  FROM d),
+    |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+    |    CAST(sum(dl) AS BIGINT) AS sum_dl, $dfs FROM base),
+    |scored AS (SELECT doc_id,
+    |  $contribs AS score
+    |  FROM base CROSS JOIN stats)""".stripMargin
+  }
+
   val all: Seq[Qry] = Seq(
 
     // exact dedup — hash clusters with representative + multiplicity
@@ -928,36 +965,10 @@ object QLlm {
     // engine-reproducible (ln is the 1-ulp exception → round 6). Top-20
     // is orderBy+limit — TakeOrdered, never a global sort.
     Qry("q88_bm25_search",
-      (s, dir) => graft.text.Search.bm25(
-          spread(s, t(s, dir, "documents")), col("doc_id"), col("text"),
-          Seq("spark", "merge", "window"))
-        .filter(col("score") > 0)
-        .select(col("doc_id"), round(col("score"), 6).as("score"))
-        .orderBy(desc("score"), col("doc_id")).limit(20),
-      Some({
-        val tfs = Seq("spark", "merge", "window").zipWithIndex.map { case (t, i) =>
-          s"len(list_filter(tk, x -> x = '$t')) AS tf_$i"
-        }.mkString(",\n  ")
-        val dfs = (0 to 2).map(i =>
-          s"sum(CASE WHEN tf_$i > 0 THEN 1 ELSE 0 END) AS df_$i").mkString(", ")
-        val contribs = (0 to 2).map(i =>
-          s"""(ln((n_docs - df_$i + 0.5) / (df_$i + 0.5) + 1.0)
-             |    * (CAST(tf_$i AS DOUBLE) * (1.2 + 1.0))
-             |    / (CAST(tf_$i AS DOUBLE) + 1.2 * (1.0 - 0.75
-             |       + 0.75 * (CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / n_docs)))))"""
-            .stripMargin).mkString("\n  + ")
-        s"""WITH d AS (SELECT doc_id, $toksSql AS tk FROM documents),
-        |base AS (SELECT doc_id, len(tk) AS dl,
-        |  $tfs
-        |  FROM d),
-        |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
-        |    CAST(sum(dl) AS BIGINT) AS sum_dl, $dfs FROM base),
-        |scored AS (SELECT doc_id,
-        |  $contribs AS score
-        |  FROM base CROSS JOIN stats)
+      (s, dir) => bm25Top(s, dir),
+      Some(s"""WITH $bm25ScoredCtes
         |SELECT doc_id, round(score, 6) AS score FROM scored WHERE score > 0
-        |ORDER BY round(score, 6) DESC, doc_id LIMIT 20""".stripMargin
-      })),
+        |ORDER BY round(score, 6) DESC, doc_id LIMIT 20""".stripMargin)),
 
     // TF-IDF top terms per document ([[graft.text.Search.tfidfTopTerms]]):
     // tf via one (doc,term) aggregate, df via the vocabulary-sized rollup
@@ -1065,42 +1076,17 @@ object QLlm {
     Qry("q101_hybrid_rrf",
       (s, dir) => {
         val bmW = Window.orderBy(desc("score"), col("doc_id"))
-        val bmTop = graft.text.Search.bm25(
-            spread(s, t(s, dir, "documents")), col("doc_id"), col("text"),
-            Seq("spark", "merge", "window"))
-          .filter(col("score") > 0)
-          .select(col("doc_id"), round(col("score"), 6).as("score"))
-          .orderBy(desc("score"), col("doc_id")).limit(20)
+        val bmRanked = bm25Top(s, dir) // the q88 list, ranked (20 rows)
           .withColumn("rnk", row_number().over(bmW).cast("int"))
         val e = spread(s, t(s, dir, "embeddings"))
           .select(col("vec_id").as("id"), col("embedding").as("vec"))
         val vecTop = VectorOps.bruteForceTopK(e.filter(col("id") === 0), e, 20)
           .select(col("neighbor_id").as("doc_id"), col("rank").cast("int").as("rnk"))
-        graft.text.Search.rrfFuse(bmTop.select("doc_id", "rnk"), vecTop)
+        graft.text.Search.rrfFuse(bmRanked.select("doc_id", "rnk"), vecTop)
           .select(col("doc_id"), col("rnk_a"), col("rnk_b"),
             round(col("rrf"), 6).as("rrf"))
       },
-      Some({
-        val tfs = Seq("spark", "merge", "window").zipWithIndex.map { case (t, i) =>
-          s"len(list_filter(tk, x -> x = '$t')) AS tf_$i"
-        }.mkString(",\n  ")
-        val dfs = (0 to 2).map(i =>
-          s"sum(CASE WHEN tf_$i > 0 THEN 1 ELSE 0 END) AS df_$i").mkString(", ")
-        val contribs = (0 to 2).map(i =>
-          s"""(ln((n_docs - df_$i + 0.5) / (df_$i + 0.5) + 1.0)
-             |    * (CAST(tf_$i AS DOUBLE) * (1.2 + 1.0))
-             |    / (CAST(tf_$i AS DOUBLE) + 1.2 * (1.0 - 0.75
-             |       + 0.75 * (CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / n_docs)))))"""
-            .stripMargin).mkString("\n  + ")
-        s"""WITH d AS (SELECT doc_id, $toksSql AS tk FROM documents),
-        |base AS (SELECT doc_id, len(tk) AS dl,
-        |  $tfs
-        |  FROM d),
-        |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
-        |    CAST(sum(dl) AS BIGINT) AS sum_dl, $dfs FROM base),
-        |scored AS (SELECT doc_id,
-        |  $contribs AS score
-        |  FROM base CROSS JOIN stats),
+      Some(s"""WITH $bm25ScoredCtes,
         |bm AS (SELECT doc_id, round(score, 6) AS score FROM scored WHERE score > 0
         |  ORDER BY round(score, 6) DESC, doc_id LIMIT 20),
         |bmr AS (SELECT doc_id, CAST(row_number() OVER
@@ -1119,8 +1105,7 @@ object QLlm {
         |SELECT COALESCE(bmr.doc_id, vr.doc_id) AS doc_id, rnk_a, rnk_b,
         |  round(COALESCE(1.0 / (60 + rnk_a), 0.0)
         |    + COALESCE(1.0 / (60 + rnk_b), 0.0), 6) AS rrf
-        |FROM bmr FULL OUTER JOIN vr ON bmr.doc_id = vr.doc_id""".stripMargin
-      })),
+        |FROM bmr FULL OUTER JOIN vr ON bmr.doc_id = vr.doc_id""".stripMargin)),
 
     // boilerplate detection: repeated-5-gram ratio ([[TextOps
     // .dupNgramRatio]], the Gopher repetition rule) + token-count bounds →

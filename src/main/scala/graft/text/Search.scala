@@ -77,10 +77,13 @@ object Search {
   /** Top-`k` TF-IDF terms per document over the WHOLE vocabulary.
     *
     * `tfidf = tf · ln(N / df)`. Unlike [[bm25]] (fixed query terms), this
-    * explodes the token stream: one shuffle on `(doc_id, term)` for tf, one
-    * vocabulary-sized aggregate for df (vocabularies are tiny next to the
-    * corpus — it broadcasts), and a per-document window for the top-k. No
-    * global sort anywhere, so the shape holds at corpus scale.
+    * explodes the token stream: one shuffle on `(doc_id, term)` for tf, a
+    * vocabulary-sized aggregate for df, and a per-document window for the
+    * top-k. No global sort anywhere. The df join is left to the planner:
+    * natural-language vocabularies broadcast (AQE sees the post-agg size),
+    * but a web-scale vocabulary (URLs, typos, numbers) can reach billions
+    * of terms, where forcing a broadcast would OOM — the shuffle join on
+    * `term` is the correct fallback and Spark picks it from stats.
     */
   def tfidfTopTerms(docs: DataFrame, id: Column, text: Column, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -90,7 +93,7 @@ object Search {
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
     val w = Window.partitionBy("doc_id").orderBy(desc("tfidf"), col("term"))
-    tf.join(broadcast(df), "term")
+    tf.join(df, "term")
       .crossJoin(broadcast(n))
       .withColumn("tfidf", round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6))
       .withColumn("rnk", row_number().over(w))

@@ -65,10 +65,16 @@ class StreamingSpec extends SparkSpec {
 
     val streamed = spark.table("sliding")
     assert(streamed.count() > 0)
-    // every event lands in 4 windows → the emitted set must be ~4× the
-    // tumbling cardinality and each row must match batch exactly
+    // every emitted row must match its batch twin exactly
     assert(streamed.join(batch,
       Seq("window_start", "event_type", "n")).count() === streamed.count())
+    // ...and the emitted set must actually be SLIDING: all four 15-min
+    // phases present (a tumbling regression would emit only :00 starts
+    // yet still pass the subset check above)
+    val phases = streamed
+      .select(substring(col("window_start"), 15, 2).as("m"))
+      .distinct().as[String].collect().toSet
+    assert(phases === Set("00", "15", "30", "45"))
   }
 
   test("streaming contract validation equals the batch validator split") {
