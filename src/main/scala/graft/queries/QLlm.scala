@@ -1237,6 +1237,85 @@ object QLlm {
         |        % 1000000000 + 1 AS DOUBLE) / 1000000000.0) / n_chars, 9) AS k
         |  FROM documents)
         |SELECT doc_id, n_chars, k FROM k
-        |ORDER BY k DESC, doc_id LIMIT 50""".stripMargin))
+        |ORDER BY k DESC, doc_id LIMIT 50""".stripMargin)),
+
+    // NATIVE session windows: Spark's session_window() merges events whose
+    // gaps stay under 30 min — the declarative form of q40's manual
+    // lag/running-sum sessionization (and the one that also runs under
+    // Structured Streaming with state eviction). Boundary semantics differ
+    // from q40 deliberately: a gap of EXACTLY 30 min starts a new session
+    // here (window end is exclusive), so the oracle uses >=
+    Qry("q111_session_window",
+      (s, dir) => events(s, dir)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+          date_format(col("w.end"), "yyyy-MM-dd HH:mm:ss").as("session_end"),
+          col("n_events")),
+      Some("""WITH g AS (SELECT user_id, ts,
+        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000 THEN 1
+        |         ELSE 0 END AS new_session
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (SELECT user_id, ts, sum(new_session) OVER (PARTITION BY user_id
+        |    ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sn FROM g)
+        |SELECT user_id,
+        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |  strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
+        |  CAST(count(*) AS BIGINT) AS n_events
+        |FROM s GROUP BY user_id, sn""".stripMargin)),
+
+    // approximate aggregates — the sketches a 100 TB interactive layer
+    // leans on when exact distinct/percentile would shuffle the world:
+    // HLL++ count-distinct and quantile sketches next to their exact
+    // twins. Sketch values are engine-specific by nature, so there is NO
+    // SQL oracle (driver records the weaker rows-only check); the
+    // calibration bound |approx−exact|/exact < 5% is spec-asserted
+    Qry("q112_approx_aggregates",
+      (s, dir) => events(s, dir)
+        .withColumn("cents", round(col("value") * 100, 0).cast("long"))
+        .groupBy("event_type")
+        .agg(countDistinct("user_id").as("n_users_exact"),
+          approx_count_distinct(col("user_id"), rsd = 0.02).as("n_users_approx"),
+          expr("percentile(cents, 0.5)").as("p50_exact"),
+          expr("approx_percentile(cents, 0.5, 10000)").as("p50_approx")),
+      None),
+
+    // as-of join with a STALENESS bound: each view event picks the user's
+    // most recent prior purchase, but only if it happened within the last
+    // hour — the freshness contract of feature lookups (a stale feature is
+    // worse than a missing one). Composition: [[AsOfJoin.asOfUnion]]
+    // carries the matched timestamp out, the tolerance gate nulls late
+    // matches; still ONE shuffle per side, no range-join blowup
+    Qry("q113_asof_tolerance",
+      (s, dir) => {
+        val ev = events(s, dir)
+        val views = ev.filter(col("event_type") === "view")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts").as("p_ts"),
+            round(col("value") * 100, 0).cast("long").as("cents"))
+        graft.ops.AsOfJoin.asOfUnion(views, purchases,
+            "user_id", "ts", "p_ts", Seq("p_ts", "cents"))
+          .select(col("event_id"), col("user_id"),
+            when(col("asof_p_ts").isNotNull &&
+              unix_micros(col("ts")) - unix_micros(col("asof_p_ts")) <= 3600000000L,
+              col("asof_cents")).as("recent_purchase_cents"))
+      },
+      Some("""WITH v AS (SELECT event_id, user_id, ts FROM events
+        |    WHERE event_type = 'view'),
+        |p AS (SELECT user_id, ts AS p_ts, CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'purchase'),
+        |last AS (SELECT v.event_id, v.user_id, v.ts, max(p.p_ts) AS mp
+        |  FROM v LEFT JOIN p ON p.user_id = v.user_id AND p.p_ts <= v.ts
+        |  GROUP BY 1, 2, 3),
+        |pick AS (SELECT l.event_id, l.user_id, l.ts, l.mp, max(p.cents) AS cents
+        |  FROM last l LEFT JOIN p ON p.user_id = l.user_id AND p.p_ts = l.mp
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT event_id, user_id,
+        |  CASE WHEN mp IS NOT NULL AND epoch_us(ts) - epoch_us(mp) <= 3600000000
+        |       THEN cents END AS recent_purchase_cents
+        |FROM pick""".stripMargin))
   )
 }

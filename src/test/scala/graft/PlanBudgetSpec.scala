@@ -154,5 +154,11 @@ class PlanBudgetSpec extends SparkSpec {
     assert(shuffles("q109_token_entropy") <= 3)
     // weighted sample: per-row key + TakeOrdered — spread() only
     assert(shuffles("q110_weighted_sample") <= 1)
+    // native session windows: one keyed exchange + the session sort
+    assert(shuffles("q111_session_window") <= 2)
+    // sketches: one aggregate pass, no Expand-free exact-distinct blowup
+    assert(shuffles("q112_approx_aggregates") <= 3)
+    // as-of with tolerance: asOfUnion's single union-window exchange
+    assert(shuffles("q113_asof_tolerance") <= 2)
   }
 }
