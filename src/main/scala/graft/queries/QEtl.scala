@@ -1597,6 +1597,59 @@ object QEtl {
         .select(col("o_orderkey"), col("o_custkey")),
       Some("""SELECT o_orderkey, o_custkey FROM orders
         |WHERE (('0x' || substr(md5('s42|' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT)
-        |  % 100 < 10""".stripMargin))
+        |  % 100 < 10""".stripMargin)),
+
+    // gaps-and-islands: maximal runs of consecutive sales days per order
+    // priority — the dn − row_number() constant-per-island trick, the
+    // inverse of q87's gap fill; both windows partition by priority, so
+    // no global sort, and the input is the (small) daily aggregate
+    Qry("q114_gaps_islands",
+      (s, dir) => {
+        val daily = t(s, dir, "orders")
+          .select(col("o_orderpriority").as("prio"),
+            col("o_orderdate").cast("date").as("d")).distinct()
+        val w = Window.partitionBy("prio").orderBy("d")
+        daily
+          .withColumn("dn", datediff(col("d"), lit("1990-01-01").cast("date")))
+          .withColumn("grp", col("dn") - row_number().over(w))
+          .groupBy("prio", "grp")
+          .agg(date_format(min("d"), "yyyy-MM-dd").as("island_start"),
+            date_format(max("d"), "yyyy-MM-dd").as("island_end"),
+            count(lit(1)).as("n_days"))
+          .drop("grp")
+          .filter(col("n_days") >= 5)
+      },
+      Some("""WITH daily AS (SELECT DISTINCT o_orderpriority AS prio,
+        |    CAST(o_orderdate AS DATE) AS d FROM orders),
+        |g AS (SELECT prio, d,
+        |    datediff('day', DATE '1990-01-01', d)
+        |      - row_number() OVER (PARTITION BY prio ORDER BY d) AS grp
+        |  FROM daily),
+        |i AS (SELECT prio, grp,
+        |    strftime(min(d), '%Y-%m-%d') AS island_start,
+        |    strftime(max(d), '%Y-%m-%d') AS island_end,
+        |    CAST(count(*) AS BIGINT) AS n_days
+        |  FROM g GROUP BY 1, 2)
+        |SELECT prio, island_start, island_end, n_days FROM i
+        |WHERE n_days >= 5""".stripMargin)),
+
+    // per-group mode (most frequent value, deterministic smallest-wins
+    // tie-break): the categorical summary statistic — count + one
+    // per-group rank window over the (tiny) aggregated table
+    Qry("q115_mode_per_group",
+      (s, dir) => {
+        val w = Window.partitionBy("c_nationkey")
+          .orderBy(desc("n"), col("c_mktsegment"))
+        t(s, dir, "customer")
+          .groupBy("c_nationkey", "c_mktsegment").agg(count(lit(1)).as("n"))
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") === 1)
+          .select(col("c_nationkey"), col("c_mktsegment").as("mode_segment"), col("n"))
+      },
+      Some("""WITH g AS (SELECT c_nationkey, c_mktsegment,
+        |    CAST(count(*) AS BIGINT) AS n FROM customer GROUP BY 1, 2)
+        |SELECT c_nationkey, c_mktsegment AS mode_segment, n FROM g
+        |QUALIFY row_number() OVER (PARTITION BY c_nationkey
+        |  ORDER BY n DESC, c_mktsegment) = 1""".stripMargin))
   )
 }

@@ -160,5 +160,8 @@ class PlanBudgetSpec extends SparkSpec {
     assert(shuffles("q112_approx_aggregates") <= 3)
     // as-of with tolerance: asOfUnion's single union-window exchange
     assert(shuffles("q113_asof_tolerance") <= 2)
+    // gaps-and-islands / mode: distinct+window / agg+window per group
+    assert(shuffles("q114_gaps_islands") <= 3)
+    assert(shuffles("q115_mode_per_group") <= 2)
   }
 }
