@@ -40,6 +40,17 @@ object Bench {
           col("o_orderstatus").rlike("a+b").as("r"),
           format_string("w %s %s", col("o_orderkey"), col("o_orderstatus")).as("m"))
         .write.format("noop").mode("overwrite").save()
+      // sketch/exact-distinct machinery: the HLL++/quantile-digest merge
+      // loops are interpreted until C2-compiled, which takes ~10^5 rows —
+      // warm on the full lineitem (different table/columns than any
+      // registered query) so q112 measures throughput, not JIT
+      spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .groupBy("l_returnflag")
+        .agg(countDistinct("l_suppkey").as("a"),
+          approx_count_distinct(col("l_suppkey"), rsd = 0.05).as("b"),
+          expr("percentile(l_partkey, 0.25)").as("c"),
+          expr("approx_percentile(l_partkey, 0.25, 100)").as("e"))
+        .write.format("noop").mode("overwrite").save()
       spark.read.parquet(s"$sfDir/documents.parquet").write.format("noop").mode("overwrite").save()
       spark.read.parquet(s"$sfDir/embeddings.parquet").write.format("noop").mode("overwrite").save()
     } catch {
