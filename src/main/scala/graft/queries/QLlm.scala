@@ -1253,13 +1253,13 @@ object QLlm {
           date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
           date_format(col("w.end"), "yyyy-MM-dd HH:mm:ss").as("session_end"),
           col("n_events")),
-      Some("""WITH g AS (SELECT user_id, ts,
+      Some("""WITH g AS (SELECT user_id, event_id, ts,
         |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
         |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000 THEN 1
         |         ELSE 0 END AS new_session
         |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
         |s AS (SELECT user_id, ts, sum(new_session) OVER (PARTITION BY user_id
-        |    ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sn FROM g)
+        |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sn FROM g)
         |SELECT user_id,
         |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
         |  strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
