@@ -80,4 +80,52 @@ class PropertySpec extends SparkSpec {
       assert(java.lang.Long.bitCount(ha ^ hb) <= 32)
     }
   }
+
+  test("property: dupNgramRatio in [0,1); 0 iff all n-grams distinct") {
+    val doc: Gen[List[String]] = Gen.listOf(Gen.oneOf("a", "b", "c", "dd"))
+    val cases = Gen.listOfN(100, doc).sample.get
+    val df = cases.map(ws => Tuple1(ws.mkString(" "))).toDF("text")
+      .select(TextOps.dupNgramRatio(TextOps.tokens(col("text")), 2).as("r"))
+    val got = df.as[Double].collect()
+    cases.zip(got).foreach { case (ws, r) =>
+      val toks = ws.mkString(" ").trim.split("\\s+").filter(_.nonEmpty).toSeq
+      val grams = toks.sliding(2).filter(_.size == 2).map(_.mkString(" ")).toSeq
+      val model = if (grams.isEmpty) 0.0
+        else 1.0 - grams.distinct.size.toDouble / grams.size
+      assert(math.abs(r - model) < 1e-15, s"doc=$ws")
+      assert(r >= 0.0 && r < 1.0 || (r == 0.0 && grams.isEmpty))
+    }
+  }
+
+  test("property: bm25 is 0 iff no term occurs, monotone in tf at fixed dl") {
+    // docs share length 4 so the dl normalization is constant; more
+    // occurrences of the query term must strictly increase the score
+    val docs = (0 to 4).map(k => (k.toLong, ("hit " * k + "miss " * (4 - k)).trim))
+    val out = graft.text.Search.bm25(docs.toDF("doc_id", "text"),
+        col("doc_id"), col("text"), Seq("hit"))
+      .as[(Long, Double)].collect().toMap
+    assert(out(0L) === 0.0)
+    (1 to 4).foreach(k => assert(out(k.toLong) > out(k.toLong - 1),
+      s"score must grow with tf ($k)"))
+  }
+
+  test("property: token entropy bounded by ln(distinct terms)") {
+    // uniform over m distinct tokens -> exactly ln(m); skewed -> less
+    val df = Seq("a b c d", "a a a b", "x x x x").toDF("text")
+      .select(TextOps.tokens(col("text")).as("tk"))
+      .select(explode(col("tk")).as("t"))
+    // model check is simpler in Scala: entropy of exact distributions
+    def h(ps: Seq[Double]): Double = ps.map(p => -p * math.log(p)).sum
+    assert(math.abs(h(Seq(0.25, 0.25, 0.25, 0.25)) - math.log(4)) < 1e-12)
+    assert(h(Seq(0.75, 0.25)) < math.log(2))
+    assert(h(Seq(1.0)) === 0.0)
+    // and the registered query respects the bound on real data
+    val rows = SparkEntry.queries("q109_token_entropy")(
+      spark, "/root/testdata/sf0.001").collect()
+    rows.foreach { r =>
+      val e = r.getAs[Double]("entropy")
+      // q109 rounds to 6 decimals, which can nudge past the bound by 5e-7
+      assert(e >= 0.0 && e <= math.log(r.getAs[Long]("n_tokens").toDouble) + 5e-7)
+    }
+  }
 }
