@@ -1316,6 +1316,65 @@ object QLlm {
         |SELECT event_id, user_id,
         |  CASE WHEN mp IS NOT NULL AND epoch_us(ts) - epoch_us(mp) <= 3600000000
         |       THEN cents END AS recent_purchase_cents
-        |FROM pick""".stripMargin))
+        |FROM pick""".stripMargin)),
+
+    // deterministic training-mix interleave: round-robin across languages
+    // (sources) so a sequential reader sees a balanced stream —
+    // mix_order = rank_within_lang · n_langs + lang_idx. The lang index
+    // table is a handful of rows (broadcast); ranks are per-lang windows.
+    // Any engine reproduces the exact ordering — resumable data loading
+    Qry("q116_training_mix",
+      (s, dir) => {
+        val docs = spread(s, t(s, dir, "documents")).select("doc_id", "lang")
+        val langIdx = docs.select("lang").distinct()
+          .withColumn("lang_idx",
+            (row_number().over(Window.orderBy("lang")) - 1).cast("int"))
+        val nLangs = langIdx.agg(count(lit(1)).as("n_langs"))
+        docs.join(broadcast(langIdx), "lang")
+          .withColumn("rn", (row_number().over(
+            Window.partitionBy("lang").orderBy("doc_id")) - 1).cast("long"))
+          .crossJoin(broadcast(nLangs))
+          .select(col("doc_id"), col("lang"),
+            (col("rn") * col("n_langs") + col("lang_idx")).as("mix_order"))
+      },
+      Some("""WITH li AS (SELECT lang,
+        |    CAST(row_number() OVER (ORDER BY lang) - 1 AS INT) AS lang_idx
+        |  FROM (SELECT DISTINCT lang FROM documents)),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n_langs FROM li),
+        |r AS (SELECT doc_id, documents.lang, lang_idx,
+        |    CAST(row_number() OVER (PARTITION BY documents.lang
+        |      ORDER BY doc_id) - 1 AS BIGINT) AS rn
+        |  FROM documents JOIN li ON documents.lang = li.lang)
+        |SELECT doc_id, lang, rn * n_langs + lang_idx AS mix_order
+        |FROM r CROSS JOIN n""".stripMargin)),
+
+    // overlapping document chunking (64-token windows, stride 48): the
+    // context-window splitter every RAG index / pretraining shard step
+    // runs. Chunk starts are a per-row sequence explode (narrow — no
+    // shuffle at all); texts hash to md5 so the rows stay slim while the
+    // exact chunk CONTENT is what gets verified
+    Qry("q117_chunk_overlap",
+      (s, dir) => {
+        val tk = TextOps.tokens(col("text"))
+        spread(s, t(s, dir, "documents"))
+          .select(col("doc_id"), tk.as("tk"), size(tk).as("n"))
+          .filter(col("n") >= 1)
+          .select(col("doc_id"), col("tk"), col("n"),
+            explode(sequence(lit(0),
+              floor((col("n") - 1) / 48.0).cast("int"))).as("chunk_idx"))
+          .select(col("doc_id"), col("chunk_idx"),
+            least(lit(64), col("n") - col("chunk_idx") * 48).as("n_chunk_tokens"),
+            md5(concat_ws(" ",
+              slice(col("tk"), col("chunk_idx") * 48 + 1, lit(64)))).as("chunk_md5"))
+      },
+      Some(s"""WITH d AS (SELECT doc_id, $toksSql AS tk FROM documents),
+        |n AS (SELECT doc_id, tk, len(tk) AS n FROM d WHERE len(tk) >= 1),
+        |c AS (SELECT doc_id, tk, n, CAST(t.i AS INT) AS chunk_idx
+        |  FROM n, unnest(range(0, CAST(floor((n - 1) / 48.0) AS INT) + 1)) AS t(i))
+        |SELECT doc_id, chunk_idx,
+        |  CAST(least(64, n - chunk_idx * 48) AS INT) AS n_chunk_tokens,
+        |  md5(array_to_string(tk[chunk_idx * 48 + 1 : chunk_idx * 48 + 64], ' '))
+        |    AS chunk_md5
+        |FROM c""".stripMargin))
   )
 }

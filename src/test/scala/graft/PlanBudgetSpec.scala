@@ -163,5 +163,9 @@ class PlanBudgetSpec extends SparkSpec {
     // gaps-and-islands / mode: distinct+window / agg+window per group
     assert(shuffles("q114_gaps_islands") <= 3)
     assert(shuffles("q115_mode_per_group") <= 2)
+    // training mix: per-lang rank windows + two broadcast singletons
+    assert(shuffles("q116_training_mix") <= 4)
+    // chunking: a pure per-row explode — spread() only
+    assert(shuffles("q117_chunk_overlap") <= 1)
   }
 }
