@@ -33,4 +33,20 @@ object Fs {
 
   /** True when `p` holds a Spark `_SUCCESS` job-commit marker. */
   def hasSuccessMarker(p: Path): Boolean = Files.exists(p.resolve("_SUCCESS"))
+
+  /** Overwrite-via-staging snapshot write: write to `<path>__staging`,
+    * atomically swap directories, and refresh the session's file-status
+    * cache. The refresh is load-bearing: the cache keeps the pre-swap
+    * listing forever (`metadataCacheTTLSeconds=-1`), so without it a later
+    * read of the same path in this session resolves to deleted part-files.
+    * Shared by every snapshot table writer (EtlRun dims, CorpusRun). */
+  def overwriteViaStaging(df: org.apache.spark.sql.DataFrame, path: String): Unit = {
+    val staging = s"${path}__staging"
+    df.write.mode("overwrite").parquet(staging)
+    val target = java.nio.file.Paths.get(path)
+    deleteRecursively(target)
+    Files.move(java.nio.file.Paths.get(staging), target,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    df.sparkSession.catalog.refreshByPath(path)
+  }
 }

@@ -60,4 +60,24 @@ object Dedup {
   def exactClusters(df: DataFrame, id: Column, contentHash: Column): DataFrame =
     df.groupBy(contentHash.as("content_hash"))
       .agg(min(id).as("keep_id"), count(lit(1)).as("n_members"))
+
+  /** MinHash-LSH candidate pairs over a `(doc_id, sh)` shingle frame: one
+    * signature of `k` permutations (affine family, one md5 per shingle),
+    * banded `bands × rowsPerBand`, self-joined on band key — the shared
+    * core of every near-dup pipeline (q29 scoring, q57/CorpusRun removal,
+    * q72 clustering). Returns distinct `(id_a, id_b)` with `id_a < id_b`;
+    * callers verify with [[graft.text.TextOps.jaccard]]. The input should
+    * be cached: both join branches re-read it.
+    */
+  def lshBandCandidates(docs: DataFrame, k: Int = 16, bands: Int = 8,
+                        rowsPerBand: Int = 2): DataFrame = {
+    val t = graft.text.TextOps
+    val keys = docs.select(col("doc_id"), explode(
+      t.lshBands(t.minhashFromBase(t.minhashBase(col("sh")), k),
+        bands, rowsPerBand)).as("band_key"))
+    keys.select(col("band_key"), col("doc_id").as("id_a"))
+      .join(keys.select(col("band_key"), col("doc_id").as("id_b")), Seq("band_key"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct() // a pair can collide in many bands
+  }
 }

@@ -43,18 +43,11 @@ final class EtlRun(spark: SparkSession, warehouse: String) {
     else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
   }
 
-  /** Overwrite-via-staging: write next to `<table>__staging`, swap dirs. */
-  private def overwrite(df: DataFrame, name: String): Unit = {
-    val staging = path(s"${name}__staging")
-    df.write.mode("overwrite").parquet(staging)
-    val target = Paths.get(path(name))
-    graft.io.Fs.deleteRecursively(target)
-    Files.move(Paths.get(staging), target, StandardCopyOption.ATOMIC_MOVE)
-    // the session FileStatusCache keeps the pre-swap listing forever
-    // (metadataCacheTTLSeconds=-1): without this, a later read of the same
-    // path in this session resolves to the deleted part-files
-    spark.catalog.refreshByPath(path(name))
-  }
+  /** Overwrite-via-staging: write next to `<table>__staging`, swap dirs
+    * (shared implementation with the cache-refresh rationale: [[graft.io
+    * .Fs.overwriteViaStaging]]). */
+  private def overwrite(df: DataFrame, name: String): Unit =
+    graft.io.Fs.overwriteViaStaging(df, path(name))
 
   /** Fact appends partition by `load_date`: the daily access paths (S3
     * incremental scans, re-run anti-joins, backfill reads) then prune to

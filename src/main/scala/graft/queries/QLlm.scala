@@ -168,16 +168,11 @@ object QLlm {
           .filter(size(col("sh")) > 0)
           .cache()
         // bands derive from the cached shingles in one narrow expression —
-        // letOnce makes the 16-way minhash evaluate once per row, so a
-        // second cache materialization costs more than recomputing the
-        // (integer-only) band pipeline on the self-join's two branches
-        val keys = docs.select(col("doc_id"), explode(
-          TextOps.lshBands(TextOps.minhashFromBase(
-            TextOps.minhashBase(col("sh")), 16), 8, 2)).as("band_key"))
-        val cand = keys.select(col("band_key"), col("doc_id").as("id_a"))
-          .join(keys.select(col("band_key"), col("doc_id").as("id_b")), Seq("band_key"))
-          .filter(col("id_a") < col("id_b"))
-          .select("id_a", "id_b").distinct() // a pair can collide in many bands
+        // letOnce (inside lshBandCandidates) makes the 16-way minhash
+        // evaluate once per row, so a second cache materialization costs
+        // more than recomputing the (integer-only) band pipeline on the
+        // self-join's two branches
+        val cand = Dedup.lshBandCandidates(docs)
         cand.join(docs.select(col("doc_id").as("id_a"), col("sh").as("sha")), Seq("id_a"))
           .join(docs.select(col("doc_id").as("id_b"), col("sh").as("shb")), Seq("id_b"))
           .select(col("id_a"), col("id_b"),
@@ -557,14 +552,7 @@ object QLlm {
         val kept = d.select("doc_id", "n_tokens", "sh")
           .join(keepIds, Seq("doc_id"), "left_semi")
           .cache()
-        val keys = kept.select(col("doc_id"), explode(
-          TextOps.lshBands(TextOps.minhashFromBase(
-            TextOps.minhashBase(col("sh")), 16), 8, 2)).as("band_key"))
-        val cand = keys.select(col("band_key"), col("doc_id").as("id_a"))
-          .join(keys.select(col("band_key"), col("doc_id").as("id_b")), Seq("band_key"))
-          .filter(col("id_a") < col("id_b"))
-          .select("id_a", "id_b").distinct()
-        val drop = cand
+        val drop = Dedup.lshBandCandidates(kept)
           .join(kept.select(col("doc_id").as("id_a"), col("sh").as("sha")), Seq("id_a"))
           .join(kept.select(col("doc_id").as("id_b"), col("sh").as("shb")), Seq("id_b"))
           .filter(TextOps.jaccard(col("sha"), col("shb")) >= 0.5)
@@ -695,14 +683,7 @@ object QLlm {
           .select(col("doc_id"), TextOps.shingles(TextOps.tokens(col("text")), 3).as("sh"))
           .filter(size(col("sh")) > 0)
           .cache()
-        val keys = docs.select(col("doc_id"), explode(
-          TextOps.lshBands(TextOps.minhashFromBase(
-            TextOps.minhashBase(col("sh")), 16), 8, 2)).as("band_key"))
-        val cand = keys.select(col("band_key"), col("doc_id").as("id_a"))
-          .join(keys.select(col("band_key"), col("doc_id").as("id_b")), Seq("band_key"))
-          .filter(col("id_a") < col("id_b"))
-          .select("id_a", "id_b").distinct()
-        val edges = cand
+        val edges = Dedup.lshBandCandidates(docs)
           .join(docs.select(col("doc_id").as("id_a"), col("sh").as("sha")), Seq("id_a"))
           .join(docs.select(col("doc_id").as("id_b"), col("sh").as("shb")), Seq("id_b"))
           .filter(TextOps.jaccard(col("sha"), col("shb")) >= 0.5)
@@ -1356,21 +1337,29 @@ object QLlm {
     Qry("q117_chunk_overlap",
       (s, dir) => {
         val tk = TextOps.tokens(col("text"))
+        // last start index ceil((n-64)/48) (0 when the doc fits one
+        // window): a floor((n-1)/48) bound would emit a trailing chunk
+        // wholly CONTAINED in the previous window whenever n mod 48 ≤ 16.
+        // The empty-doc guard tests the normalized TEXT, not the token
+        // array — tokens("") is [""], so size(tk) ≥ 1 even for blanks
         spread(s, t(s, dir, "documents"))
+          .filter(length(TextOps.normText(col("text"))) > 0)
           .select(col("doc_id"), tk.as("tk"), size(tk).as("n"))
-          .filter(col("n") >= 1)
           .select(col("doc_id"), col("tk"), col("n"),
             explode(sequence(lit(0),
-              floor((col("n") - 1) / 48.0).cast("int"))).as("chunk_idx"))
+              greatest(ceil((col("n") - 64) / 48.0).cast("int"), lit(0))))
+              .as("chunk_idx"))
           .select(col("doc_id"), col("chunk_idx"),
             least(lit(64), col("n") - col("chunk_idx") * 48).as("n_chunk_tokens"),
             md5(concat_ws(" ",
               slice(col("tk"), col("chunk_idx") * 48 + 1, lit(64)))).as("chunk_md5"))
       },
-      Some(s"""WITH d AS (SELECT doc_id, $toksSql AS tk FROM documents),
-        |n AS (SELECT doc_id, tk, len(tk) AS n FROM d WHERE len(tk) >= 1),
+      Some(s"""WITH d AS (SELECT doc_id, $toksSql AS tk FROM documents
+        |  WHERE length($normSql) > 0),
+        |n AS (SELECT doc_id, tk, len(tk) AS n FROM d),
         |c AS (SELECT doc_id, tk, n, CAST(t.i AS INT) AS chunk_idx
-        |  FROM n, unnest(range(0, CAST(floor((n - 1) / 48.0) AS INT) + 1)) AS t(i))
+        |  FROM n, unnest(range(0,
+        |    greatest(CAST(ceil((n - 64) / 48.0) AS INT), 0) + 1)) AS t(i))
         |SELECT doc_id, chunk_idx,
         |  CAST(least(64, n - chunk_idx * 48) AS INT) AS n_chunk_tokens,
         |  md5(array_to_string(tk[chunk_idx * 48 + 1 : chunk_idx * 48 + 64], ' '))

@@ -111,10 +111,6 @@ class PropertySpec extends SparkSpec {
 
   test("property: token entropy bounded by ln(distinct terms)") {
     // uniform over m distinct tokens -> exactly ln(m); skewed -> less
-    val df = Seq("a b c d", "a a a b", "x x x x").toDF("text")
-      .select(TextOps.tokens(col("text")).as("tk"))
-      .select(explode(col("tk")).as("t"))
-    // model check is simpler in Scala: entropy of exact distributions
     def h(ps: Seq[Double]): Double = ps.map(p => -p * math.log(p)).sum
     assert(math.abs(h(Seq(0.25, 0.25, 0.25, 0.25)) - math.log(4)) < 1e-12)
     assert(h(Seq(0.75, 0.25)) < math.log(2))
