@@ -60,6 +60,32 @@ object StreamPipelines {
       .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm").as("window_start"),
         col("event_type"), col("n"))
 
+  /** Streaming dimension maintenance: SCD2 upserts from a mutation stream
+    * via `foreachBatch` — each micro-batch runs the SAME [[graft.dims
+    * .Scd2.merge]] the daily batch uses and swaps the snapshot atomically
+    * ([[graft.io.Fs.overwriteViaStaging]]), so batch and streaming
+    * dimension states are definitionally consistent. The dim snapshot at
+    * `dimPath` must exist (seed with `Scd2.init`). Caller sets the
+    * trigger/checkpoint and starts the returned writer.
+    *
+    * Scale notes: foreachBatch gives exactly-once per micro-batch through
+    * checkpointed offsets + the atomic swap (a re-run of a failed batch
+    * re-merges idempotently — SCD2 change detection is null-safe equality,
+    * so an unchanged re-merge is a no-op). State lives in the snapshot,
+    * not the state store, so dimension size is unbounded by watermarks.
+    */
+  def scd2Sink(mutations: DataFrame, dimPath: String, dim: graft.dims.Scd2,
+               startForNew: org.apache.spark.sql.Column,
+               runDateForBatch: (DataFrame, Long) => String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    mutations.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      if (!batch.isEmpty) {
+        val current = batch.sparkSession.read.parquet(dimPath)
+        val next = dim.merge(current, batch, runDateForBatch(batch, batchId), startForNew)
+        graft.io.Fs.overwriteViaStaging(next, dimPath)
+      }
+    }
+
   /** One event as consumed by the session operator. */
   final case class SessionEvent(event_id: Long, ts: java.sql.Timestamp, user_id: Long)
 
