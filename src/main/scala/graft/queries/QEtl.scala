@@ -1650,6 +1650,35 @@ object QEtl {
         |    CAST(count(*) AS BIGINT) AS n FROM customer GROUP BY 1, 2)
         |SELECT c_nationkey, c_mktsegment AS mode_segment, n FROM g
         |QUALIFY row_number() OVER (PARTITION BY c_nationkey
-        |  ORDER BY n DESC, c_mktsegment) = 1""".stripMargin))
+        |  ORDER BY n DESC, c_mktsegment) = 1""".stripMargin)),
+
+    // incremental aggregate maintenance — the materialized-view merge
+    // algebra: yesterday's rollup (count/sum partials) merged with
+    // today's delta must equal the full recompute, which is exactly what
+    // the oracle computes. At 100 TB this is the difference between
+    // re-scanning the fact table nightly and touching only the new
+    // partition; derived measures (avg) come from the partials, never
+    // from averaging averages
+    Qry("q118_incremental_rollup",
+      (s, dir) => {
+        val o = t(s, dir, "orders").select(col("o_custkey"),
+          col("o_orderdate").cast("date").as("d"),
+          round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+        val cut = lit("1996-01-01").cast("date")
+        def rollup(df: DataFrame) = df.groupBy("o_custkey")
+          .agg(count(lit(1)).as("n"), sum("cents").as("cents"))
+        val state = rollup(o.filter(col("d") < cut))  // the stored view
+        val delta = rollup(o.filter(col("d") >= cut)) // today's partition
+        state.unionByName(delta)
+          .groupBy("o_custkey")
+          .agg(sum("n").as("n"), sum("cents").as("cents"))
+          .withColumn("avg_cents",
+            round(col("cents").cast("double") / col("n"), 6))
+      },
+      Some("""SELECT o_custkey, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents,
+        |  round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+        |    / count(*), 6) AS avg_cents
+        |FROM orders GROUP BY 1""".stripMargin))
   )
 }

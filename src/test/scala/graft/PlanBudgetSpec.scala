@@ -167,5 +167,7 @@ class PlanBudgetSpec extends SparkSpec {
     assert(shuffles("q116_training_mix") <= 4)
     // chunking: a pure per-row explode — spread() only
     assert(shuffles("q117_chunk_overlap") <= 1)
+    // incremental rollup: two partition-pruned partial aggs + one merge
+    assert(shuffles("q118_incremental_rollup") <= 3)
   }
 }
