@@ -68,13 +68,31 @@ object Dedup {
     * q72 clustering). Returns distinct `(id_a, id_b)` with `id_a < id_b`;
     * callers verify with [[graft.text.TextOps.jaccard]]. The input should
     * be cached: both join branches re-read it.
+    *
+    * Hot-band guard (`maxBandSize`, the text twin of
+    * [[graft.vector.VectorOps.lshCandidatePairs]]'s bucket cap): the
+    * band-key self-join is quadratic per band member count, and a
+    * boilerplate-heavy corpus (cookie banners, license headers) puts m
+    * near-identical docs in ONE band → m² pairs on a single straggler
+    * task. Bands past the cap are excluded from pairing entirely — the
+    * standard recall-for-stability trade; exact-truth callers pass
+    * `Int.MaxValue` (the default) and skip the size pass. Unlike the
+    * vector cap, band keys are an unbounded domain, so the broadcast
+    * carries the EXCLUDED keys (few by construction — only pathological
+    * bands cross the cap), never the keep-list.
     */
   def lshBandCandidates(docs: DataFrame, k: Int = 16, bands: Int = 8,
-                        rowsPerBand: Int = 2): DataFrame = {
+                        rowsPerBand: Int = 2,
+                        maxBandSize: Int = Int.MaxValue): DataFrame = {
     val t = graft.text.TextOps
-    val keys = docs.select(col("doc_id"), explode(
+    val allKeys = docs.select(col("doc_id"), explode(
       t.lshBands(t.minhashFromBase(t.minhashBase(col("sh")), k),
         bands, rowsPerBand)).as("band_key"))
+    val keys = if (maxBandSize == Int.MaxValue) allKeys else {
+      val hot = allKeys.groupBy("band_key").agg(count(lit(1)).as("band_n"))
+        .filter(col("band_n") > maxBandSize).select("band_key")
+      allKeys.join(broadcast(hot), Seq("band_key"), "left_anti")
+    }
     keys.select(col("band_key"), col("doc_id").as("id_a"))
       .join(keys.select(col("band_key"), col("doc_id").as("id_b")), Seq("band_key"))
       .filter(col("id_a") < col("id_b"))

@@ -35,7 +35,8 @@ final class CorpusRun(spark: SparkSession, warehouse: String,
                       langs: Seq[String] = Seq("en"),
                       maxDupRatio: Double = 0.3,
                       jaccard: Double = 0.5,
-                      binTokens: Long = 4096L) {
+                      binTokens: Long = 4096L,
+                      maxBandSize: Int = 5000) {
 
   private def path(t: String) = s"$warehouse/$t"
 
@@ -78,7 +79,7 @@ final class CorpusRun(spark: SparkSession, warehouse: String,
       // ---- near dedup: banded MinHash candidates, Jaccard-verified ------
       val sh = cache(exact.select(col("doc_id"), TextOps.shingles(col("tk"), 3).as("sh"))
         .filter(size(col("sh")) > 0))
-      val drop = graft.ops.Dedup.lshBandCandidates(sh)
+      val drop = graft.ops.Dedup.lshBandCandidates(sh, maxBandSize = maxBandSize)
         .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sha")), Seq("id_a"))
         .join(sh.select(col("doc_id").as("id_b"), col("sh").as("shb")), Seq("id_b"))
         .filter(TextOps.jaccard(col("sha"), col("shb")) >= jaccard)

@@ -552,7 +552,10 @@ object QLlm {
         val kept = d.select("doc_id", "n_tokens", "sh")
           .join(keepIds, Seq("doc_id"), "left_semi")
           .cache()
-        val drop = Dedup.lshBandCandidates(kept)
+        // production hot-band cap: never bites at test scale (max band
+        // size here is 3), so the exact-truth oracle below stays valid —
+        // at corpus scale it bounds the band self-join (see q119)
+        val drop = Dedup.lshBandCandidates(kept, maxBandSize = 5000)
           .join(kept.select(col("doc_id").as("id_a"), col("sh").as("sha")), Seq("id_a"))
           .join(kept.select(col("doc_id").as("id_b"), col("sh").as("shb")), Seq("id_b"))
           .filter(TextOps.jaccard(col("sha"), col("shb")) >= 0.5)
@@ -683,7 +686,9 @@ object QLlm {
           .select(col("doc_id"), TextOps.shingles(TextOps.tokens(col("text")), 3).as("sh"))
           .filter(size(col("sh")) > 0)
           .cache()
-        val edges = Dedup.lshBandCandidates(docs)
+        // same production cap as q57 — a no-op on testdata, so the
+        // recursive-CTE oracle still computes the identical fixpoint
+        val edges = Dedup.lshBandCandidates(docs, maxBandSize = 5000)
           .join(docs.select(col("doc_id").as("id_a"), col("sh").as("sha")), Seq("id_a"))
           .join(docs.select(col("doc_id").as("id_b"), col("sh").as("shb")), Seq("id_b"))
           .filter(TextOps.jaccard(col("sha"), col("shb")) >= 0.5)
@@ -1250,9 +1255,11 @@ object QLlm {
     // approximate aggregates — the sketches a 100 TB interactive layer
     // leans on when exact distinct/percentile would shuffle the world:
     // HLL++ count-distinct and quantile sketches next to their exact
-    // twins. Sketch values are engine-specific by nature, so there is NO
-    // SQL oracle (driver records the weaker rows-only check); the
-    // calibration bound |approx−exact|/exact < 5% is spec-asserted
+    // twins. Raw sketch VALUES are engine-specific (no oracle can
+    // reproduce them), so the row carries the exact columns hash-matched
+    // plus the calibration contract |approx−exact|/exact ≤ 5% as
+    // DETERMINISTIC booleans the oracle asserts literally TRUE — the same
+    // bound ApproxAggSpec enforces, now inside the correctness gate
     Qry("q112_approx_aggregates",
       (s, dir) => events(s, dir)
         .withColumn("cents", round(col("value") * 100, 0).cast("long"))
@@ -1260,8 +1267,18 @@ object QLlm {
         .agg(countDistinct("user_id").as("n_users_exact"),
           approx_count_distinct(col("user_id"), rsd = 0.02).as("n_users_approx"),
           expr("percentile(cents, 0.5)").as("p50_exact"),
-          expr("approx_percentile(cents, 0.5, 10000)").as("p50_approx")),
-      None),
+          expr("approx_percentile(cents, 0.5, 10000)").as("p50_approx"))
+        .select(col("event_type"), col("n_users_exact"),
+          round(col("p50_exact"), 6).as("p50_exact"),
+          (abs(col("n_users_approx") - col("n_users_exact")).cast("double") /
+            col("n_users_exact") <= 0.05).as("users_within_5pct"),
+          (abs(col("p50_approx") - col("p50_exact")) / col("p50_exact") <= 0.05)
+            .as("p50_within_5pct")),
+      Some("""SELECT event_type,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users_exact,
+        |  round(quantile_cont(CAST(round(value * 100) AS BIGINT), 0.5), 6) AS p50_exact,
+        |  TRUE AS users_within_5pct, TRUE AS p50_within_5pct
+        |FROM events GROUP BY event_type""".stripMargin)),
 
     // as-of join with a STALENESS bound: each view event picks the user's
     // most recent prior purchase, but only if it happened within the last
@@ -1364,6 +1381,45 @@ object QLlm {
         |  CAST(least(64, n - chunk_idx * 48) AS INT) AS n_chunk_tokens,
         |  md5(array_to_string(tk[chunk_idx * 48 + 1 : chunk_idx * 48 + 64], ' '))
         |    AS chunk_md5
-        |FROM c""".stripMargin))
+        |FROM c""".stripMargin)),
+
+    // the q29 band join with the HOT-BAND CAP biting (maxBandSize = 2):
+    // docsWithDups gives every doc divisible by 35 TWO copies (verbatim
+    // +20000, suffixed +10000) — the verbatim copy shares every band with
+    // the original, so any band holding the suffixed copy too has 3
+    // members and is excluded. The oracle reproduces the exclusion
+    // exactly (HAVING count(*) > 2), proving the cap's semantics, not
+    // just its existence — the text twin of the vector path's q54.
+    Qry("q119_lsh_banded_cap",
+      (s, dir) => {
+        val docs = docsWithDups(s, dir)
+          .select(col("doc_id"), TextOps.shingles(TextOps.tokens(col("text")), 3).as("sh"))
+          .filter(size(col("sh")) > 0)
+          .cache()
+        Dedup.lshBandCandidates(docs, maxBandSize = 2)
+      },
+      Some({
+        val (as, bs) = TextOps.minhashParams(16)
+        val aArr = as.mkString("[", ",", "]")
+        val bArr = bs.mkString("[", ",", "]")
+        s"""WITH d0 AS ($docsWithDupsSql),
+        |d AS (SELECT doc_id, ${shinglesSql(toksSql)} AS sh FROM d0),
+        |docs AS (SELECT doc_id, sh FROM d WHERE len(sh) > 0),
+        |bases AS (SELECT doc_id, sh,
+        |    list_transform(sh, s -> ${h64("s")} % ${TextOps.minhashM}) AS hs FROM docs),
+        |sigs AS (SELECT doc_id, sh,
+        |    list_transform(range(0, 16), i -> list_min(list_transform(hs,
+        |      h -> (h * ($aArr)[i + 1] + ($bArr)[i + 1]) % ${TextOps.minhashM}))) AS sig
+        |  FROM bases),
+        |keys AS (SELECT doc_id, unnest(list_transform(range(0, 8),
+        |    b -> CAST(b AS VARCHAR) || ':' || md5(array_to_string(
+        |           sig[b * 2 + 1 : b * 2 + 2], ',')))) AS band_key
+        |  FROM sigs),
+        |hot AS (SELECT band_key FROM keys GROUP BY 1 HAVING count(*) > 2),
+        |k2 AS (SELECT doc_id, band_key FROM keys
+        |  WHERE band_key NOT IN (SELECT band_key FROM hot))
+        |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |FROM k2 a JOIN k2 b ON a.band_key = b.band_key AND a.doc_id < b.doc_id""".stripMargin
+      }))
   )
 }

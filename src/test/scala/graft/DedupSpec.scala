@@ -41,4 +41,25 @@ class DedupSpec extends SparkSpec {
       .select("keep_id", "n_members")
     assert(sortedRows(out) === Seq(Seq(1L, 2L), Seq(2L, 1L)))
   }
+
+  test("lshBandCandidates hot-band cap excludes oversize bands, keeps the rest") {
+    import graft.text.TextOps
+    // 5 verbatim copies of one text (every band has 5 members — hot) plus
+    // an unrelated PAIR of near-identical texts (bands of 2 — cold)
+    val hotText = "the quick brown fox jumps over the lazy dog again and again today"
+    val coldText = "completely different content about spark shuffle partitions and joins"
+    val docs = ((1L to 5L).map(i => (i, hotText)) ++
+        Seq((11L, coldText), (12L, coldText)))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), TextOps.shingles(TextOps.tokens(col("text")), 3).as("sh"))
+      .cache()
+    val uncapped = Dedup.lshBandCandidates(docs).collect()
+    // truth: all 10 hot pairs + the cold pair
+    assert(uncapped.length === 11)
+    val capped = Dedup.lshBandCandidates(docs, maxBandSize = 3)
+      .as[(Long, Long)].collect().toSet
+    // the 5-member bands are excluded entirely; the cold pair survives
+    assert(capped === Set((11L, 12L)))
+    docs.unpersist()
+  }
 }
