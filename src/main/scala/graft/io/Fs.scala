@@ -1,16 +1,33 @@
 package graft.io
 
-import java.nio.file.{Files, Path}
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
 
-/** Small filesystem helpers shared by the warehouse writers. */
+/** Filesystem helpers shared by the warehouse writers, written against the
+  * Hadoop `FileSystem` API so the same staging/promotion semantics run on
+  * anything Spark can address — local `file:`, HDFS, or an object store
+  * via its Hadoop connector — not just a POSIX mount (`java.nio` cannot
+  * even resolve an `hdfs://` path).
+  *
+  * Durability model: `rename` is atomic on HDFS and POSIX local
+  * filesystems, so the snapshot swap below is crash-safe there. Object
+  * stores (S3A and friends) implement rename as copy+delete — NOT atomic
+  * — which is why every promotion here is gated on Spark's `_SUCCESS`
+  * job-commit marker and recovery is re-runnable: a torn rename leaves
+  * either the marker-bearing staging dir (recovered forward) or the
+  * `__old` snapshot (recovered back), never a half-readable table taken
+  * as truth. On object stores, prefer a real table format's manifest
+  * commit; this layer keeps the same call shape so that swap-in is local.
+  */
 object Fs {
+
+  private def fs(p: Path, conf: Configuration): FileSystem = p.getFileSystem(conf)
+
   /** Delete a file or directory tree (no-op when absent). */
-  def deleteRecursively(p: Path): Unit = if (Files.exists(p)) {
-    if (Files.isDirectory(p)) {
-      val ls = Files.list(p)
-      try ls.forEach(deleteRecursively(_)) finally ls.close()
-    }
-    Files.delete(p)
+  def deleteRecursively(path: String, conf: Configuration): Unit = {
+    val p = new Path(path)
+    val f = fs(p, conf)
+    if (f.exists(p)) f.delete(p, true)
   }
 
   /** Move every data file under `src` into `dst`, preserving relative
@@ -20,33 +37,106 @@ object Fs {
     * promotion simply moves the remainder — the operation is idempotent.
     * Used to make appends all-or-nothing: the stage writes to a staging
     * dir first and only a fully successful job's files are promoted. */
-  def promoteInto(src: Path, dst: Path): Unit = {
-    Files.createDirectories(dst)
-    val ls = Files.list(src)
-    try ls.forEach { entry =>
-      val name = entry.getFileName.toString
-      if (Files.isDirectory(entry)) promoteInto(entry, dst.resolve(name))
-      else if (name.endsWith(".parquet")) // skip _SUCCESS / .crc markers
-        Files.move(entry, dst.resolve(name))
-    } finally ls.close()
+  def promoteInto(src: String, dst: String, conf: Configuration): Unit = {
+    val srcP = new Path(src)
+    val f = fs(srcP, conf)
+    def walk(s: Path, d: Path): Unit = {
+      f.mkdirs(d)
+      f.listStatus(s).foreach { st =>
+        val name = st.getPath.getName
+        if (st.isDirectory) walk(st.getPath, new Path(d, name))
+        else if (name.endsWith(".parquet")) // skip _SUCCESS / .crc markers
+          f.rename(st.getPath, new Path(d, name))
+      }
+    }
+    walk(srcP, new Path(dst))
   }
 
-  /** True when `p` holds a Spark `_SUCCESS` job-commit marker. */
-  def hasSuccessMarker(p: Path): Boolean = Files.exists(p.resolve("_SUCCESS"))
+  /** True when `path` holds a Spark `_SUCCESS` job-commit marker. */
+  def hasSuccessMarker(path: String, conf: Configuration): Boolean = {
+    val p = new Path(path, "_SUCCESS")
+    fs(p, conf).exists(p)
+  }
+
+  /** True when `path` exists and holds at least one parquet part-file
+    * anywhere below it (partitioned tables nest under `col=value/`). */
+  def hasParquetData(path: String, conf: Configuration): Boolean = {
+    val p = new Path(path)
+    val f = fs(p, conf)
+    f.exists(p) && {
+      val it = f.listFiles(p, true)
+      var found = false
+      while (!found && it.hasNext) found = it.next().getPath.getName.endsWith(".parquet")
+      found
+    }
+  }
+
+  private def stagingOf(path: String) = s"${path}__staging"
+  private def oldOf(path: String) = s"${path}__old"
+
+  /** Repair a snapshot table after a crash mid-[[overwriteViaStaging]]:
+    * if the target is missing, promote a `_SUCCESS`-complete staging dir
+    * forward, else restore the `__old` snapshot. Idempotent and cheap
+    * (2-3 existence probes when the target is healthy — it never touches
+    * a table that has no swap debris). */
+  def recoverSnapshot(path: String, conf: Configuration): Unit = {
+    val target = new Path(path)
+    val f = fs(target, conf)
+    if (!f.exists(target)) {
+      val staging = new Path(stagingOf(path))
+      val old = new Path(oldOf(path))
+      if (f.exists(staging) && hasSuccessMarker(stagingOf(path), conf))
+        f.rename(staging, target)
+      else if (f.exists(old)) f.rename(old, target)
+    }
+  }
 
   /** Overwrite-via-staging snapshot write: write to `<path>__staging`,
-    * atomically swap directories, and refresh the session's file-status
-    * cache. The refresh is load-bearing: the cache keeps the pre-swap
-    * listing forever (`metadataCacheTTLSeconds=-1`), so without it a later
-    * read of the same path in this session resolves to deleted part-files.
-    * Shared by every snapshot table writer (EtlRun dims, CorpusRun). */
+    * then swap so EVERY crash window leaves a complete snapshot readable
+    * at `path` or recoverable by [[recoverSnapshot]]:
+    *
+    *   1. recover any debris from a prior crashed swap (promote/restore);
+    *   2. job writes staging (`_SUCCESS` marks completion);
+    *   3. rename current snapshot to `<path>__old` (atomic);
+    *   4. rename staging into place (atomic);
+    *   5. delete `__old`.
+    *
+    * A crash after 3 leaves `__old` plus a marker-complete staging —
+    * recovery promotes the staging; a crash with an incomplete staging
+    * restores `__old`. The earlier delete-then-move version had a window
+    * with NO readable snapshot; this has none. Also refreshes the
+    * session's file-status cache — load-bearing: the cache keeps the
+    * pre-swap listing forever (`metadataCacheTTLSeconds=-1`), so without
+    * it a later read of the same path in this session resolves to
+    * renamed-away part-files. Shared by every snapshot table writer
+    * (EtlRun dims, CorpusRun, streaming scd2Sink). */
   def overwriteViaStaging(df: org.apache.spark.sql.DataFrame, path: String): Unit = {
-    val staging = s"${path}__staging"
-    df.write.mode("overwrite").parquet(staging)
-    val target = java.nio.file.Paths.get(path)
-    deleteRecursively(target)
-    Files.move(java.nio.file.Paths.get(staging), target,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    df.sparkSession.catalog.refreshByPath(path)
+    stageSnapshot(df, path)
+    commitSnapshot(df.sparkSession, path)
+  }
+
+  /** Phase 1 of [[overwriteViaStaging]], exposed so MULTI-TABLE writers
+    * (e.g. a snapshot + its manifest) can stage every output while the
+    * expensive jobs run, then commit the swaps back-to-back — a failure
+    * anywhere in staging leaves every previous snapshot untouched, and
+    * the cross-table torn window shrinks to two adjacent renames. */
+  def stageSnapshot(df: org.apache.spark.sql.DataFrame, path: String): Unit = {
+    val conf = df.sparkSession.sessionState.newHadoopConf()
+    recoverSnapshot(path, conf)
+    df.write.mode("overwrite").parquet(stagingOf(path))
+  }
+
+  /** Phase 2 of [[overwriteViaStaging]]: steps 3-5 — demote the current
+    * snapshot to `__old`, promote the staged one, drop `__old`. */
+  def commitSnapshot(spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    val target = new Path(path)
+    val f = fs(target, conf)
+    val old = new Path(oldOf(path))
+    if (f.exists(old)) f.delete(old, true) // debris from an earlier completed swap
+    if (f.exists(target)) f.rename(target, old)
+    f.rename(new Path(stagingOf(path)), target)
+    f.delete(old, true)
+    spark.catalog.refreshByPath(path)
   }
 }

@@ -49,8 +49,10 @@ final class CorpusRun(spark: SparkSession, warehouse: String,
   /** Run the curation over `docs` (`doc_id` long, `text` string). Returns
     * the report; writes `corpus_docs`, `corpus_manifest`, and appends a
     * `corpus_run_log` row under the warehouse. A failed run logs a
-    * `failed` row, releases its caches, and leaves the previous
-    * `corpus_docs`/`corpus_manifest` snapshots intact (staging swap). */
+    * `failed` row (best-effort), releases its caches, and leaves the
+    * previous `corpus_docs`/`corpus_manifest` PAIR intact: both outputs
+    * stage first and swap back-to-back, and both carry `run_id` so a
+    * reader can verify docs and manifest come from the same run. */
   def run(docs: DataFrame, runId: String): CorpusReport = {
     val t0 = System.currentTimeMillis()
     val cached = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
@@ -95,7 +97,10 @@ final class CorpusRun(spark: SparkSession, warehouse: String,
           .cast("long")))
 
       // ---- write snapshot + manifest, log row LAST -----------------------
-      graft.io.Fs.overwriteViaStaging(packed, path("corpus_docs"))
+      // stage BOTH outputs while the jobs run, then swap back-to-back: a
+      // failure during either write (including the manifest's) leaves the
+      // previous docs/manifest PAIR intact — no torn new-docs/old-manifest
+      // state. Both tables carry run_id so readers can verify the pair.
       val manifest = packed
         .withColumn("h", TextOps.hash64(
           concat(col("doc_id").cast("string"), lit("|"), col("text"))))
@@ -106,7 +111,11 @@ final class CorpusRun(spark: SparkSession, warehouse: String,
           // insensitive and O(1) aggregation state at any corpus size
           expr("bit_xor(h)").cast("string").as("checksum"))
         .withColumn("run_id", lit(runId))
-      graft.io.Fs.overwriteViaStaging(manifest, path("corpus_manifest"))
+      graft.io.Fs.stageSnapshot(packed.withColumn("run_id", lit(runId)),
+        path("corpus_docs"))
+      graft.io.Fs.stageSnapshot(manifest, path("corpus_manifest"))
+      graft.io.Fs.commitSnapshot(spark, path("corpus_docs"))
+      graft.io.Fs.commitSnapshot(spark, path("corpus_manifest"))
 
       val nKept = packed.count()
       val nBins = packed.select("lang", "bin").distinct().count()
@@ -116,8 +125,12 @@ final class CorpusRun(spark: SparkSession, warehouse: String,
       report
     } catch {
       case e: Throwable =>
-        logRun(CorpusReport(runId, "failed", -1, -1, -1, -1, -1,
-          System.currentTimeMillis() - t0))
+        // best-effort: the failure may BE a dead session or unwritable
+        // warehouse, in which case the log append throws too — suppress
+        // it so the root cause always propagates, never the logging error
+        scala.util.Try(logRun(CorpusReport(runId, "failed", -1, -1, -1, -1, -1,
+          System.currentTimeMillis() - t0)))
+          .failed.foreach(e.addSuppressed)
         throw e
     } finally {
       cached.foreach(_.unpersist())

@@ -1,6 +1,5 @@
 package graft.pipeline
 
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
@@ -29,17 +28,17 @@ final class EtlRun(spark: SparkSession, warehouse: String) {
 
   private def path(t: String) = s"$warehouse/$t"
 
+  private def hconf = spark.sessionState.newHadoopConf()
+
   /** Read a warehouse table, yielding an empty typed frame when absent.
     * Walks recursively: partitioned tables keep their part-files under
-    * `col=value/` subdirectories. */
+    * `col=value/` subdirectories. Self-heals first: a crash mid-snapshot-
+    * swap leaves recoverable debris that [[graft.io.Fs.recoverSnapshot]]
+    * promotes/restores before the read resolves. */
   def table(name: String, schema: StructType): DataFrame = {
-    val p = Paths.get(path(name))
-    val hasData = Files.exists(p) && {
-      val walk = Files.walk(p)
-      try walk.anyMatch(f => f.getFileName.toString.endsWith(".parquet"))
-      finally walk.close()
-    }
-    if (hasData) spark.read.schema(schema).parquet(path(name))
+    graft.io.Fs.recoverSnapshot(path(name), hconf)
+    if (graft.io.Fs.hasParquetData(path(name), hconf))
+      spark.read.schema(schema).parquet(path(name))
     else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
   }
 
@@ -70,15 +69,16 @@ final class EtlRun(spark: SparkSession, warehouse: String) {
     * JVM crash mid-promotion can delay the append but never lose or
     * truncate it. */
   private[graft] def append(df: DataFrame, name: String, partitionCols: Seq[String] = Nil): Unit = {
-    val staging = Paths.get(path(s"${name}__append_staging"))
-    val target = Paths.get(path(name))
-    if (graft.io.Fs.hasSuccessMarker(staging)) graft.io.Fs.promoteInto(staging, target)
-    graft.io.Fs.deleteRecursively(staging)
+    val staging = path(s"${name}__append_staging")
+    val target = path(name)
+    val conf = hconf
+    if (graft.io.Fs.hasSuccessMarker(staging, conf)) graft.io.Fs.promoteInto(staging, target, conf)
+    graft.io.Fs.deleteRecursively(staging, conf)
     val w = df.write.mode("overwrite")
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
-      .parquet(staging.toString)
-    graft.io.Fs.promoteInto(staging, target)
-    graft.io.Fs.deleteRecursively(staging)
+      .parquet(staging)
+    graft.io.Fs.promoteInto(staging, target, conf)
+    graft.io.Fs.deleteRecursively(staging, conf)
     spark.catalog.refreshByPath(path(name))
   }
 

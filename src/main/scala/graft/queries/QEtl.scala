@@ -1009,7 +1009,7 @@ object QEtl {
         // fresh temp dirs per invocation would leak a full table copy
         // per Bench/Verify run
         val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_q70_csv_${dir.hashCode.toHexString}"
-        if (!graft.io.Fs.hasSuccessMarker(java.nio.file.Paths.get(tmp)))
+        if (!graft.io.Fs.hasSuccessMarker(tmp, s.sessionState.newHadoopConf()))
           src.write.mode("overwrite").option("header", "true").csv(tmp)
         graft.io.Tables.readCsv(s, tmp, src.schema)
           .drop("_corrupt_record")
@@ -1022,7 +1022,7 @@ object QEtl {
       (s, dir) => {
         val src = t(s, dir, "part")
         val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_q71_jsonl_${dir.hashCode.toHexString}"
-        if (!graft.io.Fs.hasSuccessMarker(java.nio.file.Paths.get(tmp)))
+        if (!graft.io.Fs.hasSuccessMarker(tmp, s.sessionState.newHadoopConf()))
           src.write.mode("overwrite").json(tmp)
         graft.io.Tables.readJsonl(s, tmp, src.schema)
           .drop("_corrupt_record")

@@ -11,9 +11,13 @@ import org.apache.spark.sql.functions._
   * are per-row array expressions (`size(filter(tokens, _ == t))`) — no
   * explode, no shuffle. The corpus statistics (N, total length, per-term
   * document frequencies) reduce to ONE row that broadcasts back onto the
-  * scan, so the whole scorer is a single narrow pass over the corpus plus
-  * a 1-row aggregate: it reads 100 TB exactly once and shuffles nothing
-  * but that row.
+  * scan. The scorer makes TWO narrow passes over the corpus — the stats
+  * aggregate and the scoring projection are separate plan subtrees, each
+  * re-reading (and re-tokenizing) the scan unless the caller caches the
+  * input — and shuffles nothing but the 1-row stats. At 100 TB, accept
+  * the second scan (both are pipelined and scan-bound) or checkpoint the
+  * tokenized `(doc_id, dl, tf_*)` projection, which is tiny next to the
+  * raw text.
   *
   * Float determinism: contributions are summed in FIXED query-term order
   * (an expression chain, not an aggregate), so any engine reproduces the

@@ -73,6 +73,11 @@ class CorpusRunSpec extends SparkSpec {
         s"bin overfilled: $r")
     }
 
+    // docs and manifest must come from the SAME run (the staged-pair
+    // commit's visible contract)
+    assert(docs.select("run_id").distinct().as[String].collect().toSeq === Seq("r1"))
+    assert(m.select("run_id").distinct().as[String].collect().toSeq === Seq("r1"))
+
     // run log row written
     val log = spark.read.parquet(s"$wh/corpus_run_log")
     assert(log.filter(col("runId") === "r1").count() === 1)

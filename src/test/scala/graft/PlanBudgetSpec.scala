@@ -61,8 +61,10 @@ class PlanBudgetSpec extends SparkSpec {
   test("curation/decontamination/interval-join stay within their shuffle budgets") {
     // q57 composition: spread fan-out + exact-dedup agg + semi-join +
     // band self-join + pair distinct + verify joins + final anti-join —
-    // each a keyed exchange, none quadratic
-    assert(shuffles("q57_corpus_curation") <= 10)
+    // each a keyed exchange, none quadratic. +2 over the uncapped shape:
+    // the hot-band guard's band-size aggregate (slim (band_key, count)
+    // rows), the price of bounding the band self-join at corpus scale
+    assert(shuffles("q57_corpus_curation") <= 12)
     // q59: one spread + the shard-local running-sum window
     assert(shuffles("q59_token_packing") <= 2)
     // q60: spread + shingle-hash join both sides + final per-doc aggregate
@@ -169,5 +171,44 @@ class PlanBudgetSpec extends SparkSpec {
     assert(shuffles("q117_chunk_overlap") <= 1)
     // incremental rollup: two partition-pruned partial aggs + one merge
     assert(shuffles("q118_incremental_rollup") <= 3)
+    // capped band join: q29's exchanges + the band-size agg; the hot-key
+    // exclusion itself is a broadcast anti-join (no extra data shuffle)
+    assert(shuffles("q119_lsh_banded_cap") <= 6)
+  }
+
+  test("global windows (no partitionBy) only sit above bounded-grain inputs") {
+    // A Window.orderBy without partitionBy moves ALL input rows to one
+    // task — fatal at 100 TB unless the input is already aggregate-grain
+    // (month/day buckets, a k-limited list) or otherwise bounded. q66/q76/
+    // q101 pass today by construction; this guard stops a future registry
+    // query from shipping a genuine global sort over raw rows.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.aggregate.{BaseAggregateExec, SortAggregateExec}
+    import org.apache.spark.sql.execution.{GlobalLimitExec, TakeOrderedAndProjectExec}
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    def boundedBelow(p: SparkPlan): Boolean = {
+      val bounded = p.collectFirst {
+        case _: BaseAggregateExec => true
+        case _: SortAggregateExec => true
+        case _: GlobalLimitExec => true
+        case _: TakeOrderedAndProjectExec => true
+        // a broadcast-joined side is bounded by the broadcast threshold;
+        // the windowed side then carries at most |left|×|broadcast| rows
+        // of an already-bounded driver (q116's distinct-lang spine)
+        case _: BroadcastNestedLoopJoinExec => true
+      }
+      bounded.getOrElse(false)
+    }
+    SparkEntry.queries.keys.toSeq.sorted.foreach { q =>
+      val plan = SparkEntry.queries(q)(spark, sfDir)
+        .queryExecution.executedPlan
+      plan.collect { case w: WindowExec if w.partitionSpec.isEmpty => w }
+        .foreach { w =>
+          assert(boundedBelow(w.child),
+            s"$q: global window over an unbounded input — " +
+              s"aggregate or limit first\n${w.child.treeString.take(2000)}")
+        }
+    }
   }
 }
