@@ -710,16 +710,22 @@ object QEtl {
         |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
         |FROM orders GROUP BY ROLLUP(yr, prio)""".stripMargin)),
 
-    // exact interpolated quantiles per group (both engines: sorted exact
-    // percentile with lower + frac*(upper-lower) interpolation in double)
+    // exact interpolated quantiles per group via the BOUNDED-memory
+    // histogram-partition operator ([[graft.ops.Quantiles]]) — the naive
+    // `percentile(cents, q)` buffers every group value in one aggregation
+    // buffer, an executor OOM for large groups at 100 TB; this computes
+    // the identical interpolated value (same Percentile arithmetic, same
+    // quantile_cont oracle) with ≤ nBuckets counters of state per group
     Qry("q64_quantiles",
-      (s, dir) => t(s, dir, "orders")
-        .select(col("o_orderpriority").as("prio"),
-          round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
-        .groupBy("prio")
-        .agg(expr("percentile(cents, 0.5)").as("p50"),
-          expr("percentile(cents, 0.95)").as("p95"),
-          count(lit(1)).as("n")),
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+          .select(col("o_orderpriority").as("prio"),
+            round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+        val qs = graft.ops.Quantiles.exactQuantiles(o, Seq("prio"), "cents",
+          Seq("p50" -> 0.5, "p95" -> 0.95))
+        qs.join(o.groupBy("prio").agg(count(lit(1)).as("n")), Seq("prio"))
+          .select(col("prio"), col("p50"), col("p95"), col("n"))
+      },
       Some("""SELECT o_orderpriority AS prio,
         |  quantile_cont(CAST(round(o_totalprice * 100) AS BIGINT), 0.5) AS p50,
         |  quantile_cont(CAST(round(o_totalprice * 100) AS BIGINT), 0.95) AS p95,
@@ -1501,17 +1507,20 @@ object QEtl {
 
     // winsorization: clip the value column at the (rounded-cent) p01/p99 —
     // outlier taming before any float-sensitive model sees the data. The
-    // two percentiles are ONE 1-row aggregate broadcast back onto the
-    // scan; clipping is integer arithmetic after rounding the cut points,
-    // so the clipped sums stay exact
+    // cut points come from the bounded-memory histogram-partition
+    // quantile ([[graft.ops.Quantiles]]; a global exact `percentile`
+    // would buffer the whole table in ONE aggregation buffer), collapse
+    // to a 1-row broadcast back onto the scan; clipping is integer
+    // arithmetic after rounding the cut points, so clipped sums stay exact
     Qry("q106_winsorize",
       (s, dir) => {
         val li = t(s, dir, "lineitem")
           .select(col("l_returnflag"),
             round(col("l_extendedprice") * 100, 0).cast("long").as("cents"))
-        val cuts = li.agg(
-          round(expr("percentile(cents, 0.01)"), 0).cast("long").as("p01"),
-          round(expr("percentile(cents, 0.99)"), 0).cast("long").as("p99"))
+        val cuts = graft.ops.Quantiles.exactQuantiles(li, Nil, "cents",
+            Seq("p01r" -> 0.01, "p99r" -> 0.99))
+          .select(round(col("p01r"), 0).cast("long").as("p01"),
+            round(col("p99r"), 0).cast("long").as("p99"))
         li.crossJoin(broadcast(cuts))
           .select(col("l_returnflag"),
             greatest(least(col("cents"), col("p99")), col("p01")).as("w"),

@@ -1261,13 +1261,22 @@ object QLlm {
     // DETERMINISTIC booleans the oracle asserts literally TRUE — the same
     // bound ApproxAggSpec enforces, now inside the correctness gate
     Qry("q112_approx_aggregates",
-      (s, dir) => events(s, dir)
-        .withColumn("cents", round(col("value") * 100, 0).cast("long"))
-        .groupBy("event_type")
-        .agg(countDistinct("user_id").as("n_users_exact"),
-          approx_count_distinct(col("user_id"), rsd = 0.02).as("n_users_approx"),
-          expr("percentile(cents, 0.5)").as("p50_exact"),
-          expr("approx_percentile(cents, 0.5, 10000)").as("p50_approx"))
+      (s, dir) => {
+        val ev = events(s, dir)
+          .withColumn("cents", round(col("value") * 100, 0).cast("long"))
+        // the exact p50 twin comes from the bounded histogram-partition
+        // operator (graft.ops.Quantiles) — the built-in `percentile`
+        // would buffer every group value, the exact failure mode the
+        // sketches exist to avoid; countDistinct plans as Expand + two-
+        // phase aggregate (grouped state, no value buffer), so it stays
+        ev.groupBy("event_type")
+          .agg(countDistinct("user_id").as("n_users_exact"),
+            approx_count_distinct(col("user_id"), rsd = 0.02).as("n_users_approx"),
+            expr("approx_percentile(cents, 0.5, 10000)").as("p50_approx"))
+          .join(graft.ops.Quantiles.exactQuantiles(
+            ev, Seq("event_type"), "cents", Seq("p50_exact" -> 0.5)),
+            Seq("event_type"))
+      }
         .select(col("event_type"), col("n_users_exact"),
           round(col("p50_exact"), 6).as("p50_exact"),
           (abs(col("n_users_approx") - col("n_users_exact")).cast("double") /

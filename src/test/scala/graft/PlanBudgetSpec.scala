@@ -144,9 +144,12 @@ class PlanBudgetSpec extends SparkSpec {
   }
 
   test("winsorize/CDC/sampling hold their shapes") {
-    // winsorize: percentile cuts collapse to a 1-row broadcast; the clip
-    // itself is narrow and the rollup is one agg exchange
-    assert(shuffles("q106_winsorize") <= 3)
+    // winsorize: the p01/p99 cuts come from the bounded histogram-
+    // partition quantile — its stats/hist aggregates plus rank-location
+    // and boundary-refinement exchanges are all slim (≤ nBuckets rows per
+    // group) except the histogram pass itself; the former single
+    // `percentile` buffered the whole table in one aggregation buffer
+    assert(shuffles("q106_winsorize") <= 14)
     assert(planOf("q106_winsorize").contains("BroadcastExchange"))
     // snapshot diff: one full-outer hash join on the business key
     assert(shuffles("q107_snapshot_diff") <= 3)
@@ -158,8 +161,9 @@ class PlanBudgetSpec extends SparkSpec {
     assert(shuffles("q110_weighted_sample") <= 1)
     // native session windows: one keyed exchange + the session sort
     assert(shuffles("q111_session_window") <= 2)
-    // sketches: one aggregate pass, no Expand-free exact-distinct blowup
-    assert(shuffles("q112_approx_aggregates") <= 3)
+    // sketches + their exact twins; the exact p50 rides the bounded
+    // histogram-partition quantile (same slim-exchange profile as q106)
+    assert(shuffles("q112_approx_aggregates") <= 16)
     // as-of with tolerance: asOfUnion's single union-window exchange
     assert(shuffles("q113_asof_tolerance") <= 2)
     // gaps-and-islands / mode: distinct+window / agg+window per group
@@ -174,6 +178,12 @@ class PlanBudgetSpec extends SparkSpec {
     // capped band join: q29's exchanges + the band-size agg; the hot-key
     // exclusion itself is a broadcast anti-join (no extra data shuffle)
     assert(shuffles("q119_lsh_banded_cap") <= 6)
+  }
+
+  test("per-group exact quantiles hold the bounded histogram shape") {
+    // all exchanges are group-keyed or ≤ nBuckets-per-group slim frames;
+    // no single buffer ever holds a group's values
+    assert(shuffles("q64_quantiles") <= 14)
   }
 
   test("global windows (no partitionBy) only sit above bounded-grain inputs") {
@@ -209,6 +219,12 @@ class PlanBudgetSpec extends SparkSpec {
             s"$q: global window over an unbounded input — " +
               s"aggregate or limit first\n${w.child.treeString.take(2000)}")
         }
+      // companion invariant: no registered query may use the exact
+      // `percentile` aggregate — its buffer holds every group value
+      // (executor OOM at 100 TB); graft.ops.Quantiles is the bounded
+      // exact path, approx_percentile the sketch path
+      assert(!"(?<![_a-z])percentile\\(".r.findFirstIn(plan.toString).isDefined,
+        s"$q: exact percentile aggregate (unbounded buffer) in plan")
     }
   }
 }
