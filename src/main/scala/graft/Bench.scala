@@ -75,7 +75,15 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // stdout goes through sbt's logger (prefixing/truncation can mangle
+    // the line for machine consumers) — also write the raw JSON to a file
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_OUT", "/tmp/bench.json")
+    try {
+      java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+        (line + "\n").getBytes("UTF-8"))
+    } catch { case e: Throwable => System.err.println(s"[bench] write $outPath: $e") }
     spark.stop()
   }
 }

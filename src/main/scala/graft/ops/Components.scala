@@ -21,12 +21,34 @@ import org.apache.spark.sql.functions._
   */
 object Components {
 
+  /** Run audit: did propagation converge inside `maxIter`, and how big
+    * did the components get? A mega-component (everything near-dups
+    * everything — one boilerplate template across the corpus) or a
+    * diameter larger than `maxIter` would otherwise burn every round
+    * silently and return labels that LOOK converged. */
+  final case class CcReport(iterations: Int, converged: Boolean,
+                            nComponents: Long, maxComponentSize: Long)
+
   /** @param vertices single column `id`
     * @param edges    columns `src`,`dst`; undirected (either orientation)
     * @return columns `id`, `lbl` — `lbl` is the min vertex id of the
     *         component, deterministic for any edge orientation/order
     */
-  def connectedComponents(vertices: DataFrame, edges: DataFrame, maxIter: Int = 25): DataFrame = {
+  def connectedComponents(vertices: DataFrame, edges: DataFrame, maxIter: Int = 25): DataFrame =
+    propagate(vertices, edges, maxIter)._1
+
+  /** [[connectedComponents]] plus its [[CcReport]] — the component-size
+    * aggregate is one slim (lbl, count) pass over the final labels. */
+  def connectedComponentsAudited(vertices: DataFrame, edges: DataFrame,
+                                 maxIter: Int = 25): (DataFrame, CcReport) = {
+    val (labels, iter, converged) = propagate(vertices, edges, maxIter)
+    val row = labels.groupBy("lbl").agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("nc"), coalesce(max("n"), lit(0L)).as("mx")).head()
+    (labels, CcReport(iter, converged, row.getLong(0), row.getLong(1)))
+  }
+
+  private def propagate(vertices: DataFrame, edges: DataFrame,
+                        maxIter: Int): (DataFrame, Int, Boolean) = {
     // reliable checkpoint when a checkpoint dir is configured (survives
     // executor loss on a cluster); executor-local otherwise (local mode)
     def cut(df: DataFrame): DataFrame =
@@ -51,6 +73,6 @@ object Components {
       labels = next
       iter += 1
     }
-    labels
+    (labels, iter, converged)
   }
 }

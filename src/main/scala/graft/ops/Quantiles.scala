@@ -39,12 +39,18 @@ object Quantiles {
     * @param valueCol  numeric column (nulls ignored, like `percentile`)
     * @param quantiles (outputColumnName, q) pairs, each q in [0,1]
     * @param nBuckets  histogram resolution
+    * @param countCol  when set, also emit the group's NON-NULL value
+    *                  count under this name — it falls out of the stats
+    *                  pass for free, so callers needing the count
+    *                  alongside quantiles skip a whole extra aggregate
+    *                  (≡ `count(*)` when the value column is non-null)
     * @return one row per group: groupCols ++ one double column per
     *         quantile (null for empty groups, like `percentile`)
     */
   def exactQuantiles(df: DataFrame, groupCols: Seq[String], valueCol: String,
                      quantiles: Seq[(String, Double)],
-                     nBuckets: Int = 4096): DataFrame = {
+                     nBuckets: Int = 4096,
+                     countCol: Option[String] = None): DataFrame = {
     require(quantiles.nonEmpty && quantiles.map(_._1).distinct == quantiles.map(_._1))
     val g = if (groupCols.isEmpty) Seq("__g") else groupCols
     val base0 = if (groupCols.isEmpty) df.withColumn("__g", lit(1)) else df
@@ -119,8 +125,13 @@ object Quantiles {
           .otherwise((ceil(col("__p")) - col("__p")) * col("__lower") +
             (col("__p") - floor(col("__p"))) * col("__upper")))
 
-    val out = perQ.groupBy(g.map(col): _*)
+    val pivoted = perQ.groupBy(g.map(col): _*)
       .pivot("__qn", quantiles.map(_._1)).agg(first("__val"))
+    val out = countCol match {
+      case Some(n) =>
+        pivoted.join(stats.select(g.map(col) :+ col("__n").as(n): _*), g)
+      case None => pivoted
+    }
     if (groupCols.isEmpty) out.drop("__g") else out
   }
 }

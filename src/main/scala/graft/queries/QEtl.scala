@@ -718,12 +718,16 @@ object QEtl {
     // quantile_cont oracle) with ≤ nBuckets counters of state per group
     Qry("q64_quantiles",
       (s, dir) => {
+        // cache the slim 2-column projection: the histogram-partition
+        // quantile makes three passes (stats, histogram, boundary) plus
+        // the count — at any scale the cached frame is two integer-ish
+        // columns, never the table
         val o = t(s, dir, "orders")
           .select(col("o_orderpriority").as("prio"),
             round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
-        val qs = graft.ops.Quantiles.exactQuantiles(o, Seq("prio"), "cents",
-          Seq("p50" -> 0.5, "p95" -> 0.95))
-        qs.join(o.groupBy("prio").agg(count(lit(1)).as("n")), Seq("prio"))
+          .cache()
+        graft.ops.Quantiles.exactQuantiles(o, Seq("prio"), "cents",
+            Seq("p50" -> 0.5, "p95" -> 0.95), countCol = Some("n"))
           .select(col("prio"), col("p50"), col("p95"), col("n"))
       },
       Some("""SELECT o_orderpriority AS prio,
@@ -1514,9 +1518,12 @@ object QEtl {
     // arithmetic after rounding the cut points, so clipped sums stay exact
     Qry("q106_winsorize",
       (s, dir) => {
+        // slim 2-column cache: feeds the quantile's three passes + the
+        // final clip scan (see q64's rationale)
         val li = t(s, dir, "lineitem")
           .select(col("l_returnflag"),
             round(col("l_extendedprice") * 100, 0).cast("long").as("cents"))
+          .cache()
         val cuts = graft.ops.Quantiles.exactQuantiles(li, Nil, "cents",
             Seq("p01r" -> 0.01, "p99r" -> 0.99))
           .select(round(col("p01r"), 0).cast("long").as("p01"),
@@ -1688,6 +1695,13 @@ object QEtl {
         |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents,
         |  round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
         |    / count(*), 6) AS avg_cents
-        |FROM orders GROUP BY 1""".stripMargin))
+        |FROM orders GROUP BY 1""".stripMargin)),
+
+    // the foreachBatch SCD2 sink's registered batch twin: two chained
+    // merges = two micro-batches; StreamingSpec runs the real sink on the
+    // same batches and asserts identity (see [[Scd2StreamTwin]])
+    Qry("q120_scd2_stream_twin",
+      (s, dir) => Scd2StreamTwin.merged(s, dir),
+      Some(Scd2StreamTwin.oracleSql))
   )
 }

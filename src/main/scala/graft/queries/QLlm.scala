@@ -1262,8 +1262,12 @@ object QLlm {
     // bound ApproxAggSpec enforces, now inside the correctness gate
     Qry("q112_approx_aggregates",
       (s, dir) => {
+        // slim 3-column cache feeding the sketch aggregate + the
+        // quantile's three passes
         val ev = events(s, dir)
           .withColumn("cents", round(col("value") * 100, 0).cast("long"))
+          .select("event_type", "user_id", "cents")
+          .cache()
         // the exact p50 twin comes from the bounded histogram-partition
         // operator (graft.ops.Quantiles) — the built-in `percentile`
         // would buffer every group value, the exact failure mode the

@@ -66,4 +66,30 @@ class ComponentsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(partial.forall { case (id, lbl) => lbl <= id && lbl >= 1L })
   }
+
+  test("audit reports a mega-component and convergence on a dense graph") {
+    // deliberately dense: K40 plus 10 isolated vertices — the
+    // everything-near-dups-everything pathology. Min-label floods a
+    // clique in one round, so this converges fast but the audit must
+    // surface the 40-member component the labels alone hide.
+    val n = 40L
+    val verts = (1L to (n + 10)).toDF("id")
+    val edges = (for { a <- 1L to n; b <- (a + 1) to n } yield (a, b))
+      .toDF("src", "dst")
+    val (labels, report) = Components.connectedComponentsAudited(verts, edges)
+    assert(report.converged)
+    assert(report.maxComponentSize === n)
+    assert(report.nComponents === 11) // the clique + 10 singletons
+    assert(labels.filter(s"lbl = 1").count() === n)
+  }
+
+  test("audit flags non-convergence when the diameter exceeds maxIter") {
+    // a 12-chain needs ~11 propagation rounds; maxIter=3 must report
+    // converged=false instead of silently returning partial labels
+    val verts = (1L to 12L).toDF("id")
+    val edges = (1L until 12L).map(i => (i, i + 1)).toDF("src", "dst")
+    val (_, report) = Components.connectedComponentsAudited(verts, edges, maxIter = 3)
+    assert(!report.converged)
+    assert(report.iterations === 3)
+  }
 }

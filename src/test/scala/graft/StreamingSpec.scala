@@ -110,6 +110,44 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.filter(col("current_flag") === 0).count() > 0)
   }
 
+  test("two-micro-batch SCD2 sink lands exactly on the q120 registry row") {
+    import graft.queries.Scd2StreamTwin
+    val sfDir = "/root/testdata/sf0.001"
+    val wh = Files.createTempDirectory("graft_scd2_twin").toString
+    val dimPath = s"$wh/dim_user"
+    Scd2StreamTwin.cur(spark, sfDir).write.parquet(dimPath)
+
+    // two sequential AvailableNow runs over a shared checkpoint make the
+    // micro-batch ORDER deterministic: run 1 sees only batch1's files,
+    // run 2 only batch2's — batchIds 0 and 1, run dates d1 and d2
+    val mutDir = s"$wh/mutations"
+    val schema = Scd2StreamTwin.batch1(spark, sfDir).schema
+    def drain(): Unit = {
+      val q = StreamPipelines.scd2Sink(
+          spark.readStream.schema(schema).parquet(mutDir),
+          dimPath, Scd2StreamTwin.dim, startForNew = col("join_date"),
+          runDateForBatch = (_, id) =>
+            if (id == 0) Scd2StreamTwin.d1 else Scd2StreamTwin.d2)
+        .option("checkpointLocation", s"$wh/ckpt")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+    }
+    Scd2StreamTwin.batch1(spark, sfDir).write.mode("append").parquet(mutDir)
+    drain()
+    Scd2StreamTwin.batch2(spark, sfDir).write.mode("append").parquet(mutDir)
+    drain()
+
+    val streamed = Scd2StreamTwin.project(spark.read.parquet(dimPath))
+    val registry = SparkEntry.queries("q120_scd2_stream_twin")(spark, sfDir)
+    assert(streamed.count() === registry.count())
+    assert(streamed.exceptAll(registry).isEmpty &&
+      registry.exceptAll(streamed).isEmpty)
+    // both mutation waves versioned rows at their own run dates
+    val ends = streamed.filter(col("current_flag") === 0)
+      .select("end_date").distinct().as[String].collect().toSet
+    assert(ends === Set("1998-05-31", "1998-06-14"))
+  }
+
   test("streaming contract validation equals the batch validator split") {
     import graft.gen.Synthetic
     val day = "2025-03-01"
