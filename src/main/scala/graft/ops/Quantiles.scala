@@ -58,9 +58,15 @@ object Quantiles {
       .select(g.map(col) :+ col(valueCol).cast("double").as("__v"): _*)
       .filter(col("__v").isNotNull)
 
+    // stats and the rank-location frame below are PROVABLY tiny (one row
+    // per group / per group×quantile×2) but feed several consumers each —
+    // cache them so their multi-stage subtrees run once, not per consumer.
+    // Session-lifetime caches, same contract as VectorOps.lshCandidatePairs
+    // (Verify/Bench clearCache between queries).
     val stats = base.groupBy(g.map(col): _*)
       .agg(min("__v").as("__min"), max("__v").as("__max"),
         count(lit(1)).as("__n"))
+      .cache()
 
     // histogram: fixed-width buckets over [min, max]; a constant group
     // (width 0) collapses to bucket 0; max lands in the last bucket
@@ -97,6 +103,7 @@ object Quantiles {
       .filter(col("__k") >= col("__lo") && col("__k") < col("__hi"))
       .select(g.map(col) :+ col("__qn") :+ col("__pos") :+ col("__k") :+
         col("__b") :+ (col("__k") - col("__lo") + 1).as("__rnt"): _*)
+      .cache()
 
     // rank ONLY the boundary buckets' rows; ties among equal values make
     // the row_number choice irrelevant (same value at every tied rank)

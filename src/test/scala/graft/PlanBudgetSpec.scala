@@ -149,7 +149,7 @@ class PlanBudgetSpec extends SparkSpec {
     // and boundary-refinement exchanges are all slim (≤ nBuckets rows per
     // group) except the histogram pass itself; the former single
     // `percentile` buffered the whole table in one aggregation buffer
-    assert(shuffles("q106_winsorize") <= 14)
+    assert(shuffles("q106_winsorize") <= 16)
     assert(planOf("q106_winsorize").contains("BroadcastExchange"))
     // snapshot diff: one full-outer hash join on the business key
     assert(shuffles("q107_snapshot_diff") <= 3)
@@ -163,7 +163,7 @@ class PlanBudgetSpec extends SparkSpec {
     assert(shuffles("q111_session_window") <= 2)
     // sketches + their exact twins; the exact p50 rides the bounded
     // histogram-partition quantile (same slim-exchange profile as q106)
-    assert(shuffles("q112_approx_aggregates") <= 16)
+    assert(shuffles("q112_approx_aggregates") <= 18)
     // as-of with tolerance: asOfUnion's single union-window exchange
     assert(shuffles("q113_asof_tolerance") <= 2)
     // gaps-and-islands / mode: distinct+window / agg+window per group
@@ -183,7 +183,7 @@ class PlanBudgetSpec extends SparkSpec {
   test("per-group exact quantiles hold the bounded histogram shape") {
     // all exchanges are group-keyed or ≤ nBuckets-per-group slim frames;
     // no single buffer ever holds a group's values
-    assert(shuffles("q64_quantiles") <= 14)
+    assert(shuffles("q64_quantiles") <= 18)
   }
 
   test("global windows (no partitionBy) only sit above bounded-grain inputs") {
