@@ -1433,6 +1433,51 @@ object QLlm {
         |  WHERE band_key NOT IN (SELECT band_key FROM hot))
         |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
         |FROM k2 a JOIN k2 b ON a.band_key = b.band_key AND a.doc_id < b.doc_id""".stripMargin
+      })),
+
+    // EMBEDDING near-dup clusters: the vector twin of q72 — capped
+    // SRP-LSH candidate pairs (q54's machinery, hot-bucket guard biting)
+    // closed transitively via min-label propagation. Semantic dedup needs
+    // the closure for the same reason text dedup does: A≈B, B≈C chains
+    // must collapse to one representative even when A and C never share a
+    // bucket. The oracle computes the identical fixpoint recursively.
+    Qry("q121_embed_dedup_clusters",
+      (s, dir) => {
+        val e = spread(s, t(s, dir, "embeddings"))
+          .select(col("vec_id").as("id"), col("embedding").as("vec"))
+        val edges = VectorOps.lshCandidatePairs(e, 6, 0.1, maxBucketSize = 12)
+          .select(col("id_a").as("src"), col("id_b").as("dst"))
+        graft.ops.Components.connectedComponents(e.select("id"), edges)
+          .select(col("id").as("vec_id"), col("lbl").as("cluster_id"))
+          .withColumn("n_members",
+            count(lit(1)).over(Window.partitionBy("cluster_id")))
+      },
+      Some({
+        val plane = (p: String, i: String) =>
+          s"(('0x' || substr(md5($p || '|' || $i), 1, 12))::BIGINT / 140737488355328.0 - 1.0)"
+        s"""WITH RECURSIVE e AS (SELECT vec_id,
+          |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+          |b AS (SELECT vec_id, v, CAST(list_sum(list_transform(range(0, 6), p ->
+          |    CASE WHEN list_sum(list_transform(range(1, len(v) + 1),
+          |           i -> v[i] * ${plane("CAST(p AS VARCHAR)", "CAST(i - 1 AS VARCHAR)")})) > 0
+          |         THEN 1::BIGINT << p ELSE 0 END)) AS BIGINT) AS bucket FROM e),
+          |ok AS (SELECT bucket FROM b GROUP BY bucket HAVING count(*) <= 12),
+          |pairs AS (SELECT a.vec_id AS id_a, b2.vec_id AS id_b
+          |  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+          |  JOIN ok ON ok.bucket = a.bucket
+          |  WHERE list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b2.v[i]))
+          |      / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
+          |         * sqrt(list_sum(list_transform(b2.v, x -> x * x)))) >= 0.1),
+          |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+          |  UNION ALL SELECT id_b, id_a FROM pairs),
+          |reach(id, lbl) AS (
+          |  SELECT vec_id, vec_id FROM e
+          |  UNION
+          |  SELECT ed.dst, r.lbl FROM reach r JOIN edges ed ON ed.src = r.id),
+          |cc AS (SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY 1)
+          |SELECT id AS vec_id, cluster_id,
+          |  CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS n_members
+          |FROM cc""".stripMargin
       }))
   )
 }
