@@ -1,0 +1,145 @@
+package graft.functions
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graft.bridge
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Fused native MinHash→LSH band-key pipeline over a shingle array —
+  * semantically identical to
+  * `TextOps.lshBands(TextOps.minhashFromBase(TextOps.minhashBase(sh), k), bands, rowsPerBand)`
+  * but evaluated in ONE JVM call per row instead of four nested
+  * interpreted higher-order lambdas (per-element expression-tree dispatch
+  * with boxing). This sits on the hottest path of the library: every
+  * text near-dup query (q29/q57/q72/q119) and CorpusRun evaluate it per
+  * document, on up to three plan branches.
+  *
+  * Bit-parity contract (NativeExprSpec asserts it against the HOF form;
+  * the DuckDB oracles then hash-match both):
+  *  - base hash  = first 15 hex chars of md5(shingle) as int64, mod M
+  *    (≡ `pmod(conv(substr(md5(s),1,15),16,10) as long, M)` — 60 bits,
+  *    always positive, so `%` ≡ `pmod`)
+  *  - sig_i      = min over shingles of `(h·a_i + b_i) mod M` with the
+  *    [[graft.text.TextOps.minhashParams]] affine family (products stay
+  *    < 2^62 — no overflow)
+  *  - band key b = `b + ":" + md5(sig[b·r+1 .. b·r+r] joined ",")` with
+  *    decimal rendering, null sig positions skipped exactly as
+  *    `concat_ws` skips nulls (empty shingle arrays therefore hash "")
+  */
+case class MinhashBands(child: Expression, k: Int, bands: Int, rowsPerBand: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes = bridge.stringArrayInput
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_minhash_bands"
+
+  @transient private lazy val params: (Array[Long], Array[Long]) = {
+    val (as, bs) = graft.text.TextOps.minhashParams(k)
+    (as.toArray, bs.toArray)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    MinhashBands.compute(input.asInstanceOf[ArrayData], k, bands, rowsPerBand,
+      params._1, params._2)
+
+  // codegen keeps the row loop inside whole-stage codegen with ONE call
+  // out to the computation — same fallback-by-reference pattern Spark
+  // itself uses for complex expressions
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val ref = ctx.addReferenceObj("mhBands", this, classOf[MinhashBands].getName)
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.nullSafeEval($c);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): MinhashBands =
+    copy(child = newChild)
+}
+
+object MinhashBands {
+  val M: Long = graft.text.TextOps.minhashM
+
+  private def hex(d: Array[Byte]): String = {
+    val sb = new java.lang.StringBuilder(32)
+    var i = 0
+    while (i < d.length) {
+      val v = d(i) & 0xff
+      if (v < 16) sb.append('0')
+      sb.append(java.lang.Integer.toHexString(v))
+      i += 1
+    }
+    sb.toString
+  }
+
+  def compute(arr: ArrayData, k: Int, bands: Int, rowsPerBand: Int,
+              as: Array[Long], bs: Array[Long]): ArrayData = {
+    val n = arr.numElements()
+    val md = MessageDigest.getInstance("MD5")
+
+    // one md5 per shingle → 60-bit base hash, mod M
+    val base = new Array[Long](n)
+    val valid = new Array[Boolean](n)
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        md.reset()
+        val dg = md.digest(arr.getUTF8String(i).getBytes)
+        var h = 0L
+        var j = 0
+        while (j < 7) { h = (h << 8) | (dg(j) & 0xffL); j += 1 }
+        h = (h << 4) | ((dg(7) & 0xf0L) >> 4) // 15 hex chars = 7.5 bytes
+        base(i) = h % M
+        valid(i) = true
+      }
+      i += 1
+    }
+
+    // k-permutation signature
+    val sig = new Array[Long](k)
+    val sigNull = new Array[Boolean](k)
+    var t = 0
+    while (t < k) {
+      var mn = Long.MaxValue
+      var any = false
+      var p = 0
+      while (p < n) {
+        if (valid(p)) {
+          val v = (base(p) * as(t) + bs(t)) % M
+          if (v < mn) mn = v
+          any = true
+        }
+        p += 1
+      }
+      sig(t) = mn
+      sigNull(t) = !any
+      t += 1
+    }
+
+    // band keys: decimal-joined slice, md5, "b:" prefix
+    val out = new Array[AnyRef](bands)
+    var b = 0
+    while (b < bands) {
+      val sb = new java.lang.StringBuilder
+      var r = 0
+      var first = true
+      while (r < rowsPerBand) {
+        val idx = b * rowsPerBand + r
+        if (idx < k && !sigNull(idx)) {
+          if (!first) sb.append(',')
+          sb.append(sig(idx))
+          first = false
+        }
+        r += 1
+      }
+      md.reset()
+      val dg = md.digest(sb.toString.getBytes(StandardCharsets.UTF_8))
+      out(b) = UTF8String.fromString(b.toString + ":" + hex(dg))
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+}

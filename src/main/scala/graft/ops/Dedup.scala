@@ -85,9 +85,11 @@ object Dedup {
                         rowsPerBand: Int = 2,
                         maxBandSize: Int = Int.MaxValue): DataFrame = {
     val t = graft.text.TextOps
+    // the fused native expression: one JVM call per row for the whole
+    // shingle→minhash→band pipeline (bit-identical to the HOF chain —
+    // NativeExprSpec + every band-family oracle pin it)
     val allKeys = docs.select(col("doc_id"), explode(
-      t.lshBands(t.minhashFromBase(t.minhashBase(col("sh")), k),
-        bands, rowsPerBand)).as("band_key"))
+      t.minhashBandKeys(col("sh"), k, bands, rowsPerBand)).as("band_key"))
     val keys = if (maxBandSize == Int.MaxValue) allKeys else {
       val hot = allKeys.groupBy("band_key").agg(count(lit(1)).as("band_n"))
         .filter(col("band_n") > maxBandSize).select("band_key")

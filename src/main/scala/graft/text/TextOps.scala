@@ -87,6 +87,18 @@ object TextOps {
     }
   }
 
+  /** Fused NATIVE band keys — semantically identical to
+    * `lshBands(minhashFromBase(minhashBase(sh), k), bands, rowsPerBand)`
+    * but one JVM call per row ([[graft.functions.MinhashBands]]) instead
+    * of four nested interpreted HOFs; bit-parity asserted in
+    * NativeExprSpec and by every band-family oracle. Use this on hot
+    * paths; the HOF forms below remain the executable specification. */
+  def minhashBandKeys(sh: Column, k: Int = 16, bands: Int = 8,
+                      rowsPerBand: Int = 2): Column = {
+    val b = org.apache.spark.sql.graft.bridge
+    b.column(graft.functions.MinhashBands(b.expression(sh), k, bands, rowsPerBand))
+  }
+
   /** LSH band keys: the signature split into `bands` groups of `rowsPerBand`
     * and each group hashed to one string key. Two docs collide on a band iff
     * that slice of their signatures is identical — the classic

@@ -16,6 +16,9 @@ object bridge {
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
   /** input-type spec for array<float> binary expressions */
   val floatArrayInputs: Seq[AbstractDataType] = Seq(ArrayType(FloatType), ArrayType(FloatType))
+  /** input-type spec for array<string> unary expressions */
+  val stringArrayInput: Seq[AbstractDataType] =
+    Seq(ArrayType(org.apache.spark.sql.types.StringType))
   /** Where the session catalog would place an unqualified managed table —
     * robust to relative/space-containing warehouse dirs, unlike parsing
     * `spark.sql.warehouse.dir` through java.net.URI by hand. */

@@ -73,4 +73,44 @@ class NativeExprSpec extends SparkSpec {
     assert(r.length === 5)
     assert(r.forall(row => !row.isNullAt(0) && row.getDouble(1) > 0))
   }
+
+  test("fused minhash band keys are bit-identical to the HOF pipeline") {
+    import graft.text.TextOps
+    // real documents (all lengths incl. shingle-less shorties) + synthetic
+    // edge cases: empty text, unicode, single token
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .unionByName(Seq((90001L, ""), (90002L, "solo"),
+        (90003L, "naïve café über alles — 中文 text with punctuation!?"),
+        (90004L, "a b"), (90005L, "a b c")).toDF("doc_id", "text"))
+      .select(col("doc_id"), TextOps.shingles(TextOps.tokens(col("text")), 3).as("sh"))
+      .repartition(4)
+    val out = docs.select(col("doc_id"),
+      TextOps.minhashBandKeys(col("sh"), 16, 8, 2).as("native"),
+      TextOps.lshBands(TextOps.minhashFromBase(TextOps.minhashBase(col("sh")), 16),
+        8, 2).as("hof"))
+    assert(out.filter(not(col("native") <=> col("hof"))).count() === 0)
+    // uneven banding params too (k not a multiple of bands×rows)
+    val odd = docs.select(
+      TextOps.minhashBandKeys(col("sh"), 5, 3, 2).as("native"),
+      TextOps.lshBands(TextOps.minhashFromBase(TextOps.minhashBase(col("sh")), 5),
+        3, 2).as("hof"))
+    assert(odd.filter(not(col("native") <=> col("hof"))).count() === 0)
+  }
+
+  test("fused minhash band keys run inside whole-stage codegen") {
+    import graft.text.TextOps
+    // shingle computation (interpreted HOFs) belongs to the pre-exchange
+    // projection, mirroring the real queries where `sh` is a cached
+    // column — the band projection itself must stay inside codegen
+    val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(TextOps.shingles(TextOps.tokens(col("text")), 3).as("sh"))
+      .repartition(2)
+      .select(TextOps.minhashBandKeys(col("sh")).as("bk"))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.split("\n").exists(l =>
+      l.contains("graft_minhash_bands") && l.contains("*(")),
+      s"projection not inside a codegen span:\n$plan")
+  }
 }
