@@ -60,6 +60,15 @@ object Components {
       .unionByName(edges.select(col("dst").as("src"), col("src").as("dst"))))
 
     var labels = cut(vertices.select(col("id"), col("id").as("lbl")))
+    // convergence probe WITHOUT a join: each round takes the min of a
+    // vertex's own and neighbors' labels, so every label is monotonically
+    // non-increasing — the exact decimal SUM of labels is unchanged iff
+    // no label changed. One slim aggregate over the just-checkpointed
+    // frame replaces the labels⋈labels change-detection join per round.
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("lbl").cast("decimal(38,0)"))).head()
+        .getDecimal(0) match { case null => java.math.BigDecimal.ZERO; case d => d }
+    var prevSum = labelSum(labels)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -67,9 +76,9 @@ object Components {
         .select(sym("dst").as("id"), col("lbl"))
       val next = cut(labels.unionByName(prop)
         .groupBy("id").agg(min("lbl").as("lbl")))
-      converged = next.join(labels.withColumnRenamed("lbl", "prev_lbl"), Seq("id"))
-        .filter(col("lbl") =!= col("prev_lbl"))
-        .limit(1).count() == 0L
+      val nextSum = labelSum(next)
+      converged = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
       labels = next
       iter += 1
     }
