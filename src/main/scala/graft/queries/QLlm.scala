@@ -1271,12 +1271,17 @@ object QLlm {
         // the exact p50 twin comes from the bounded histogram-partition
         // operator (graft.ops.Quantiles) — the built-in `percentile`
         // would buffer every group value, the exact failure mode the
-        // sketches exist to avoid; countDistinct plans as Expand + two-
-        // phase aggregate (grouped state, no value buffer), so it stays
+        // sketches exist to avoid. The exact distinct is a two-stage
+        // aggregate (dedup on (type, user), then count) joined with the
+        // sketch aggregate: mixing countDistinct into the sketch agg
+        // plans an Expand that DOUBLES every shuffled row — measured 10×
+        // slower at sf0.1, and strictly worse at 100 TB
+        val exact = ev.groupBy("event_type", "user_id").agg(count(lit(1)).as("__o"))
+          .groupBy("event_type").agg(count(lit(1)).as("n_users_exact"))
         ev.groupBy("event_type")
-          .agg(countDistinct("user_id").as("n_users_exact"),
-            approx_count_distinct(col("user_id"), rsd = 0.02).as("n_users_approx"),
+          .agg(approx_count_distinct(col("user_id"), rsd = 0.02).as("n_users_approx"),
             expr("approx_percentile(cents, 0.5, 10000)").as("p50_approx"))
+          .join(exact, Seq("event_type"))
           .join(graft.ops.Quantiles.exactQuantiles(
             ev, Seq("event_type"), "cents", Seq("p50_exact" -> 0.5)),
             Seq("event_type"))
@@ -1478,6 +1483,78 @@ object QLlm {
           |SELECT id AS vec_id, cluster_id,
           |  CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS n_members
           |FROM cc""".stripMargin
-      }))
+      })),
+
+    // BLOOM-FILTER decontamination — q60's scale path: the benchmark
+    // gram set folds to ONE broadcast-able binary (Spark's own
+    // BloomFilterAggregate; bits are an order-insensitive OR, so the
+    // filter is deterministic) and candidates probe it per gram with NO
+    // join — the exact semi-join must ship the whole benchmark set.
+    // Bloom bits are engine-specific, so the row carries the exact
+    // counts hash-matched plus the two engine-INDEPENDENT bloom
+    // contracts as oracle-asserted booleans: zero false negatives, and
+    // the per-gram false-positive rate under a sized bound (accounting
+    // is per GRAM — a per-doc "any gram hit" flag would amplify any fpp
+    // to ~1 on long docs)
+    Qry("q122_bloom_decontamination",
+      (s, dir) => {
+        import graft.functions.Bloom
+        val d = docsWithDups(s, dir)
+          .select(col("doc_id"), array_distinct(transform(
+            TextOps.shingles(TextOps.tokens(col("text")), 8),
+            x => TextOps.hash64(x))).as("hs"))
+          .cache()
+        val isBench = col("doc_id") < 10000 && col("doc_id") % 50 === 0
+        val benchGrams = d.filter(isBench)
+          .select(explode(col("hs")).as("h")).distinct().cache()
+        // ONE bounded row to the driver, embedded as a plan literal —
+        // might_contain requires a constant bloom (same class of bounded
+        // metadata as the SRP hyperplane constants; ~180 KB for 200k
+        // items, shipped once with the plan, not per row)
+        val bloomBytes = benchGrams.agg(Bloom.bloomAgg(col("h"), 200000L).as("bloom"))
+          .head().getAs[Array[Byte]]("bloom")
+        val cand = d.filter(!isBench)
+        val probed = cand
+          .select(col("doc_id"), size(col("hs")).as("n_grams"),
+            size(filter(col("hs"), h => Bloom.mightContain(lit(bloomBytes), h)))
+              .as("bloom_hits"))
+        val exactHits = cand.select(col("doc_id"), explode(col("hs")).as("h"))
+          .join(benchGrams, Seq("h"), "left_semi")
+          .groupBy("doc_id").agg(count(lit(1)).as("exact_hits"))
+        probed.join(exactHits, Seq("doc_id"), "left_outer")
+          .select(col("doc_id"), col("n_grams"), col("bloom_hits"),
+            coalesce(col("exact_hits"), lit(0L)).as("exact_hits"))
+          .agg(count(lit(1)).as("n_docs"),
+            count(when(col("exact_hits") > 0, 1)).as("n_contaminated"),
+            sum("exact_hits").as("total_exact_hits"),
+            (count(when(col("bloom_hits") < col("exact_hits"), 1)) === 0)
+              .as("no_false_negatives"),
+            (sum(col("bloom_hits") - col("exact_hits")).cast("double") /
+              greatest(sum(col("n_grams")) - sum(col("exact_hits")), lit(1L))
+              <= 0.05).as("fp_rate_within_bound"))
+      },
+      Some(s"""WITH d0 AS ($docsWithDupsSql),
+        |tk AS (SELECT doc_id, $toksSql AS t FROM d0),
+        |g AS (SELECT doc_id, list_distinct(list_transform(
+        |    CASE WHEN len(t) >= 8
+        |      THEN list_transform(range(0, len(t) - 7),
+        |             i -> t[i + 1] || ' ' || t[i + 2] || ' ' || t[i + 3] || ' ' ||
+        |                  t[i + 4] || ' ' || t[i + 5] || ' ' || t[i + 6] || ' ' ||
+        |                  t[i + 7] || ' ' || t[i + 8])
+        |      ELSE [] END, x -> ${h64("x")})) AS gs
+        |  FROM tk),
+        |cand AS (SELECT doc_id, gs FROM g
+        |  WHERE NOT (doc_id < 10000 AND doc_id % 50 = 0)),
+        |bench AS (SELECT DISTINCT unnest(gs) AS h FROM g
+        |  WHERE doc_id < 10000 AND doc_id % 50 = 0),
+        |hits AS (SELECT c.doc_id, CAST(count(*) AS BIGINT) AS exact_hits
+        |  FROM (SELECT doc_id, unnest(gs) AS h FROM cand) c
+        |  JOIN bench USING (h) GROUP BY 1)
+        |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(CASE WHEN coalesce(exact_hits, 0) > 0 THEN 1 END) AS BIGINT)
+        |    AS n_contaminated,
+        |  CAST(sum(coalesce(exact_hits, 0)) AS BIGINT) AS total_exact_hits,
+        |  TRUE AS no_false_negatives, TRUE AS fp_rate_within_bound
+        |FROM cand LEFT JOIN hits USING (doc_id)""".stripMargin))
   )
 }

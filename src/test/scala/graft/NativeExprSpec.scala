@@ -98,6 +98,19 @@ class NativeExprSpec extends SparkSpec {
     assert(odd.filter(not(col("native") <=> col("hof"))).count() === 0)
   }
 
+  test("bloom wrapper: zero false negatives, bounded false-positive rate") {
+    import graft.functions.Bloom
+    val vals = (1L to 5000L).map(_ * 7919L).toDF("v").repartition(4)
+    val bytes = vals.agg(Bloom.bloomAgg(col("v"), 10000L).as("b"))
+      .head().getAs[Array[Byte]](0)
+    // the hard guarantee: every inserted value hits
+    assert(vals.filter(not(Bloom.mightContain(lit(bytes), col("v")))).count() === 0)
+    // the soft one: non-members (offset by 1) rarely hit
+    val fp = (1L to 5000L).map(_ * 7919L + 1).toDF("v")
+      .filter(Bloom.mightContain(lit(bytes), col("v"))).count()
+    assert(fp.toDouble / 5000 <= 0.05, s"false-positive rate $fp/5000")
+  }
+
   test("fused minhash band keys run inside whole-stage codegen") {
     import graft.text.TextOps
     // shingle computation (interpreted HOFs) belongs to the pre-exchange

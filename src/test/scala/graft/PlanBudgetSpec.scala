@@ -178,6 +178,10 @@ class PlanBudgetSpec extends SparkSpec {
     // capped band join: q29's exchanges + the band-size agg; the hot-key
     // exclusion itself is a broadcast anti-join (no extra data shuffle)
     assert(shuffles("q119_lsh_banded_cap") <= 6)
+    // bloom decontamination: bench-gram distinct + exact-hit semi-join +
+    // final aggregates; the bloom PROBE itself is a plan literal — the
+    // candidate side is scanned once with zero probe-side exchanges
+    assert(shuffles("q122_bloom_decontamination") <= 8)
   }
 
   test("per-group exact quantiles hold the bounded histogram shape") {
