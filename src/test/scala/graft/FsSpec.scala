@@ -2,6 +2,7 @@ package graft
 
 import java.nio.file.Files
 import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions.col
 
 /** The Hadoop-API storage layer: snapshot swap crash windows. Every state a
   * crash can leave [[graft.io.Fs.overwriteViaStaging]] in must be readable
@@ -66,6 +67,26 @@ class FsSpec extends SparkSpec {
     write(t, Seq(3))
     assert(readVals(t) === Seq(3))
     assert(!f.exists(new Path(t + "__old")))
+  }
+
+  test("full ETL day runs against an explicit file: scheme URI") {
+    // the port's point: the warehouse is a Hadoop-FS URI, not a POSIX
+    // path — every staging/swap/read goes through FileSystem resolution.
+    // An hdfs:// or s3a:// warehouse takes the identical code path.
+    import graft.gen.Synthetic
+    import graft.pipeline.EtlRun
+    val wh = "file:" + Files.createTempDirectory("graft_fs_uri").toString + "/wh"
+    val users = Synthetic.users(spark, 30)
+    val products = Synthetic.products(spark, 10)
+    val tx = Synthetic.transactions(spark, 60, "2025-03-01", 30, 10)
+    users.write.parquet(s"$wh/users")
+    products.write.parquet(s"$wh/products")
+    tx.write.partitionBy("date").parquet(s"$wh/transactions")
+    val run = new EtlRun(spark, wh).run("2025-03-01")
+    assert(run.select("status").head().getString(0) === "success")
+    assert(spark.read.parquet(s"$wh/dim_user")
+      .filter(col("current_flag") === 1).count() === 30)
+    assert(spark.read.parquet(s"$wh/fact_transactions").count() > 0)
   }
 
   test("promoteInto merges partitioned part-files idempotently") {
