@@ -101,15 +101,22 @@ final class CorpusRun(spark: SparkSession, warehouse: String,
       // failure during either write (including the manifest's) leaves the
       // previous docs/manifest PAIR intact — no torn new-docs/old-manifest
       // state. Both tables carry run_id so readers can verify the pair.
+      // n_bins (a distinct count) aggregates SEPARATELY from the
+      // count/sum/xor pass: combined, Catalyst plans an Expand that
+      // doubles every corpus row through the shuffle — at corpus scale
+      // that is the manifest write costing as much as the corpus write
       val manifest = packed
         .withColumn("h", TextOps.hash64(
           concat(col("doc_id").cast("string"), lit("|"), col("text"))))
         .groupBy("lang")
         .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"),
-          countDistinct("bin").as("n_bins"),
           // content checksum: commutative XOR of per-doc hashes — order-
           // insensitive and O(1) aggregation state at any corpus size
           expr("bit_xor(h)").cast("string").as("checksum"))
+        .join(packed.select("lang", "bin").distinct()
+          .groupBy("lang").agg(count(lit(1)).as("n_bins")), Seq("lang"))
+        .select(col("lang"), col("n_docs"), col("n_tokens"), col("n_bins"),
+          col("checksum"))
         .withColumn("run_id", lit(runId))
       graft.io.Fs.stageSnapshot(packed.withColumn("run_id", lit(runId)),
         path("corpus_docs"))

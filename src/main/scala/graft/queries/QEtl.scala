@@ -756,13 +756,16 @@ object QEtl {
     // elsewhere in the registry)
     Qry("q66_monthly_trend",
       (s, dir) => {
-        val monthly = t(s, dir, "orders")
+        // exact distinct split out of the sum aggregate: combined they
+        // plan an Expand that doubles every shuffled order row (the q112
+        // lesson); two aggregates joined on the month grain shuffle half
+        val o = t(s, dir, "orders")
           .select(date_format(col("o_orderdate"), "yyyy-MM").as("month"),
             col("o_custkey"),
             round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
-          .groupBy("month")
-          .agg(sum("cents").as("cents"),
-            countDistinct("o_custkey").as("n_customers"))
+        val monthly = o.groupBy("month").agg(sum("cents").as("cents"))
+          .join(o.groupBy("month", "o_custkey").agg(count(lit(1)).as("__o"))
+            .groupBy("month").agg(count(lit(1)).as("n_customers")), Seq("month"))
         val w = Window.orderBy("month")
         monthly
           .withColumn("prev_cents", lag("cents", 1).over(w))

@@ -135,8 +135,16 @@ object TextOps {
 
   /** Jaccard similarity of two string arrays treated as SETS (inputs need
     * not be distinct; both sides are deduped). Exact ratio of two small
-    * integers — deterministic across engines. */
+    * integers — deterministic across engines. Native single-pass
+    * evaluation ([[graft.functions.JaccardSim]]); [[jaccardHof]] is the
+    * executable specification NativeExprSpec pins it against. */
   def jaccard(a: Column, b: Column): Column = {
+    val br = org.apache.spark.sql.graft.bridge
+    br.column(graft.functions.JaccardSim(br.expression(a), br.expression(b)))
+  }
+
+  /** The built-in-functions formulation of [[jaccard]] (parity oracle). */
+  def jaccardHof(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast("double")
     val union = size(array_union(a, b)).cast("double")
     when(union === 0, lit(0.0)).otherwise(inter / union)

@@ -98,6 +98,28 @@ class NativeExprSpec extends SparkSpec {
     assert(odd.filter(not(col("native") <=> col("hof"))).count() === 0)
   }
 
+  test("native jaccard is bit-identical to the set-function formulation") {
+    import graft.text.TextOps
+    val pairs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), TextOps.shingles(TextOps.tokens(col("text")), 3).as("sh"))
+      .repartition(4)
+    val joined = pairs.select(col("doc_id").as("ida"), col("sh").as("a"))
+      .join(pairs.select((col("doc_id") - 3).as("ida"), col("sh").as("b")), Seq("ida"))
+    assert(joined
+      .select(TextOps.jaccard(col("a"), col("b")).as("n"),
+        TextOps.jaccardHof(col("a"), col("b")).as("h"))
+      .filter(not(col("n") <=> col("h"))).count() === 0)
+    // edge cases: empty/empty (0.0), disjoint, identical, dup-carrying
+    val edge = Seq(
+      (Seq.empty[String], Seq.empty[String]),
+      (Seq("a", "b"), Seq("c")),
+      (Seq("a", "b", "a"), Seq("b", "a", "b")),
+      (Seq("x"), Seq.empty[String])).toDF("a", "b")
+    assert(edge.select(TextOps.jaccard(col("a"), col("b")).as("n"),
+        TextOps.jaccardHof(col("a"), col("b")).as("h"))
+      .filter(not(col("n") <=> col("h"))).count() === 0)
+  }
+
   test("bloom wrapper: zero false negatives, bounded false-positive rate") {
     import graft.functions.Bloom
     val vals = (1L to 5000L).map(_ * 7919L).toDF("v").repartition(4)
