@@ -33,11 +33,20 @@ object TextOps {
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
   /** `n`-word shingles as space-joined strings (empty array when the doc is
-    * shorter than `n` words). Built with O(1) `element_at` per position —
-    * higher-order array functions evaluate interpreted (outside codegen),
-    * so a per-position `slice` (array copy each step) costs real time on
+    * shorter than `n` words). Native single-call evaluation
+    * ([[graft.functions.ShinglesExpr]]); [[shinglesHof]] is the
+    * executable specification NativeExprSpec pins it against. */
+  def shingles(toks: Column, n: Int): Column = {
+    val br = org.apache.spark.sql.graft.bridge
+    br.column(graft.functions.ShinglesExpr(br.expression(toks), n))
+  }
+
+  /** The higher-order-function formulation of [[shingles]] (parity
+    * oracle). Built with O(1) `element_at` per position — higher-order
+    * array functions evaluate interpreted (outside codegen), so a
+    * per-position `slice` (array copy each step) costs real time on
     * long docs; direct indexing doesn't. */
-  def shingles(toks: Column, n: Int): Column = letOnce(toks) { tk =>
+  def shinglesHof(toks: Column, n: Int): Column = letOnce(toks) { tk =>
     when(size(tk) >= n,
       transform(sequence(lit(1), size(tk) - (n - 1)),
         i => concat_ws(" ", (0 until n).map(j => element_at(tk, i + j)): _*))

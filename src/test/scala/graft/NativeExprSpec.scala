@@ -98,6 +98,22 @@ class NativeExprSpec extends SparkSpec {
     assert(odd.filter(not(col("native") <=> col("hof"))).count() === 0)
   }
 
+  test("native shingles are bit-identical to the HOF formulation") {
+    import graft.text.TextOps
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .unionByName(Seq((91001L, ""), (91002L, "one"), (91003L, "one two"),
+        (91004L, "one two three"), (91005L, "naïve café 中文 mixed tokens here"))
+        .toDF("doc_id", "text"))
+      .repartition(4)
+    for (n <- Seq(2, 3, 8)) {
+      val out = docs.select(
+        TextOps.shingles(TextOps.tokens(col("text")), n).as("native"),
+        TextOps.shinglesHof(TextOps.tokens(col("text")), n).as("hof"))
+      assert(out.filter(not(col("native") <=> col("hof"))).count() === 0, s"n=$n")
+    }
+  }
+
   test("native jaccard is bit-identical to the set-function formulation") {
     import graft.text.TextOps
     val pairs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
