@@ -1,0 +1,246 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.text.TextOps
+import QLlm.{t, spread, h64, normSql, toksSql, docsWithDups, docsWithDupsSql}
+
+/** Corpus-curation operators beyond the round-3 surface: repetition-based
+  * quality gates (Gopher-style n-gram repetition signals), sub-document
+  * block-level dedup (RefinedWeb-style), cross-document duplicated-span
+  * fractions (the span-granularity signal behind "deduplicating training
+  * data" pipelines), an ORC ingest roundtrip, and a corpus-fit unigram
+  * LM score (two-pass: counts → broadcast model → per-doc mean log-prob).
+  *
+  * Same parity discipline as [[QLlm]]: md5-derived hashes only, float
+  * reductions as SORTED sequential folds, `round(x, 6)` on every emitted
+  * double, and keep/drop flags computed on the ROUNDED values so the
+  * boolean can never straddle an engine-rounding boundary.
+  */
+object QCurate {
+
+  /** DuckDB n-word shingles of token list `tk` (space-joined windows). */
+  private def shN(tk: String, n: Int): String = {
+    val parts = (1 to n).map(j => s"$tk[i + $j]").mkString(" || ' ' || ")
+    s"""CASE WHEN len($tk) >= $n
+       |  THEN list_transform(range(0, len($tk) - ${n - 1}), i -> $parts)
+       |  ELSE [] END""".stripMargin
+  }
+
+  val all: Seq[Qry] = Seq(
+
+    // GOPHER-STYLE repetition filters: per-doc character-mass fractions of
+    // the most frequent 1/2/3-gram plus the duplicated-5-gram mass, and a
+    // composite keep gate. Every 6th doc is deterministically dirtied by
+    // re-appending its first 10 tokens (internal repetition the clean
+    // synthetic docs lack), so the dup-5-gram signal provably fires.
+    // Shape: ONE tagged explode feeds ONE (doc,n,gram) count aggregate that
+    // both the top-1 window and the dup-mass rollup consume — the shuffle
+    // key includes doc_id, so there is no hot key at any corpus size.
+    Qry("q123_repetition_filters",
+      (s, dir) => {
+        val tk0 = TextOps.tokens(col("text"))
+        val d0 = spread(s, t(s, dir, "documents")).select(col("doc_id"),
+          when(col("doc_id") % 6 === 0,
+            concat(col("text"), lit(" "), array_join(slice(tk0, 1, 10), " ")))
+            .otherwise(col("text")).as("text"))
+        val tk = TextOps.tokens(col("text"))
+        val d = d0.select(col("doc_id"),
+          length(TextOps.normText(col("text"))).as("len"), tk.as("tk"))
+        def tag(arr: org.apache.spark.sql.Column, n: Int) =
+          transform(arr, g => struct(lit(n).as("n"), g.as("gram")))
+        val tagged = concat(
+          tag(col("tk"), 1),
+          tag(TextOps.shingles(col("tk"), 2), 2),
+          tag(TextOps.shingles(col("tk"), 3), 3),
+          tag(TextOps.shingles(col("tk"), 5), 5))
+        val cnt = d
+          .select(col("doc_id"), col("len"), explode(tagged).as("g"))
+          .groupBy(col("doc_id"), col("len"), col("g.n").as("n"),
+            col("g.gram").as("gram"))
+          .agg(count(lit(1)).as("c"))
+          .cache()
+        val rn = row_number().over(
+          Window.partitionBy("doc_id", "n")
+            .orderBy(col("c").desc, col("gram").asc))
+        val tops = cnt.withColumn("rn", rn).filter(col("rn") === 1)
+          .withColumn("mass", col("c") * length(col("gram")))
+          .groupBy("doc_id", "len")
+          .agg(coalesce(max(when(col("n") === 1, col("mass"))), lit(0L)).as("m1"),
+            coalesce(max(when(col("n") === 2, col("mass"))), lit(0L)).as("m2"),
+            coalesce(max(when(col("n") === 3, col("mass"))), lit(0L)).as("m3"))
+        val dup5 = cnt.filter(col("n") === 5 && col("c") >= 2)
+          .groupBy("doc_id")
+          .agg(sum((col("c") - 1) * length(col("gram"))).as("dupmass"))
+        val f = (m: org.apache.spark.sql.Column) =>
+          round(m.cast("double") / col("len"), 6)
+        tops.join(dup5, Seq("doc_id"), "left_outer")
+          .select(col("doc_id"),
+            f(col("m1")).as("top1_frac"), f(col("m2")).as("top2_frac"),
+            f(col("m3")).as("top3_frac"),
+            f(coalesce(col("dupmass"), lit(0L))).as("dup5_frac"))
+          .withColumn("keep",
+            col("top1_frac") <= 0.11 && col("top2_frac") <= 0.10 &&
+              col("top3_frac") <= 0.10 && col("dup5_frac") <= 0.01)
+      },
+      Some(s"""WITH d0 AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 6 = 0
+        |      THEN text || ' ' || array_to_string(($toksSql)[1:10], ' ')
+        |      ELSE text END AS text
+        |  FROM documents),
+        |d AS (SELECT doc_id, length($normSql) AS len, $toksSql AS tk FROM d0),
+        |grams AS (
+        |  SELECT doc_id, len, 1 AS n, unnest(tk) AS gram FROM d
+        |  UNION ALL SELECT doc_id, len, 2, unnest(${shN("tk", 2)}) FROM d
+        |  UNION ALL SELECT doc_id, len, 3, unnest(${shN("tk", 3)}) FROM d
+        |  UNION ALL SELECT doc_id, len, 5, unnest(${shN("tk", 5)}) FROM d),
+        |cnt AS (SELECT doc_id, len, n, gram, count(*) AS c
+        |  FROM grams GROUP BY 1, 2, 3, 4),
+        |tops AS (SELECT doc_id, len,
+        |    coalesce(max(CASE WHEN n = 1 THEN mass END), 0) AS m1,
+        |    coalesce(max(CASE WHEN n = 2 THEN mass END), 0) AS m2,
+        |    coalesce(max(CASE WHEN n = 3 THEN mass END), 0) AS m3
+        |  FROM (SELECT doc_id, len, n, c * length(gram) AS mass,
+        |          row_number() OVER (PARTITION BY doc_id, n
+        |            ORDER BY c DESC, gram ASC) AS rn
+        |        FROM cnt) WHERE rn = 1 GROUP BY 1, 2),
+        |dup5 AS (SELECT doc_id, sum((c - 1) * length(gram)) AS dupmass
+        |  FROM cnt WHERE n = 5 AND c >= 2 GROUP BY 1),
+        |f AS (SELECT doc_id,
+        |    round(CAST(m1 AS DOUBLE) / len, 6) AS top1_frac,
+        |    round(CAST(m2 AS DOUBLE) / len, 6) AS top2_frac,
+        |    round(CAST(m3 AS DOUBLE) / len, 6) AS top3_frac,
+        |    round(CAST(coalesce(dupmass, 0) AS DOUBLE) / len, 6) AS dup5_frac
+        |  FROM tops LEFT JOIN dup5 USING (doc_id))
+        |SELECT doc_id, top1_frac, top2_frac, top3_frac, dup5_frac,
+        |  top1_frac <= 0.11 AND top2_frac <= 0.10 AND top3_frac <= 0.10
+        |    AND dup5_frac <= 0.01 AS keep
+        |FROM f""".stripMargin)),
+
+    // SUB-DOCUMENT block dedup (RefinedWeb-style, adapted to pseudo-
+    // paragraphs of 20 tokens — the synthetic corpus has no newlines):
+    // global first-occurrence-wins by (doc_id, pos) over exact block
+    // matches, then docs are reassembled from their surviving blocks.
+    // The verbatim +20000 near-dup copies lose EVERY block; the suffixed
+    // +10000 copies lose their shared prefix blocks. One window shuffle
+    // keyed by block text (the reassembly has to move the text anyway),
+    // one per-doc aggregate — no global sort anywhere.
+    Qry("q124_block_dedup",
+      (s, dir) => {
+        val d = docsWithDups(s, dir)
+          .select(col("doc_id"), TextOps.tokens(col("text")).as("tk"))
+        val b = d.select(col("doc_id"),
+            explode(sequence(lit(0),
+              ceil(size(col("tk")) / 20.0).cast("int") - 1)).as("pos"),
+            col("tk"))
+          .select(col("doc_id"), col("pos"),
+            concat_ws(" ", slice(col("tk"), col("pos") * 20 + 1, lit(20))).as("block"))
+        val rn = row_number().over(
+          Window.partitionBy("block").orderBy("doc_id", "pos"))
+        b.withColumn("rn", rn)
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_blocks"),
+            sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_kept"),
+            array_join(transform(
+              array_sort(collect_list(when(col("rn") === 1,
+                struct(col("pos"), col("block"))))),
+              x => x.getField("block")), " ").as("kept_text"))
+      },
+      Some(s"""WITH d0 AS ($docsWithDupsSql),
+        |d AS (SELECT doc_id, $toksSql AS tk FROM d0),
+        |b AS (SELECT doc_id, CAST(p.i AS INT) AS pos,
+        |    array_to_string(tk[p.i * 20 + 1 : p.i * 20 + 20], ' ') AS block
+        |  FROM d, unnest(range(0, CAST(ceil(len(tk) / 20.0) AS BIGINT))) AS p(i)),
+        |r AS (SELECT doc_id, pos, block,
+        |    row_number() OVER (PARTITION BY block ORDER BY doc_id, pos) AS rn
+        |  FROM b)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_blocks,
+        |  CAST(count(CASE WHEN rn = 1 THEN 1 END) AS BIGINT) AS n_kept,
+        |  coalesce(string_agg(CASE WHEN rn = 1 THEN block END, ' '
+        |    ORDER BY pos), '') AS kept_text
+        |FROM r GROUP BY 1""".stripMargin)),
+
+    // CROSS-DOCUMENT duplicated-span fraction: the per-doc share of its
+    // distinct 16-token spans that occur in at least one OTHER doc (the
+    // span-level signal "dedup the repeated passages, keep the doc"
+    // pipelines threshold on). Spans travel as 60-bit md5 hashes — the
+    // (hash → doc-frequency) aggregate and the slim hash join are the
+    // only shuffles; span text never leaves the map side. Docs shorter
+    // than 16 tokens have no spans and no row (oracle mirrors this).
+    Qry("q125_dup_span_frac",
+      (s, dir) => {
+        val sp = docsWithDups(s, dir)
+          .select(col("doc_id"), explode(array_distinct(transform(
+            TextOps.shingles(TextOps.tokens(col("text")), 16),
+            x => TextOps.hash64(x)))).as("h"))
+          .cache()
+        val df = sp.groupBy("h").agg(count(lit(1)).as("docs"))
+        sp.join(df, Seq("h"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_spans"),
+            sum(when(col("docs") > 1, 1L).otherwise(0L)).as("n_dup_spans"))
+          .select(col("doc_id"), col("n_spans"), col("n_dup_spans"),
+            round(col("n_dup_spans").cast("double") / col("n_spans"), 6)
+              .as("dup_frac"))
+          .withColumn("is_dupish", col("dup_frac") >= 0.5)
+      },
+      Some(s"""WITH d0 AS ($docsWithDupsSql),
+        |d AS (SELECT doc_id, $toksSql AS tk FROM d0),
+        |sp AS (SELECT DISTINCT doc_id,
+        |    unnest(list_transform(${shN("tk", 16)}, x -> ${h64("x")})) AS h
+        |  FROM d),
+        |df AS (SELECT h, count(*) AS docs FROM sp GROUP BY 1),
+        |g AS (SELECT sp.doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+        |    CAST(count(CASE WHEN df.docs > 1 THEN 1 END) AS BIGINT)
+        |      AS n_dup_spans
+        |  FROM sp JOIN df USING (h) GROUP BY 1)
+        |SELECT doc_id, n_spans, n_dup_spans,
+        |  round(CAST(n_dup_spans AS DOUBLE) / n_spans, 6) AS dup_frac,
+        |  round(CAST(n_dup_spans AS DOUBLE) / n_spans, 6) >= 0.5 AS is_dupish
+        |FROM g""".stripMargin)),
+
+    // ORC ingest roundtrip — the q70/q71 contract on the columnar format
+    // Spark ships besides parquet: documents written as ORC and read back
+    // through an explicit schema must hash-match the source table.
+    Qry("q126_orc_ingest",
+      (s, dir) => {
+        val src = t(s, dir, "documents")
+        val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_q126_orc_${dir.hashCode.toHexString}"
+        if (!graft.io.Fs.hasSuccessMarker(tmp, s.sessionState.newHadoopConf()))
+          src.write.mode("overwrite").orc(tmp)
+        s.read.schema(src.schema).orc(tmp)
+      },
+      Some("SELECT * FROM documents")),
+
+    // CORPUS-FIT unigram LM score: pass 1 folds the corpus to a vocab-
+    // sized (token, ln p) model — broadcast-able at ANY corpus size, the
+    // vocabulary being sublinear in tokens — and pass 2 scores each doc
+    // by mean token log-prob (a perplexity-style quality/outlier signal).
+    // The per-doc sum is a SORTED sequential fold so both engines add the
+    // same doubles in the same order.
+    Qry("q127_unigram_lm",
+      (s, dir) => {
+        val tok = spread(s, t(s, dir, "documents"))
+          .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("w"))
+          .cache()
+        val cnt = tok.groupBy("w").agg(count(lit(1)).as("c"))
+        val tot = cnt.agg(sum("c").cast("double").as("t"))
+        val lp = cnt.crossJoin(broadcast(tot))
+          .select(col("w"), log(col("c") / col("t")).as("lp"))
+        tok.join(broadcast(lp), Seq("w"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_tokens"),
+            round(aggregate(array_sort(collect_list(col("lp"))), lit(0.0d),
+              (a, x) => a + x) / count(lit(1)), 6).as("mean_logprob"))
+      },
+      Some(s"""WITH d AS (SELECT doc_id, $toksSql AS tk FROM documents),
+        |tok AS (SELECT doc_id, unnest(tk) AS w FROM d),
+        |cnt AS (SELECT w, count(*) AS c FROM tok GROUP BY 1),
+        |tot AS (SELECT CAST(sum(c) AS DOUBLE) AS t FROM cnt),
+        |lp AS (SELECT w, ln(c / (SELECT t FROM tot)) AS lp FROM cnt)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  round(list_reduce(list_prepend(0.0, list_sort(list(lp))),
+        |    (a, b) -> a + b) / count(*), 6) AS mean_logprob
+        |FROM tok JOIN lp USING (w) GROUP BY 1""".stripMargin))
+  )
+}

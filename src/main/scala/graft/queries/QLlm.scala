@@ -19,7 +19,7 @@ import graft.vector.VectorOps
   */
 object QLlm {
 
-  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+  private[queries] def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
   /** events.parquet is TIMESTAMP(NANOS): readable only as long under
@@ -42,13 +42,13 @@ object QLlm {
     * cluster whenever a small input fans out into expensive map work;
     * at 100 TB the scan itself yields thousands of splits and this
     * becomes a no-op cost-wise (one extra exchange of the slim input). */
-  private def spread(s: SparkSession, df: DataFrame): DataFrame =
+  private[queries] def spread(s: SparkSession, df: DataFrame): DataFrame =
     df.repartition(s.sparkContext.defaultParallelism)
 
   // ---- shared DuckDB SQL fragments ------------------------------------
-  private def h64(e: String) = s"(('0x' || substr(md5($e), 1, 15))::BIGINT)"
-  private val normSql = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
-  private val toksSql = s"string_split($normSql, ' ')"
+  private[queries] def h64(e: String) = s"(('0x' || substr(md5($e), 1, 15))::BIGINT)"
+  private[queries] val normSql = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+  private[queries] val toksSql = s"string_split($normSql, ' ')"
   // 3-word shingles of a token list named `tk`
   private def shinglesSql(tk: String) =
     s"""CASE WHEN len($tk) >= 3
@@ -58,7 +58,7 @@ object QLlm {
 
   /** documents plus near-duplicate mutations: every 5th doc re-appears as
     * doc_id+10000 with a 2-token suffix; every 7th as doc_id+20000 verbatim. */
-  private def docsWithDups(s: SparkSession, dir: String): DataFrame = {
+  private[queries] def docsWithDups(s: SparkSession, dir: String): DataFrame = {
     val d = spread(s, t(s, dir, "documents")).select("doc_id", "text")
     d.unionByName(d.filter(col("doc_id") % 5 === 0)
         .select((col("doc_id") + 10000).as("doc_id"),
@@ -67,7 +67,7 @@ object QLlm {
         .select((col("doc_id") + 20000).as("doc_id"), col("text")))
   }
 
-  private val docsWithDupsSql =
+  private[queries] val docsWithDupsSql =
     """SELECT doc_id, text FROM documents
       |UNION ALL SELECT doc_id + 10000, text || ' trailing marker' FROM documents WHERE doc_id % 5 = 0
       |UNION ALL SELECT doc_id + 20000, text FROM documents WHERE doc_id % 7 = 0""".stripMargin

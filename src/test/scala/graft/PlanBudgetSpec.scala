@@ -184,6 +184,25 @@ class PlanBudgetSpec extends SparkSpec {
     assert(shuffles("q122_bloom_decontamination") <= 8)
   }
 
+  test("curation additions stay within their shuffle budgets") {
+    // repetition filters: spread + ONE tagged (doc,n,gram) count agg
+    // feeding both the top-1 window and the dup-mass rollup, + the
+    // per-doc assembly joins (doc-keyed — no hot key at any size)
+    assert(shuffles("q123_repetition_filters") <= 5)
+    // block dedup: the block-keyed first-wins window + the per-doc
+    // reassembly aggregate (block text must move for reassembly anyway)
+    assert(shuffles("q124_block_dedup") <= 3)
+    // span fractions: (hash → doc-frequency) agg + slim hash join; span
+    // text never shuffles — only 60-bit hashes
+    assert(shuffles("q125_dup_span_frac") <= 3)
+    // ORC roundtrip: pure scan→write→scan, zero exchanges
+    assert(shuffles("q126_orc_ingest") === 0)
+    // unigram LM: token count agg + per-doc fold; the model and its
+    // 1-row total ride broadcasts (vocab is sublinear in corpus size)
+    assert(shuffles("q127_unigram_lm") <= 3)
+    assert(planOf("q127_unigram_lm").contains("BroadcastExchange"))
+  }
+
   test("per-group exact quantiles hold the bounded histogram shape") {
     // all exchanges are group-keyed or ≤ nBuckets-per-group slim frames;
     // no single buffer ever holds a group's values

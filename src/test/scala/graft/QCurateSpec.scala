@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Semantics of the curation additions (q123–q127) beyond the DuckDB hash
+  * gate: the repetition gate must actually fire on the dirtied docs, block
+  * dedup must erase verbatim copies and preserve originals verbatim, span
+  * fractions must flag the verbatim near-dups, and the LM score must be a
+  * proper mean log-probability.
+  */
+class QCurateSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private def run(q: String) = SparkEntry.queries(q)(spark, sfDir)
+
+  test("q123: dirtied docs gain duplicate 5-grams and are dropped; gate splits the corpus") {
+    val out = run("q123_repetition_filters").cache()
+    val dirty = out.filter(col("doc_id") % 6 === 0)
+    // re-appending the first 10 tokens manufactures ≥ 6 duplicate 5-grams
+    assert(dirty.filter(col("dup5_frac") <= 0).count() === 0)
+    assert(dirty.filter(col("keep")).count() === 0)
+    val kept = out.filter(col("keep")).count()
+    assert(kept > 0 && kept < out.count(), "gate must keep some and drop some")
+    out.unpersist()
+  }
+
+  test("q124: verbatim copies lose every block; sole-occurrence docs survive intact") {
+    val out = run("q124_block_dedup").cache()
+    // +20000 rows are byte-identical copies scanned after their originals —
+    // first-wins must erase them completely
+    val copies = out.filter(col("doc_id") >= 20000)
+    assert(copies.count() > 0)
+    assert(copies.filter(col("n_kept") =!= 0).count() === 0)
+    // a doc whose blocks all survived must reassemble to its own
+    // normalized text (order preserved through the pos sort)
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"),
+        graft.text.TextOps.normText(col("text")).as("norm"))
+    val intact = out.filter(col("doc_id") < 10000 &&
+        col("n_kept") === col("n_blocks"))
+      .join(docs, "doc_id")
+    assert(intact.count() > 0)
+    assert(intact.filter(col("kept_text") =!= col("norm")).count() === 0)
+    out.unpersist()
+  }
+
+  test("q125: verbatim copies are fully duplicated at span level") {
+    val out = run("q125_dup_span_frac").cache()
+    val copies = out.filter(col("doc_id") >= 20000)
+    assert(copies.count() > 0)
+    assert(copies.filter(!col("is_dupish")).count() === 0)
+    assert(copies.filter(col("dup_frac") =!= 1.0).count() === 0)
+    out.unpersist()
+  }
+
+  test("q126: ORC roundtrip is lossless against the parquet source") {
+    val src = spark.read.parquet(s"$sfDir/documents.parquet")
+    val back = run("q126_orc_ingest")
+    assert(back.count() === src.count())
+    assert(back.exceptAll(src).count() === 0)
+    assert(src.exceptAll(back).count() === 0)
+  }
+
+  test("q127: mean log-prob is a mean of per-token corpus log-probs") {
+    val out = run("q127_unigram_lm").cache()
+    // every token probability is in (0, 1) → mean log-prob strictly < 0,
+    // and no doc can score below the rarest token's log-prob
+    val toks = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(explode(graft.text.TextOps.tokens(col("text"))).as("w"))
+    val counts = toks.groupBy("w").count().cache()
+    val total = counts.agg(sum("count")).head().getLong(0).toDouble
+    val minLp = math.log(
+      counts.agg(min("count")).head().getLong(0).toDouble / total)
+    assert(out.filter(col("mean_logprob") >= 0).count() === 0)
+    assert(out.filter(col("mean_logprob") < minLp - 1e-9).count() === 0)
+    // token accounting matches the corpus
+    val nOut = out.agg(sum("n_tokens")).head().getLong(0)
+    assert(nOut === toks.count())
+    counts.unpersist(); out.unpersist()
+  }
+}
