@@ -185,6 +185,10 @@ class PlanBudgetSpec extends SparkSpec {
   }
 
   test("curation additions stay within their shuffle budgets") {
+    // q123/q125/q127 cache intermediates; a warm CacheManager entry from
+    // an earlier suite re-prints the cached subtree's exchanges under
+    // each consumer — count the cold plan, which is what executes at scale
+    spark.catalog.clearCache()
     // repetition filters: spread + ONE tagged (doc,n,gram) count agg
     // feeding both the top-1 window and the dup-mass rollup, + the
     // per-doc assembly joins (doc-keyed — no hot key at any size)
