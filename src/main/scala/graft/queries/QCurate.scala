@@ -241,6 +241,136 @@ object QCurate {
         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
         |  round(list_reduce(list_prepend(0.0, list_sort(list(lp))),
         |    (a, b) -> a + b) / count(*), 6) AS mean_logprob
-        |FROM tok JOIN lp USING (w) GROUP BY 1""".stripMargin))
+        |FROM tok JOIN lp USING (w) GROUP BY 1""".stripMargin)),
+
+    // DSIR-style importance weights (data selection via importance
+    // resampling): per-doc mean log-ratio of an add-one-smoothed TARGET
+    // unigram model (here: the English subcorpus) against the CORPUS
+    // model. Both models are vocab-sized — sublinear in tokens, hence
+    // broadcast-able at ANY corpus scale — so scoring 100 TB is one token
+    // aggregate plus a broadcast join; the raw text never shuffles.
+    Qry("q128_dsir_importance",
+      (s, dir) => {
+        val tok = spread(s, t(s, dir, "documents"))
+          .select(col("doc_id"), col("lang"),
+            explode(TextOps.tokens(col("text"))).as("w"))
+          .cache()
+        val cc = tok.groupBy("w").agg(count(lit(1)).as("cc"))
+        val ct = tok.filter(col("lang") === "en")
+          .groupBy("w").agg(count(lit(1)).as("ct"))
+        val model = cc.join(ct, Seq("w"), "left_outer")
+          .select(col("w"), col("cc"), coalesce(col("ct"), lit(0L)).as("ct"))
+        val consts = model.agg(sum("cc").cast("double").as("nc"),
+          sum("ct").cast("double").as("nt"),
+          count(lit(1)).cast("double").as("v"))
+        val lr = model.crossJoin(broadcast(consts))
+          .select(col("w"),
+            (log((col("ct").cast("double") + 1.0d) / (col("nt") + col("v"))) -
+              log((col("cc").cast("double") + 1.0d) / (col("nc") + col("v"))))
+              .as("lr"))
+        tok.join(broadcast(lr), Seq("w"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_tokens"),
+            round(aggregate(array_sort(collect_list(col("lr"))), lit(0.0d),
+              (a, x) => a + x) / count(lit(1)), 6).as("dsir_logweight"))
+      },
+      Some(s"""WITH d AS (SELECT doc_id, lang, $toksSql AS tk FROM documents),
+        |tok AS (SELECT doc_id, lang, unnest(tk) AS w FROM d),
+        |cc AS (SELECT w, count(*) AS cc FROM tok GROUP BY 1),
+        |ct AS (SELECT w, count(*) AS ct FROM tok WHERE lang = 'en' GROUP BY 1),
+        |model AS (SELECT cc.w, cc.cc, coalesce(ct.ct, 0) AS ct
+        |  FROM cc LEFT JOIN ct USING (w)),
+        |k AS (SELECT CAST(sum(cc) AS DOUBLE) AS nc, CAST(sum(ct) AS DOUBLE) AS nt,
+        |    CAST(count(*) AS DOUBLE) AS v FROM model),
+        |lr AS (SELECT w, ln((CAST(ct AS DOUBLE) + 1.0) / (nt + v))
+        |    - ln((CAST(cc AS DOUBLE) + 1.0) / (nc + v)) AS lr FROM model, k)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  round(list_reduce(list_prepend(0.0, list_sort(list(lr))),
+        |    (a, b) -> a + b) / count(*), 6) AS dsir_logweight
+        |FROM tok JOIN lr USING (w) GROUP BY 1""".stripMargin)),
+
+    // COUNT-MIN-SKETCH heavy hitters — the one-pass sketch path for key
+    // profiling where exact per-key counts (q99) stop fitting: the sketch
+    // is a fixed-size commutative aggregate (mergeable partials, any
+    // partitioning), probed declaratively via the native
+    // [[graft.functions.CmsEstimate]] expression off a 1-row broadcast.
+    // Exact counts are hash-matched; the CMS contracts (never undercount,
+    // overcount <= eps*N) ride as oracle-asserted booleans, q112-style.
+    Qry("q129_cms_heavy_hitters",
+      (s, dir) => {
+        val ev = spread(s, t(s, dir, "events")).select(col("user_id"))
+        val sk = ev.agg(
+          count_min_sketch(col("user_id"), lit(0.001d), lit(0.99d), lit(42))
+            .as("cms"),
+          count(lit(1)).as("n"))
+        val top = ev.groupBy("user_id").agg(count(lit(1)).as("exact"))
+          .orderBy(col("exact").desc, col("user_id").asc).limit(20)
+        top.crossJoin(broadcast(sk))
+          .select(col("user_id"), col("exact"),
+            graft.functions.Cms.estimate(col("cms"), col("user_id")).as("est"),
+            col("n"))
+          .select(col("user_id"), col("exact"),
+            (col("est") >= col("exact")).as("never_under"),
+            ((col("est") - col("exact")).cast("double") <=
+              lit(0.001d) * col("n").cast("double")).as("within_eps"))
+      },
+      Some("""WITH x AS (SELECT user_id, count(*) AS exact FROM events
+        |  GROUP BY 1 ORDER BY exact DESC, user_id ASC LIMIT 20)
+        |SELECT user_id, CAST(exact AS BIGINT) AS exact,
+        |  TRUE AS never_under, TRUE AS within_eps FROM x""".stripMargin)),
+
+    // INTERPOLATED BIGRAM LM score — q127's sequel with sequence context:
+    // p(w|prev) = 0.7·MLE_bigram + 0.3·unigram, scored as the per-doc mean
+    // log-prob over bigram positions. The bigram model is NOT broadcast —
+    // distinct bigrams grow with the corpus — so model and positions meet
+    // in a join KEYED BY (prev, w): the honest shape at 100 TB (the
+    // unigram leg and the 1-row total still broadcast).
+    Qry("q130_bigram_lm",
+      (s, dir) => {
+        val base = spread(s, t(s, dir, "documents"))
+          .select(col("doc_id"), TextOps.tokens(col("text")).as("tk"))
+          .filter(size(col("tk")) >= 2)
+        val pairs = base
+          .select(col("doc_id"),
+            explode(sequence(lit(1), size(col("tk")) - 1)).as("i"), col("tk"))
+          .select(col("doc_id"), element_at(col("tk"), col("i")).as("p"),
+            element_at(col("tk"), col("i") + 1).as("w"))
+          .cache()
+        val cb = pairs.groupBy("p", "w").agg(count(lit(1)).as("cb")).cache()
+        val cp = cb.groupBy("p").agg(sum("cb").as("cp"))
+        val tokAll = spread(s, t(s, dir, "documents"))
+          .select(explode(TextOps.tokens(col("text"))).as("w"))
+        val cu = tokAll.groupBy("w").agg(count(lit(1)).as("cu"))
+        val n = tokAll.agg(count(lit(1)).cast("double").as("n"))
+        val model = cb.join(cp, Seq("p"))
+          .join(broadcast(cu), Seq("w"))
+          .crossJoin(broadcast(n))
+          .select(col("p"), col("w"),
+            log(lit(0.7d) * (col("cb").cast("double") / col("cp").cast("double")) +
+              lit(0.3d) * (col("cu").cast("double") / col("n"))).as("lp"))
+        pairs.join(model, Seq("p", "w"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_bigrams"),
+            round(aggregate(array_sort(collect_list(col("lp"))), lit(0.0d),
+              (a, x) => a + x) / count(lit(1)), 6).as("mean_logprob"))
+      },
+      Some(s"""WITH d AS (SELECT doc_id, $toksSql AS tk FROM documents),
+        |d2 AS (SELECT doc_id, tk FROM d WHERE len(tk) >= 2),
+        |pairs AS (SELECT doc_id, tk[CAST(r.i AS INT)] AS p,
+        |    tk[CAST(r.i AS INT) + 1] AS w
+        |  FROM d2, unnest(range(1, len(tk))) AS r(i)),
+        |cb AS (SELECT p, w, count(*) AS cb FROM pairs GROUP BY 1, 2),
+        |cp AS (SELECT p, sum(cb) AS cp FROM cb GROUP BY 1),
+        |tok AS (SELECT unnest(tk) AS w FROM d),
+        |cu AS (SELECT w, count(*) AS cu FROM tok GROUP BY 1),
+        |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM tok),
+        |model AS (SELECT p, w,
+        |    ln(0.7 * (CAST(cb AS DOUBLE) / CAST(cp AS DOUBLE))
+        |      + 0.3 * (CAST(cu AS DOUBLE) / n)) AS lp
+        |  FROM cb JOIN cp USING (p) JOIN cu USING (w), n)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |  round(list_reduce(list_prepend(0.0, list_sort(list(lp))),
+        |    (a, b) -> a + b) / count(*), 6) AS mean_logprob
+        |FROM pairs JOIN model USING (p, w) GROUP BY 1""".stripMargin))
   )
 }

@@ -19,6 +19,9 @@ object bridge {
   /** input-type spec for array<string> unary expressions */
   val stringArrayInput: Seq[AbstractDataType] =
     Seq(ArrayType(org.apache.spark.sql.types.StringType))
+  /** input-type spec for (binary, long) binary expressions (sketch probes) */
+  val binaryLongInputs: Seq[AbstractDataType] =
+    Seq(org.apache.spark.sql.types.BinaryType, org.apache.spark.sql.types.LongType)
   /** Where the session catalog would place an unqualified managed table —
     * robust to relative/space-containing warehouse dirs, unlike parsing
     * `spark.sql.warehouse.dir` through java.net.URI by hand. */

@@ -205,6 +205,19 @@ class PlanBudgetSpec extends SparkSpec {
     // 1-row total ride broadcasts (vocab is sublinear in corpus size)
     assert(shuffles("q127_unigram_lm") <= 3)
     assert(planOf("q127_unigram_lm").contains("BroadcastExchange"))
+    // DSIR: two vocab aggregates + their merge + the per-doc fold; the
+    // log-ratio model and its constants ride broadcasts — raw text never
+    // shuffles at any corpus size
+    assert(shuffles("q128_dsir_importance") <= 5)
+    assert(planOf("q128_dsir_importance").contains("BroadcastExchange"))
+    // CMS: ONE exact-count exchange (the verification side); the sketch
+    // itself is a 1-row commutative aggregate probed off a broadcast
+    assert(shuffles("q129_cms_heavy_hitters") <= 1)
+    assert(planOf("q129_cms_heavy_hitters").contains("BroadcastExchange"))
+    // bigram LM: the model is join-KEYED (distinct bigrams grow with the
+    // corpus — never broadcast); unigram leg + 1-row total still broadcast
+    assert(shuffles("q130_bigram_lm") <= 5)
+    assert(planOf("q130_bigram_lm").contains("BroadcastExchange"))
   }
 
   test("per-group exact quantiles hold the bounded histogram shape") {

@@ -78,4 +78,48 @@ class QCurateSpec extends SparkSpec {
     assert(nOut === toks.count())
     counts.unpersist(); out.unpersist()
   }
+
+  test("q128: importance weights rank the target language above the rest") {
+    val out = run("q128_dsir_importance")
+      .join(spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id"), col("lang")), "doc_id")
+      .cache()
+    // the target model was fit on English docs: their mean log-ratio must
+    // exceed the non-English mean (that IS the selection signal)
+    val mean = out.groupBy(col("lang") === "en")
+      .agg(avg("dsir_logweight")).collect()
+      .map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+    assert(mean(true) > mean(false),
+      s"en mean ${mean(true)} must exceed non-en ${mean(false)}")
+    assert(out.filter(col("dsir_logweight").isNull).count() === 0)
+    out.unpersist()
+  }
+
+  test("q129: CMS estimates never undercount ANY key, not just the top 20") {
+    import graft.functions.Cms
+    val ev = spark.read.parquet(s"$sfDir/events.parquet").select(col("user_id"))
+    val sk = ev.agg(
+      count_min_sketch(col("user_id"), lit(0.001d), lit(0.99d), lit(42)).as("cms"))
+    val all = ev.groupBy("user_id").agg(count(lit(1)).as("exact"))
+      .crossJoin(broadcast(sk))
+      .select(col("exact"), Cms.estimate(col("cms"), col("user_id")).as("est"))
+    assert(all.filter(col("est") < col("exact")).count() === 0)
+    // a key that never occurred can only collide upward: est >= 0
+    val absent = sk.select(Cms.estimate(col("cms"), lit(-987654321L)).as("e"))
+      .head().getLong(0)
+    assert(absent >= 0)
+  }
+
+  test("q130: bigram accounting and log-prob bounds hold") {
+    val out = run("q130_bigram_lm").cache()
+    // probabilities are strict mixtures in (0,1): mean log-prob < 0
+    assert(out.filter(col("mean_logprob") >= 0).count() === 0)
+    // every doc with >= 2 tokens contributes exactly len-1 bigrams
+    val expected = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(size(graft.text.TextOps.tokens(col("text"))).as("n"))
+      .filter(col("n") >= 2)
+      .agg(sum(col("n") - 1)).head().getLong(0)
+    assert(out.agg(sum("n_bigrams")).head().getLong(0) === expected)
+    out.unpersist()
+  }
 }
