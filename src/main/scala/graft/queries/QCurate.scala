@@ -371,6 +371,134 @@ object QCurate {
         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
         |  round(list_reduce(list_prepend(0.0, list_sort(list(lp))),
         |    (a, b) -> a + b) / count(*), 6) AS mean_logprob
-        |FROM pairs JOIN model USING (p, w) GROUP BY 1""".stripMargin))
+        |FROM pairs JOIN model USING (p, w) GROUP BY 1""".stripMargin)),
+
+    // DOMAIN PAGERANK over the extracted-URL co-occurrence graph (source-
+    // reputation scoring, q103's extraction feeding a real graph op).
+    // All arithmetic is FIXED-POINT integer (rank in units of 1e-12, `div`
+    // truncation ≡ DuckDB `//` on positives): integer sums are exact and
+    // ORDER-FREE, so every per-node reduction is a plain hash aggregate —
+    // no sorted-fold buffers, no float-order hazard — and each of the 8
+    // iterations is one slim (node-keyed) join + aggregate. Dangling
+    // nodes get self-loops so mass stays local (no global dangling-mass
+    // aggregate — the shape that survives a web-scale domain graph).
+    Qry("q131_domain_pagerank",
+      (s, dir) => {
+        val SCALE = 1000000000000L
+        val doms = spread(s, t(s, dir, "documents")).select(
+            when(col("doc_id") % 3 === 0,
+              concat(col("text"), lit(" see https://site"),
+                (col("doc_id") % 20).cast("string"),
+                lit(".example/page and http://cdn"),
+                (col("doc_id") % 7).cast("string"), lit(".example/x")))
+              .otherwise(col("text")).as("t"))
+          .select(regexp_extract_all(col("t"),
+            lit("https?://([a-z0-9.-]+)/"), lit(1)).as("ds"))
+          .filter(size(col("ds")) >= 2)
+          .select(element_at(col("ds"), 1).as("src"),
+            element_at(col("ds"), 2).as("dst"))
+          .filter(col("src") =!= "" && col("dst") =!= "")
+        val re = doms.groupBy("src", "dst").agg(count(lit(1)).as("w")).cache()
+        val nodes = re.select(col("src").as("node"))
+          .unionByName(re.select(col("dst").as("node"))).distinct().cache()
+        val dang = nodes.join(re.select(col("src").as("node")).distinct(),
+            Seq("node"), "left_anti")
+          .select(col("node").as("src"), col("node").as("dst"), lit(1L).as("w"))
+        val edges = re.unionByName(dang)
+        val ow = edges.groupBy("src").agg(sum("w").as("ow"))
+        val ew = edges.join(ow, Seq("src")).cache()
+        val nn = nodes.agg(count(lit(1)).as("nn"))
+        // the static (node, nn) frame anchors every iteration so the prior
+        // ranks frame is referenced exactly ONCE per round — the lineage
+        // stays LINEAR (a ranks-join-ranks formulation doubles the subtree
+        // per iteration: 2^8 copies of the base plan by round 8)
+        val nodesNN = nodes.crossJoin(broadcast(nn)).cache()
+        var ranks = nodesNN.select(col("node"), col("nn"),
+          expr(s"${SCALE}L div nn").as("r"))
+        for (_ <- 1 to 8) {
+          val contrib = ew
+            .join(ranks.select(col("node").as("src"), col("r")), Seq("src"))
+            .select(col("dst"), expr("(r * w) div ow").as("c"))
+            .groupBy("dst").agg(sum("c").as("in_sum"))
+          ranks = nodesNN
+            .join(contrib, nodesNN("node") === contrib("dst"), "left_outer")
+            .select(col("node"), col("nn"),
+              (expr(s"(15 * ${SCALE}L) div (100 * nn)") +
+                expr("(85 * coalesce(in_sum, 0L)) div 100")).as("r"))
+        }
+        ranks.select(col("node"), col("r").as("rank_fp"))
+      },
+      Some {
+        val base = """WITH p AS (SELECT doc_id,
+          |    CASE WHEN doc_id % 3 = 0
+          |      THEN text || ' see https://site' || CAST(doc_id % 20 AS VARCHAR)
+          |           || '.example/page and http://cdn' || CAST(doc_id % 7 AS VARCHAR)
+          |           || '.example/x'
+          |      ELSE text END AS t
+          |  FROM documents),
+          |e0 AS (SELECT ds[1] AS src, ds[2] AS dst FROM
+          |    (SELECT regexp_extract_all(t, 'https?://([a-z0-9.-]+)/', 1) AS ds FROM p)
+          |  WHERE len(ds) >= 2 AND ds[1] <> '' AND ds[2] <> ''),
+          |re AS (SELECT src, dst, count(*) AS w FROM e0 GROUP BY 1, 2),
+          |nodes AS (SELECT src AS node FROM re UNION SELECT dst FROM re),
+          |dang AS (SELECT node AS src, node AS dst, CAST(1 AS BIGINT) AS w
+          |  FROM nodes WHERE node NOT IN (SELECT src FROM re)),
+          |e AS (SELECT * FROM re UNION ALL SELECT * FROM dang),
+          |ow AS (SELECT src, sum(w) AS ow FROM e GROUP BY 1),
+          |ew AS (SELECT e.src, e.dst, e.w, ow.ow FROM e JOIN ow USING (src)),
+          |nn AS (SELECT count(*) AS nn FROM nodes),
+          |r0 AS (SELECT node, nn, 1000000000000 // nn AS r FROM nodes, nn)""".stripMargin
+        val iters = (1 to 8).map { k =>
+          s"""c$k AS (SELECT dst, sum((r * w) // ow) AS in_sum
+             |  FROM ew JOIN r${k - 1} ON r${k - 1}.node = ew.src GROUP BY 1),
+             |r$k AS (SELECT node, nn,
+             |    ((15 * 1000000000000) // (100 * nn))
+             |      + ((85 * coalesce(in_sum, 0)) // 100) AS r
+             |  FROM r${k - 1} LEFT JOIN c$k ON c$k.dst = r${k - 1}.node)""".stripMargin
+        }.mkString(",\n", ",\n", "")
+        base + iters + "\nSELECT node, CAST(r AS BIGINT) AS rank_fp FROM r8"
+      }),
+
+    // TEMPERATURE-SCALED training mix (alpha = 0.5): per-language quotas
+    // proportional to sqrt(count) — the standard up/down-weighting that
+    // flattens a skewed language distribution — filled by a seeded
+    // md5-rank draw (reproducible sampling, q110's discipline). The
+    // stratum table is tiny at any corpus size (its sqrt-share
+    // denominator is a sorted fold over #strata doubles) and rides a
+    // broadcast; the corpus side is one window keyed by lang.
+    Qry("q132_temperature_mix",
+      (s, dir) => {
+        val d = spread(s, t(s, dir, "documents"))
+          .select(col("doc_id"), col("lang"))
+        val cnt = d.groupBy("lang").agg(count(lit(1)).as("c"))
+        val tot = cnt.agg(
+          aggregate(array_sort(collect_list(sqrt(col("c").cast("double")))),
+            lit(0.0d), (a, x) => a + x).as("z"),
+          sum("c").cast("double").as("nd"))
+        val quota = cnt.crossJoin(broadcast(tot))
+          .select(col("lang"),
+            floor((lit(0.3d) * col("nd")) *
+              (sqrt(col("c").cast("double")) / col("z"))).cast("long").as("q"))
+        val rn = row_number().over(Window.partitionBy("lang")
+          .orderBy(TextOps.hash64(
+            concat(lit("mix42:"), col("doc_id").cast("string"))), col("doc_id")))
+        d.withColumn("rn", rn)
+          .join(broadcast(quota), Seq("lang"))
+          .filter(col("rn") <= col("q"))
+          .select(col("doc_id"), col("lang"), col("rn"))
+      },
+      Some(s"""WITH d AS (SELECT doc_id, lang FROM documents),
+        |cnt AS (SELECT lang, count(*) AS c FROM d GROUP BY 1),
+        |tot AS (SELECT list_reduce(list_prepend(0.0,
+        |      list_sort(list(sqrt(CAST(c AS DOUBLE))))), (a, b) -> a + b) AS z,
+        |    CAST(sum(c) AS DOUBLE) AS nd FROM cnt),
+        |quota AS (SELECT lang, CAST(floor((0.3 * nd) *
+        |      (sqrt(CAST(c AS DOUBLE)) / z)) AS BIGINT) AS q
+        |  FROM cnt, tot),
+        |r AS (SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
+        |    ORDER BY ${h64("'mix42:' || CAST(doc_id AS VARCHAR)")}, doc_id) AS rn
+        |  FROM d)
+        |SELECT doc_id, lang, CAST(rn AS INT) AS rn
+        |FROM r JOIN quota USING (lang) WHERE rn <= q""".stripMargin))
   )
 }

@@ -110,6 +110,49 @@ class QCurateSpec extends SparkSpec {
     assert(absent >= 0)
   }
 
+  test("q131: mass stays bounded and sinks outrank sources") {
+    val out = run("q131_domain_pagerank").cache()
+    val SCALE = 1000000000000L
+    // fixed-point truncation only ever LOSES mass: total in (0.5, 1] SCALE
+    val total = out.agg(sum("rank_fp")).head().getLong(0)
+    assert(total <= SCALE && total > SCALE / 2, s"total mass $total")
+    // site* nodes have no in-edges (they only hold the base teleport
+    // mass); cdn* nodes absorb the site mass — every cdn must outrank
+    // every site
+    val maxSite = out.filter(col("node").startsWith("site"))
+      .agg(max("rank_fp")).head().getLong(0)
+    val minCdn = out.filter(col("node").startsWith("cdn"))
+      .agg(min("rank_fp")).head().getLong(0)
+    assert(minCdn > maxSite, s"cdn min $minCdn vs site max $maxSite")
+    out.unpersist()
+  }
+
+  test("q132: quotas fill exactly and sqrt-weighting lifts rare languages") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val out = run("q132_temperature_mix").cache()
+    val corpus = docs.groupBy("lang").agg(count(lit(1)).as("c")).cache()
+    val picked = out.groupBy("lang").agg(count(lit(1)).as("k"))
+    val j = corpus.join(picked, Seq("lang")).cache()
+    // every stratum fills its quota exactly (quota <= stratum size since
+    // the target rate is 0.3 < 1)
+    val counts = j.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(_._2)
+    val total = counts.map(_._2).sum.toDouble
+    val z = counts.map(c => math.sqrt(c._2.toDouble)).sorted.sum
+    counts.foreach { case (_, c, k) =>
+      val quota = math.floor((0.3 * total) * (math.sqrt(c.toDouble) / z)).toLong
+      assert(k === quota, s"stratum filled $k of quota $quota")
+    }
+    // alpha = 0.5 flattens: the rarest language's sampled share must
+    // exceed its corpus share, the most common one's must shrink
+    val (_, cRare, kRare) = counts.head
+    val (_, cTop, kTop) = counts.last
+    val kSum = counts.map(_._3).sum.toDouble
+    assert(kRare / kSum > cRare / total)
+    assert(kTop / kSum < cTop / total)
+    j.unpersist(); corpus.unpersist(); out.unpersist()
+  }
+
   test("q130: bigram accounting and log-prob bounds hold") {
     val out = run("q130_bigram_lm").cache()
     // probabilities are strict mixtures in (0,1): mean log-prob < 0
