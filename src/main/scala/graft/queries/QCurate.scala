@@ -499,6 +499,106 @@ object QCurate {
         |    ORDER BY ${h64("'mix42:' || CAST(doc_id AS VARCHAR)")}, doc_id) AS rn
         |  FROM d)
         |SELECT doc_id, lang, CAST(rn AS INT) AS rn
-        |FROM r JOIN quota USING (lang) WHERE rn <= q""".stripMargin))
+        |FROM r JOIN quota USING (lang) WHERE rn <= q""".stripMargin)),
+
+    // MODEL-BASED quality filter: a fixed-weight LINEAR classifier over
+    // the q27 feature vector (the fastText-style "is this doc training-
+    // worthy" stage, with a frozen stand-in model — weights would come
+    // from offline training). Deliberately emits the LOGIT, not the
+    // sigmoid: the decision boundary is identical and the score avoids
+    // `exp`, whose last-ulp rounding is the one libm behavior the
+    // bit-exact oracle contract can't assume. Pure narrow pipeline —
+    // scores 100 TB with zero shuffles. keep = logit > 0 on the ROUNDED
+    // value, so the boolean can't straddle an engine-rounding boundary.
+    Qry("q133_quality_classifier",
+      (s, dir) => {
+        val feats = TextOps.qualityFeatures(col("text")).toMap
+        spread(s, t(s, dir, "documents"))
+          .select(col("doc_id"),
+            round(lit(8.0d) * feats("stopword_ratio") +
+              lit(5.0d) * feats("alpha_ratio") +
+              lit(-1.0d) * feats("avg_token_len") +
+              lit(0.25d) * log(feats("n_tokens").cast("double")) +
+              lit(-0.85d), 6).as("logit"))
+          .withColumn("keep", col("logit") > 0.0d)
+      },
+      Some(s"""WITH d AS (SELECT doc_id, $normSql AS norm, $toksSql AS tk FROM documents),
+        |f AS (SELECT doc_id,
+        |    round(CAST(len(list_filter(tk, x -> list_contains(
+        |      ['the','a','of','and','is','to','in','it','that','on'], x))) AS DOUBLE)
+        |      / len(tk), 6) AS stop_r,
+        |    round(CAST(length(regexp_replace(norm, '[^a-z]', '', 'g')) AS DOUBLE)
+        |      / length(norm), 6) AS alpha_r,
+        |    round(CAST(length(norm) - (len(tk) - 1) AS DOUBLE) / len(tk), 6) AS atl,
+        |    len(tk) AS n FROM d)
+        |SELECT doc_id,
+        |  round(8.0 * stop_r + 5.0 * alpha_r + (-1.0) * atl
+        |    + 0.25 * ln(CAST(n AS DOUBLE)) + (-0.85), 6) AS logit,
+        |  round(8.0 * stop_r + 5.0 * alpha_r + (-1.0) * atl
+        |    + 0.25 * ln(CAST(n AS DOUBLE)) + (-0.85), 6) > 0.0 AS keep
+        |FROM f""".stripMargin)),
+
+    // LEAKAGE-FREE train/val/test split: the q72 near-dup CLUSTERS are the
+    // split unit — the whole cluster lands in one split (assigning by
+    // doc_id would leak near-duplicate eval docs into train, the classic
+    // contamination bug cluster-aware splitting exists to prevent). The
+    // bucket draw hashes the cluster label, so the property holds BY
+    // CONSTRUCTION at any scale; split fractions are 8/1/1.
+    Qry("q134_leakage_free_split", {
+      val q72 = QLlm.all.find(_.name == "q72_dedup_clusters").get
+      (s, dir) => {
+        val bucket = TextOps.hash64(
+          concat(lit("split42:"), col("cluster_id").cast("string"))) % 10
+        q72.fn(s, dir)
+          .select(col("doc_id"), col("cluster_id"), col("n_members"))
+          .withColumn("split",
+            when(bucket <= 7, "train").when(bucket === 8, "val")
+              .otherwise("test"))
+      }},
+      Some {
+        val q72Sql = QLlm.all.find(_.name == "q72_dedup_clusters").get.sql.get
+        s"""SELECT doc_id, cluster_id, n_members,
+           |  CASE WHEN ${h64("'split42:' || CAST(cluster_id AS VARCHAR)")} % 10 <= 7
+           |    THEN 'train'
+           |  WHEN ${h64("'split42:' || CAST(cluster_id AS VARCHAR)")} % 10 = 8
+           |    THEN 'val' ELSE 'test' END AS split
+           |FROM ($q72Sql) b""".stripMargin
+      }),
+
+    // N-GRAM DIVERSITY profile per language: type-token ratios at the
+    // unigram and trigram level (mode-collapse / repetitiveness metrics
+    // for generated-vs-natural corpus auditing). Distinct-counting is the
+    // classic Expand trap when mixed with plain counts — computed here as
+    // two single-purpose aggregates joined on the slim lang key.
+    Qry("q135_ngram_diversity",
+      (s, dir) => {
+        val d = spread(s, t(s, dir, "documents"))
+          .select(col("lang"), TextOps.tokens(col("text")).as("tk"))
+        val uni = d.select(col("lang"), explode(col("tk")).as("g"))
+        val tri = d.select(col("lang"),
+          explode(TextOps.shingles(col("tk"), 3)).as("g"))
+        def ttr(grams: org.apache.spark.sql.DataFrame, name: String) = {
+          val tot = grams.groupBy("lang").agg(count(lit(1)).as(s"n_$name"))
+          val dst = grams.distinct().groupBy("lang")
+            .agg(count(lit(1)).as(s"d_$name"))
+          tot.join(dst, Seq("lang"))
+            .select(col("lang"), col(s"n_$name"), col(s"d_$name"),
+              round(col(s"d_$name").cast("double") / col(s"n_$name"), 6)
+                .as(s"ttr_$name"))
+        }
+        ttr(uni, "uni").join(ttr(tri, "tri"), Seq("lang"))
+      },
+      Some(s"""WITH d AS (SELECT lang, $toksSql AS tk FROM documents),
+        |uni AS (SELECT lang, unnest(tk) AS g FROM d),
+        |tri AS (SELECT lang, unnest(${shN("tk", 3)}) AS g FROM d),
+        |u AS (SELECT lang, count(*) AS n_uni, count(DISTINCT g) AS d_uni
+        |  FROM uni GROUP BY 1),
+        |t AS (SELECT lang, count(*) AS n_tri, count(DISTINCT g) AS d_tri
+        |  FROM tri GROUP BY 1)
+        |SELECT lang, CAST(n_uni AS BIGINT) AS n_uni, CAST(d_uni AS BIGINT) AS d_uni,
+        |  round(CAST(d_uni AS DOUBLE) / n_uni, 6) AS ttr_uni,
+        |  CAST(n_tri AS BIGINT) AS n_tri, CAST(d_tri AS BIGINT) AS d_tri,
+        |  round(CAST(d_tri AS DOUBLE) / n_tri, 6) AS ttr_tri
+        |FROM u JOIN t USING (lang)""".stripMargin))
   )
 }

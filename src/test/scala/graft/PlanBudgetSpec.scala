@@ -229,6 +229,16 @@ class PlanBudgetSpec extends SparkSpec {
     // final assembly; quota table rides a broadcast
     assert(shuffles("q132_temperature_mix") <= 3)
     assert(planOf("q132_temperature_mix").contains("BroadcastExchange"))
+    // quality classifier: scoring is a PURE NARROW pipeline — zero
+    // exchanges between the scan and the verdict at any corpus size
+    assert(shuffles("q133_quality_classifier") === 0)
+    // leakage-free split: q72's clustering plus a hash over the label —
+    // the split assignment itself adds NO exchange
+    assert(shuffles("q134_leakage_free_split") <= 2)
+    // diversity: two single-purpose aggregates per granularity (total +
+    // distinct), joined on the slim lang key — never an Expand
+    assert(shuffles("q135_ngram_diversity") <= 7)
+    assert(!planOf("q135_ngram_diversity").contains("Expand"))
   }
 
   test("per-group exact quantiles hold the bounded histogram shape") {

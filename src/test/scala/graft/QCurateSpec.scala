@@ -153,6 +153,37 @@ class QCurateSpec extends SparkSpec {
     j.unpersist(); corpus.unpersist(); out.unpersist()
   }
 
+  test("q133: the frozen classifier actually separates the corpus") {
+    val out = run("q133_quality_classifier").cache()
+    val kept = out.filter(col("keep")).count()
+    assert(kept > 0 && kept < out.count(), "gate must keep some, drop some")
+    // keep is defined on the rounded logit — never disagrees with it
+    assert(out.filter(col("keep") =!= (col("logit") > 0.0d)).count() === 0)
+    out.unpersist()
+  }
+
+  test("q134: no near-dup cluster ever straddles a split") {
+    val out = run("q134_leakage_free_split").cache()
+    val straddlers = out.groupBy("cluster_id")
+      .agg(countDistinct("split").as("k")).filter(col("k") > 1)
+    assert(straddlers.count() === 0)
+    // all three splits materialize (8/1/1 hash buckets over enough
+    // clusters) and every doc is assigned exactly once
+    assert(out.select("split").distinct().count() === 3)
+    assert(out.select("doc_id").distinct().count() === out.count())
+    out.unpersist()
+  }
+
+  test("q135: type-token ratios are sane and trigram diversity exceeds unigram") {
+    val out = run("q135_ngram_diversity").cache()
+    assert(out.count() === 5) // one row per language
+    assert(out.filter(col("ttr_uni") <= 0 || col("ttr_uni") > 1).count() === 0)
+    assert(out.filter(col("d_uni") > col("n_uni")).count() === 0)
+    // trigrams are sparser than unigrams: their TTR must be higher
+    assert(out.filter(col("ttr_tri") <= col("ttr_uni")).count() === 0)
+    out.unpersist()
+  }
+
   test("q130: bigram accounting and log-prob bounds hold") {
     val out = run("q130_bigram_lm").cache()
     // probabilities are strict mixtures in (0,1): mean log-prob < 0
