@@ -27,6 +27,50 @@ object QCurate {
        |  ELSE [] END""".stripMargin
   }
 
+  import org.apache.spark.sql.{DataFrame, SparkSession}
+
+  /** q128's body, shared with the q137 composition. */
+  private def dsirFn(s: SparkSession, dir: String): DataFrame = {
+    val tok = spread(s, t(s, dir, "documents"))
+      .select(col("doc_id"), col("lang"),
+        explode(TextOps.tokens(col("text"))).as("w"))
+      .cache()
+    val cc = tok.groupBy("w").agg(count(lit(1)).as("cc"))
+    val ct = tok.filter(col("lang") === "en")
+      .groupBy("w").agg(count(lit(1)).as("ct"))
+    val model = cc.join(ct, Seq("w"), "left_outer")
+      .select(col("w"), col("cc"), coalesce(col("ct"), lit(0L)).as("ct"))
+    val consts = model.agg(sum("cc").cast("double").as("nc"),
+      sum("ct").cast("double").as("nt"),
+      count(lit(1)).cast("double").as("v"))
+    val lr = model.crossJoin(broadcast(consts))
+      .select(col("w"),
+        (log((col("ct").cast("double") + 1.0d) / (col("nt") + col("v"))) -
+          log((col("cc").cast("double") + 1.0d) / (col("nc") + col("v"))))
+          .as("lr"))
+    tok.join(broadcast(lr), Seq("w"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        round(aggregate(array_sort(collect_list(col("lr"))), lit(0.0d),
+          (a, x) => a + x) / count(lit(1)), 6).as("dsir_logweight"))
+  }
+
+  private val dsirSql: String =
+    s"""WITH d AS (SELECT doc_id, lang, $toksSql AS tk FROM documents),
+       |tok AS (SELECT doc_id, lang, unnest(tk) AS w FROM d),
+       |cc AS (SELECT w, count(*) AS cc FROM tok GROUP BY 1),
+       |ct AS (SELECT w, count(*) AS ct FROM tok WHERE lang = 'en' GROUP BY 1),
+       |model AS (SELECT cc.w, cc.cc, coalesce(ct.ct, 0) AS ct
+       |  FROM cc LEFT JOIN ct USING (w)),
+       |k AS (SELECT CAST(sum(cc) AS DOUBLE) AS nc, CAST(sum(ct) AS DOUBLE) AS nt,
+       |    CAST(count(*) AS DOUBLE) AS v FROM model),
+       |lr AS (SELECT w, ln((CAST(ct AS DOUBLE) + 1.0) / (nt + v))
+       |    - ln((CAST(cc AS DOUBLE) + 1.0) / (nc + v)) AS lr FROM model, k)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       |  round(list_reduce(list_prepend(0.0, list_sort(list(lr))),
+       |    (a, b) -> a + b) / count(*), 6) AS dsir_logweight
+       |FROM tok JOIN lr USING (w) GROUP BY 1""".stripMargin
+
   val all: Seq[Qry] = Seq(
 
     // GOPHER-STYLE repetition filters: per-doc character-mass fractions of
@@ -249,45 +293,7 @@ object QCurate {
     // model. Both models are vocab-sized — sublinear in tokens, hence
     // broadcast-able at ANY corpus scale — so scoring 100 TB is one token
     // aggregate plus a broadcast join; the raw text never shuffles.
-    Qry("q128_dsir_importance",
-      (s, dir) => {
-        val tok = spread(s, t(s, dir, "documents"))
-          .select(col("doc_id"), col("lang"),
-            explode(TextOps.tokens(col("text"))).as("w"))
-          .cache()
-        val cc = tok.groupBy("w").agg(count(lit(1)).as("cc"))
-        val ct = tok.filter(col("lang") === "en")
-          .groupBy("w").agg(count(lit(1)).as("ct"))
-        val model = cc.join(ct, Seq("w"), "left_outer")
-          .select(col("w"), col("cc"), coalesce(col("ct"), lit(0L)).as("ct"))
-        val consts = model.agg(sum("cc").cast("double").as("nc"),
-          sum("ct").cast("double").as("nt"),
-          count(lit(1)).cast("double").as("v"))
-        val lr = model.crossJoin(broadcast(consts))
-          .select(col("w"),
-            (log((col("ct").cast("double") + 1.0d) / (col("nt") + col("v"))) -
-              log((col("cc").cast("double") + 1.0d) / (col("nc") + col("v"))))
-              .as("lr"))
-        tok.join(broadcast(lr), Seq("w"))
-          .groupBy("doc_id")
-          .agg(count(lit(1)).as("n_tokens"),
-            round(aggregate(array_sort(collect_list(col("lr"))), lit(0.0d),
-              (a, x) => a + x) / count(lit(1)), 6).as("dsir_logweight"))
-      },
-      Some(s"""WITH d AS (SELECT doc_id, lang, $toksSql AS tk FROM documents),
-        |tok AS (SELECT doc_id, lang, unnest(tk) AS w FROM d),
-        |cc AS (SELECT w, count(*) AS cc FROM tok GROUP BY 1),
-        |ct AS (SELECT w, count(*) AS ct FROM tok WHERE lang = 'en' GROUP BY 1),
-        |model AS (SELECT cc.w, cc.cc, coalesce(ct.ct, 0) AS ct
-        |  FROM cc LEFT JOIN ct USING (w)),
-        |k AS (SELECT CAST(sum(cc) AS DOUBLE) AS nc, CAST(sum(ct) AS DOUBLE) AS nt,
-        |    CAST(count(*) AS DOUBLE) AS v FROM model),
-        |lr AS (SELECT w, ln((CAST(ct AS DOUBLE) + 1.0) / (nt + v))
-        |    - ln((CAST(cc AS DOUBLE) + 1.0) / (nc + v)) AS lr FROM model, k)
-        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
-        |  round(list_reduce(list_prepend(0.0, list_sort(list(lr))),
-        |    (a, b) -> a + b) / count(*), 6) AS dsir_logweight
-        |FROM tok JOIN lr USING (w) GROUP BY 1""".stripMargin)),
+    Qry("q128_dsir_importance", dsirFn, Some(dsirSql)),
 
     // COUNT-MIN-SKETCH heavy hitters — the one-pass sketch path for key
     // profiling where exact per-key counts (q99) stop fitting: the sketch
@@ -599,6 +605,80 @@ object QCurate {
         |  round(CAST(d_uni AS DOUBLE) / n_uni, 6) AS ttr_uni,
         |  CAST(n_tri AS BIGINT) AS n_tri, CAST(d_tri AS BIGINT) AS d_tri,
         |  round(CAST(d_tri AS DOUBLE) / n_tri, 6) AS ttr_tri
-        |FROM u JOIN t USING (lang)""".stripMargin))
+        |FROM u JOIN t USING (lang)""".stripMargin)),
+
+    // MINHASH-ESTIMATED Jaccard vs the exact value, on q28's adjacent-doc
+    // pairs: the estimator (matching-component fraction of the k=16
+    // signature) is the quantity LSH banding actually thresholds on, and
+    // because the md5 signature pipeline is mirrored in SQL, the ESTIMATE
+    // ITSELF hash-matches — stronger than an error-bound boolean. At
+    // scale the signature (16 longs) replaces the shingle set in the
+    // pair-scoring shuffle: constant-size payloads instead of O(doc).
+    Qry("q136_minhash_estimate",
+      (s, dir) => {
+        val d = spread(s, t(s, dir, "documents"))
+          .select(col("doc_id"),
+            TextOps.shingles(TextOps.tokens(col("text")), 3).as("sh"))
+          .filter(size(col("sh")) > 0)
+          .select(col("doc_id"), col("sh"),
+            TextOps.minhashFromBase(TextOps.minhashBase(col("sh")), 16).as("sig"))
+          .cache()
+        val a = d.select(col("doc_id").as("id_a"), col("sh").as("sha"),
+          col("sig").as("siga"))
+        val b = d.select((col("doc_id") - 1).as("id_a"), col("doc_id").as("id_b"),
+          col("sh").as("shb"), col("sig").as("sigb"))
+        a.join(b, Seq("id_a"))
+          .select(col("id_a"), col("id_b"),
+            round(TextOps.jaccard(col("sha"), col("shb")), 6).as("jacc"),
+            round(aggregate(zip_with(col("siga"), col("sigb"),
+                (x, y) => when(x === y, 1).otherwise(0)), lit(0),
+                (acc, v) => acc + v).cast("double") / 16.0d, 6).as("jacc_est"))
+      },
+      Some {
+        val (as, bs) = TextOps.minhashParams(16)
+        val aArr = as.mkString("[", ",", "]")
+        val bArr = bs.mkString("[", ",", "]")
+        s"""WITH d0 AS (SELECT doc_id, ${shN(toksSql, 3)} AS sh FROM documents),
+           |d AS (SELECT doc_id, sh FROM d0 WHERE len(sh) > 0),
+           |sigs AS (SELECT doc_id, sh,
+           |    list_transform(range(0, 16), i -> list_min(list_transform(
+           |      list_transform(sh, s -> ${h64("s")} % ${TextOps.minhashM}),
+           |      h -> (h * ($aArr)[i + 1] + ($bArr)[i + 1]) % ${TextOps.minhashM}))) AS sig
+           |  FROM d)
+           |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           |  round(CASE WHEN len(list_distinct(a.sh || b.sh)) = 0 THEN 0.0
+           |    ELSE CAST(len(list_intersect(list_distinct(a.sh), list_distinct(b.sh))) AS DOUBLE)
+           |         / len(list_distinct(a.sh || b.sh)) END, 6) AS jacc,
+           |  round(CAST(len(list_filter(range(0, 16),
+           |      i -> a.sig[i + 1] = b.sig[i + 1])) AS DOUBLE) / 16.0, 6) AS jacc_est
+           |FROM sigs a JOIN sigs b ON b.doc_id = a.doc_id + 1""".stripMargin
+      }),
+
+    // DSIR SELECTION — q128's weights put to their actual use: keep the
+    // top 30% of each language by importance weight (deterministic
+    // doc_id tiebreak on the rounded score). Per-lang rank windows, a
+    // broadcast stratum-count table, never a global sort.
+    Qry("q137_dsir_selection",
+      (s, dir) => {
+        val wl = dsirFn(s, dir)
+          .join(t(s, dir, "documents").select(col("doc_id"), col("lang")),
+            Seq("doc_id"))
+        val cnt = wl.groupBy("lang").agg(count(lit(1)).as("c"))
+        val rn = row_number().over(Window.partitionBy("lang")
+          .orderBy(col("dsir_logweight").desc, col("doc_id").asc))
+        wl.withColumn("rn", rn)
+          .join(broadcast(cnt), Seq("lang"))
+          .filter(col("rn") <=
+            floor(lit(0.3d) * col("c").cast("double")).cast("long"))
+          .select(col("doc_id"), col("lang"), col("dsir_logweight"))
+      },
+      Some(s"""WITH wl AS (SELECT b.doc_id, b.dsir_logweight, documents.lang
+        |  FROM ($dsirSql) b JOIN documents USING (doc_id)),
+        |c AS (SELECT lang, count(*) AS c FROM wl GROUP BY 1),
+        |r AS (SELECT doc_id, lang, dsir_logweight, row_number() OVER (
+        |    PARTITION BY lang ORDER BY dsir_logweight DESC, doc_id ASC) AS rn
+        |  FROM wl)
+        |SELECT doc_id, lang, dsir_logweight FROM r JOIN c USING (lang)
+        |WHERE rn <= CAST(floor(0.3 * CAST(c AS DOUBLE)) AS BIGINT)""".stripMargin))
   )
 }

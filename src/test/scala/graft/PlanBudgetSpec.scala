@@ -239,6 +239,13 @@ class PlanBudgetSpec extends SparkSpec {
     // distinct), joined on the slim lang key — never an Expand
     assert(shuffles("q135_ngram_diversity") <= 7)
     assert(!planOf("q135_ngram_diversity").contains("Expand"))
+    // minhash estimate: adjacent-pair join is a broadcast off the shared
+    // cached signature frame — zero exchanges
+    assert(shuffles("q136_minhash_estimate") === 0)
+    // DSIR selection: q128's aggregates plus lang join, per-lang rank
+    // window and broadcast stratum counts
+    assert(shuffles("q137_dsir_selection") <= 9)
+    assert(planOf("q137_dsir_selection").contains("BroadcastExchange"))
   }
 
   test("per-group exact quantiles hold the bounded histogram shape") {

@@ -184,6 +184,40 @@ class QCurateSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("q136: the k=16 estimator tracks exact Jaccard within sampling error") {
+    val out = run("q136_minhash_estimate").cache()
+    assert(out.count() > 0)
+    // est is a mean of 16 Bernoulli(jacc) trials: a universal |err| bound
+    // of 4 sigma at j=0.5 is 0.5 — anything beyond signals broken hashing
+    assert(out.filter(abs(col("jacc_est") - col("jacc")) > 0.5).count() === 0)
+    // estimates live on the k=16 grid
+    assert(out.filter((col("jacc_est") * 16) =!=
+      round(col("jacc_est") * 16, 0)).count() === 0)
+    out.unpersist()
+  }
+
+  test("q137: selection keeps exactly the per-language 30% with the highest weights") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val out = run("q137_dsir_selection").cache()
+    val sizes = docs.groupBy("lang").agg(count(lit(1)).as("c"))
+    val picked = out.groupBy("lang").agg(count(lit(1)).as("k"),
+      min("dsir_logweight").as("floor_w"))
+    val j = sizes.join(picked, Seq("lang")).collect()
+    j.foreach { r =>
+      assert(r.getLong(2) === math.floor(0.3 * r.getLong(1)).toLong,
+        s"lang ${r.getString(0)} quota")
+    }
+    // nothing outside the selection outranks anything inside it (per lang)
+    val full = run("q128_dsir_importance")
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+    val dropped = full.join(out.select("doc_id"), Seq("doc_id"), "left_anti")
+      .groupBy("lang").agg(max("dsir_logweight").as("best_out"))
+    val viol = picked.join(dropped, Seq("lang"))
+      .filter(col("best_out") > col("floor_w"))
+    assert(viol.count() === 0)
+    out.unpersist()
+  }
+
   test("q130: bigram accounting and log-prob bounds hold") {
     val out = run("q130_bigram_lm").cache()
     // probabilities are strict mixtures in (0,1): mean log-prob < 0
