@@ -679,6 +679,65 @@ object QCurate {
         |    PARTITION BY lang ORDER BY dsir_logweight DESC, doc_id ASC) AS rn
         |  FROM wl)
         |SELECT doc_id, lang, dsir_logweight FROM r JOIN c USING (lang)
-        |WHERE rn <= CAST(floor(0.3 * CAST(c AS DOUBLE)) AS BIGINT)""".stripMargin))
+        |WHERE rn <= CAST(floor(0.3 * CAST(c AS DOUBLE)) AS BIGINT)""".stripMargin)),
+
+    // INCREMENTAL dedup maintenance: when a daily batch lands on a 100 TB
+    // corpus, re-running LSH over everything is the naive O(corpus) trap —
+    // the band INDEX of the old corpus is a stored artifact, new docs
+    // compute only their own bands and probe it. Modeled here with the
+    // %10==9 slice as "today's arrivals": candidate pairs must touch at
+    // least one new doc (old×old pairs were settled by yesterday's run).
+    // QCurateSpec proves the result IS q29's full recompute restricted to
+    // pairs with a new side — the incremental path loses nothing.
+    Qry("q138_incremental_dedup",
+      (s, dir) => {
+        val d = docsWithDups(s, dir)
+          .select(col("doc_id"),
+            TextOps.shingles(TextOps.tokens(col("text")), 3).as("sh"))
+          .filter(size(col("sh")) > 0)
+          .cache()
+        val keys = d.select(col("doc_id"), (col("doc_id") % 10 === 9).as("nw"),
+          explode(TextOps.minhashBandKeys(col("sh"))).as("band_key"))
+        val cand = keys
+          .select(col("band_key"), col("doc_id").as("id_a"), col("nw").as("na"))
+          .join(keys.select(col("band_key"), col("doc_id").as("id_b"),
+            col("nw").as("nb")), Seq("band_key"))
+          .filter(col("id_a") < col("id_b") && (col("na") || col("nb")))
+          .select("id_a", "id_b").distinct()
+        cand
+          .join(d.select(col("doc_id").as("id_a"), col("sh").as("sha")), Seq("id_a"))
+          .join(d.select(col("doc_id").as("id_b"), col("sh").as("shb")), Seq("id_b"))
+          .select(col("id_a"), col("id_b"),
+            round(TextOps.jaccard(col("sha"), col("shb")), 6).as("jacc"))
+          .filter(col("jacc") >= 0.5)
+      },
+      Some {
+        val (as, bs) = TextOps.minhashParams(16)
+        val aArr = as.mkString("[", ",", "]")
+        val bArr = bs.mkString("[", ",", "]")
+        s"""WITH d0 AS ($docsWithDupsSql),
+           |d AS (SELECT doc_id, ${shN(toksSql, 3)} AS sh FROM d0),
+           |docs AS (SELECT doc_id, sh FROM d WHERE len(sh) > 0),
+           |bases AS (SELECT doc_id, sh,
+           |    list_transform(sh, s -> ${h64("s")} % ${TextOps.minhashM}) AS hs FROM docs),
+           |sigs AS (SELECT doc_id, sh,
+           |    list_transform(range(0, 16), i -> list_min(list_transform(hs,
+           |      h -> (h * ($aArr)[i + 1] + ($bArr)[i + 1]) % ${TextOps.minhashM}))) AS sig
+           |  FROM bases),
+           |keys AS (SELECT doc_id, unnest(list_transform(range(0, 8),
+           |    b -> CAST(b AS VARCHAR) || ':' || md5(array_to_string(
+           |           sig[b * 2 + 1 : b * 2 + 2], ',')))) AS band_key
+           |  FROM sigs),
+           |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           |  FROM keys a JOIN keys b ON a.band_key = b.band_key
+           |    AND a.doc_id < b.doc_id
+           |    AND (a.doc_id % 10 = 9 OR b.doc_id % 10 = 9)),
+           |scored AS (SELECT id_a, id_b,
+           |  round(CASE WHEN len(list_distinct(da.sh || db.sh)) = 0 THEN 0.0
+           |    ELSE CAST(len(list_intersect(list_distinct(da.sh), list_distinct(db.sh))) AS DOUBLE)
+           |         / len(list_distinct(da.sh || db.sh)) END, 6) AS jacc
+           |FROM cand JOIN docs da ON da.doc_id = id_a JOIN docs db ON db.doc_id = id_b)
+           |SELECT id_a, id_b, jacc FROM scored WHERE jacc >= 0.5""".stripMargin
+      })
   )
 }

@@ -246,6 +246,9 @@ class PlanBudgetSpec extends SparkSpec {
     // window and broadcast stratum counts
     assert(shuffles("q137_dsir_selection") <= 9)
     assert(planOf("q137_dsir_selection").contains("BroadcastExchange"))
+    // incremental dedup: q29's band-join machinery with the new-side
+    // predicate pushed into the join — same ceiling as the full pipeline
+    assert(shuffles("q138_incremental_dedup") <= 8)
   }
 
   test("per-group exact quantiles hold the bounded histogram shape") {

@@ -218,6 +218,18 @@ class QCurateSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("q138: the incremental path loses nothing vs full recompute") {
+    val inc = run("q138_incremental_dedup")
+    val full = SparkEntry.queries("q29_minhash_lsh_dedup")(spark, sfDir)
+      .filter(col("id_a") % 10 === 9 || col("id_b") % 10 === 9)
+    assert(inc.exceptAll(full).count() === 0)
+    assert(full.exceptAll(inc).count() === 0)
+    // and it genuinely prunes: settled old-x-old pairs exist in q29
+    val oldOld = SparkEntry.queries("q29_minhash_lsh_dedup")(spark, sfDir)
+      .filter(col("id_a") % 10 =!= 9 && col("id_b") % 10 =!= 9)
+    assert(oldOld.count() > 0)
+  }
+
   test("q130: bigram accounting and log-prob bounds hold") {
     val out = run("q130_bigram_lm").cache()
     // probabilities are strict mixtures in (0,1): mean log-prob < 0
