@@ -517,17 +517,9 @@ object QCurate {
     // scores 100 TB with zero shuffles. keep = logit > 0 on the ROUNDED
     // value, so the boolean can't straddle an engine-rounding boundary.
     Qry("q133_quality_classifier",
-      (s, dir) => {
-        val feats = TextOps.qualityFeatures(col("text")).toMap
-        spread(s, t(s, dir, "documents"))
-          .select(col("doc_id"),
-            round(lit(8.0d) * feats("stopword_ratio") +
-              lit(5.0d) * feats("alpha_ratio") +
-              lit(-1.0d) * feats("avg_token_len") +
-              lit(0.25d) * log(feats("n_tokens").cast("double")) +
-              lit(-0.85d), 6).as("logit"))
-          .withColumn("keep", col("logit") > 0.0d)
-      },
+      (s, dir) => spread(s, t(s, dir, "documents"))
+        .select(col("doc_id"), TextOps.qualityLogit(col("text")).as("logit"))
+        .withColumn("keep", col("logit") > 0.0d),
       Some(s"""WITH d AS (SELECT doc_id, $normSql AS norm, $toksSql AS tk FROM documents),
         |f AS (SELECT doc_id,
         |    round(CAST(len(list_filter(tk, x -> list_contains(
@@ -738,6 +730,49 @@ object QCurate {
            |         / len(list_distinct(da.sh || db.sh)) END, 6) AS jacc
            |FROM cand JOIN docs da ON da.doc_id = id_a JOIN docs db ON db.doc_id = id_b)
            |SELECT id_a, id_b, jacc FROM scored WHERE jacc >= 0.5""".stripMargin
-      })
+      }),
+
+    // BATCH TWIN of [[graft.streaming.StreamPipelines.curateDocs]]: the
+    // dup-injected corpus arrives as a stream (ts = epoch + doc_id
+    // minutes, so the verbatim +10000/+20000 copies land days after
+    // their originals), content-fingerprint first-arrival-wins dedup,
+    // the frozen quality gate, and per-UTC-day ingest stats.
+    // StreamingSpec drives the REAL two-stateful-operator stream over
+    // the same rows and asserts it lands on this query's output:
+    // stream == batch == oracle.
+    Qry("q139_stream_curation_twin",
+      (s, dir) => {
+        val epoch = 1704067200L // 2024-01-01T00:00Z, UTC-day-aligned
+        val d = docsWithDups(s, dir)
+          .select(col("doc_id"), col("text"),
+            (lit(epoch) + col("doc_id") * 60L).as("sec"))
+          .withColumn("fp", TextOps.hash64(TextOps.normText(col("text"))))
+        val rn = row_number().over(
+          Window.partitionBy("fp").orderBy("sec", "doc_id"))
+        d.withColumn("rn", rn).filter(col("rn") === 1)
+          .withColumn("keep", TextOps.qualityLogit(col("text")) > 0.0d)
+          .groupBy(((col("sec") - (col("sec") % 86400L))).as("day_start"))
+          .agg(count(lit(1)).as("n_unique"),
+            sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"))
+      },
+      Some(s"""WITH d0 AS ($docsWithDupsSql),
+        |d AS (SELECT doc_id, text, 1704067200 + doc_id * 60 AS sec,
+        |    ${h64(normSql)} AS fp FROM d0),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY fp
+        |    ORDER BY sec, doc_id) AS rn FROM d),
+        |u AS (SELECT sec,
+        |    round(8.0 * round(CAST(len(list_filter($toksSql, x -> list_contains(
+        |        ['the','a','of','and','is','to','in','it','that','on'], x))) AS DOUBLE)
+        |        / len($toksSql), 6)
+        |      + 5.0 * round(CAST(length(regexp_replace($normSql, '[^a-z]', '', 'g')) AS DOUBLE)
+        |        / length($normSql), 6)
+        |      + (-1.0) * round(CAST(length($normSql) - (len($toksSql) - 1) AS DOUBLE)
+        |        / len($toksSql), 6)
+        |      + 0.25 * ln(CAST(len($toksSql) AS DOUBLE)) + (-0.85), 6) AS logit
+        |  FROM r WHERE rn = 1)
+        |SELECT sec - (sec % 86400) AS day_start,
+        |  CAST(count(*) AS BIGINT) AS n_unique,
+        |  CAST(count(CASE WHEN logit > 0.0 THEN 1 END) AS BIGINT) AS n_kept
+        |FROM u GROUP BY 1""".stripMargin))
   )
 }

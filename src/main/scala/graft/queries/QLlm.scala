@@ -58,7 +58,7 @@ object QLlm {
 
   /** documents plus near-duplicate mutations: every 5th doc re-appears as
     * doc_id+10000 with a 2-token suffix; every 7th as doc_id+20000 verbatim. */
-  private[queries] def docsWithDups(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def docsWithDups(s: SparkSession, dir: String): DataFrame = {
     val d = spread(s, t(s, dir, "documents")).select("doc_id", "text")
     d.unionByName(d.filter(col("doc_id") % 5 === 0)
         .select((col("doc_id") + 10000).as("doc_id"),

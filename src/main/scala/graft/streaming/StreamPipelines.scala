@@ -157,6 +157,31 @@ object StreamPipelines {
     * timeouts IF the watermark advanced past them; otherwise callers union
     * the batch tail. Kept explicit so the semantics are visible. */
 
+  /** Streaming CORPUS-INGEST curation: content-fingerprint dedup within
+    * the watermark horizon (first arrival of a text wins — re-crawls and
+    * mirror copies drop), then the frozen q133 quality gate, rolled up to
+    * per-day (n_unique, n_kept) ingest stats. Two stateful operators
+    * chained — watermarked dedup feeding a watermarked window aggregate —
+    * which Spark supports since multi-stateful pipelines landed; state
+    * for the dedup is one fingerprint per distinct text inside the
+    * horizon, and the aggregate holds one row per open day window.
+    * q139 is the batch twin (global first-wins by fingerprint + the same
+    * day bucketing); StreamingSpec proves stream == batch == oracle.
+    * Expects (doc_id, ts, text); emits (day_start, n_unique, n_kept).
+    */
+  def curateDocs(docs: DataFrame, watermark: String = "90 days"): DataFrame = {
+    val t = graft.text.TextOps
+    docs.withColumn("fp", t.hash64(t.normText(col("text"))))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("fp")
+      .withColumn("keep", t.qualityLogit(col("text")) > 0.0d)
+      .groupBy(window(col("ts"), "1 day"))
+      .agg(count(lit(1)).as("n_unique"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"))
+      .select(unix_timestamp(col("window.start")).as("day_start"),
+        col("n_unique"), col("n_kept"))
+  }
+
   /** Streaming duplicate suppression: first occurrence per id passes,
     * re-deliveries within the watermark horizon are dropped — the
     * streaming counterpart of the batch anti-join + first-wins pair, and

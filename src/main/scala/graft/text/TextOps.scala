@@ -212,6 +212,18 @@ object TextOps {
 
   /** Heuristic quality features + composite score, all exact-arithmetic
     * ratios of integers (cross-engine deterministic after round). */
+  /** Frozen-weight linear quality model over [[qualityFeatures]] — the
+    * q133 classifier, shared with the streaming curation pipeline. Emits
+    * the ROUNDED logit; the keep decision is `qualityLogit(text) > 0`.
+    * (Deliberately no sigmoid: same decision boundary, and the bit-exact
+    * oracle contract never has to assume libm `exp` rounding.) */
+  def qualityLogit(text: Column): Column = {
+    val f = qualityFeatures(text).toMap
+    round(lit(8.0d) * f("stopword_ratio") + lit(5.0d) * f("alpha_ratio") +
+      lit(-1.0d) * f("avg_token_len") +
+      lit(0.25d) * log(f("n_tokens").cast("double")) + lit(-0.85d), 6)
+  }
+
   def qualityFeatures(text: Column): Seq[(String, Column)] = {
     // per-column letOnce: columns are independent expressions, so sharing
     // has to happen inside each one (cross-column subexpression elimination

@@ -249,6 +249,8 @@ class PlanBudgetSpec extends SparkSpec {
     // incremental dedup: q29's band-join machinery with the new-side
     // predicate pushed into the join — same ceiling as the full pipeline
     assert(shuffles("q138_incremental_dedup") <= 8)
+    // stream-curation twin: the fp first-wins window + the day rollup
+    assert(shuffles("q139_stream_curation_twin") <= 3)
   }
 
   test("per-group exact quantiles hold the bounded histogram shape") {

@@ -252,4 +252,38 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.join(batch, Seq("user_id", "session_num", "n_events")).count()
       === streamed.count())
   }
+
+  test("streaming curation (fp dedup -> gate -> daily stats) equals batch q139") {
+    val dir = Files.createTempDirectory("graft_curate_docs").toString
+    val out = Files.createTempDirectory("graft_curate_out").toString
+    val epoch = 1704067200L
+    // the q139 arrival order, one sorted file so file-source arrival ==
+    // (ts, doc_id) order; a far-future sentinel advances the watermark
+    // past every real day window (its own window never closes/emits)
+    val rows = graft.queries.QLlm.docsWithDups(spark, sfDir)
+      .select(col("doc_id"),
+        timestamp_seconds(lit(epoch) + col("doc_id") * 60L).as("ts"),
+        col("text"))
+    val sentinel = Seq((-1L, epoch + 200L * 86400L, "flush sentinel row"))
+      .toDF("doc_id", "sec", "text")
+      .select(col("doc_id"), timestamp_seconds(col("sec")).as("ts"), col("text"))
+    rows.unionByName(sentinel)
+      .repartition(1).sortWithinPartitions("ts", "doc_id")
+      .write.mode("overwrite").parquet(dir)
+
+    val stream = spark.readStream
+      .schema("doc_id LONG, ts TIMESTAMP, text STRING").parquet(dir)
+    val q = StreamPipelines.curateDocs(stream)
+      .writeStream.format("memory").queryName("curation")
+      .outputMode("append").trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$out/ckpt").start()
+    q.awaitTermination(120000)
+
+    // the sentinel closed every REAL window: full equality, not subset
+    val streamed = spark.table("curation")
+    val batch = SparkEntry.queries("q139_stream_curation_twin")(spark, sfDir)
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).count() === 0)
+    assert(batch.exceptAll(streamed).count() === 0)
+  }
 }
