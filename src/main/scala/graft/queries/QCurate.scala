@@ -773,6 +773,40 @@ object QCurate {
         |SELECT sec - (sec % 86400) AS day_start,
         |  CAST(count(*) AS BIGINT) AS n_unique,
         |  CAST(count(CASE WHEN logit > 0.0 THEN 1 END) AS BIGINT) AS n_kept
-        |FROM u GROUP BY 1""".stripMargin))
+        |FROM u GROUP BY 1""".stripMargin)),
+
+    // GPU-INFERENCE micro-batch shaping over multimodal payloads (q38's
+    // binary column): deterministic fixed-size batches per media type
+    // (8 items, doc_id order) with byte accounting and a needs-split
+    // flag for batches whose payloads exceed the 2 KiB device budget — the
+    // batch-assembly step between a curated corpus and a mapPartitions
+    // inference pass. The window key is media_type; at 100 TB the same
+    // shape runs per (media_type, shard) so no partition sees more than
+    // one shard's rows.
+    Qry("q140_gpu_batching",
+      (s, dir) => {
+        val m = spread(s, t(s, dir, "documents"))
+          .select(col("doc_id"),
+            when(col("doc_id") % 3 === 0, "video").otherwise("image")
+              .as("media_type"),
+            length(col("text").cast("binary")).as("n_bytes"))
+        val rn = row_number().over(
+          Window.partitionBy("media_type").orderBy("doc_id"))
+        m.withColumn("rn", rn)
+          .withColumn("batch_id", expr("(rn - 1) div 8"))
+          .groupBy("media_type", "batch_id")
+          .agg(count(lit(1)).as("n_items"), sum("n_bytes").as("total_bytes"))
+          .withColumn("needs_split", col("total_bytes") > 2048L)
+      },
+      Some("""WITH m AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN 'video' ELSE 'image' END AS media_type,
+        |    octet_length(encode(text)) AS n_bytes FROM documents),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY media_type
+        |    ORDER BY doc_id) AS rn FROM m)
+        |SELECT media_type, (rn - 1) // 8 AS batch_id,
+        |  CAST(count(*) AS BIGINT) AS n_items,
+        |  CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+        |  CAST(sum(n_bytes) AS BIGINT) > 2048 AS needs_split
+        |FROM r GROUP BY 1, 2""".stripMargin))
   )
 }

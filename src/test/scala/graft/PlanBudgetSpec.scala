@@ -251,6 +251,8 @@ class PlanBudgetSpec extends SparkSpec {
     assert(shuffles("q138_incremental_dedup") <= 8)
     // stream-curation twin: the fp first-wins window + the day rollup
     assert(shuffles("q139_stream_curation_twin") <= 3)
+    // GPU batching: the media-keyed window + the batch rollup
+    assert(shuffles("q140_gpu_batching") <= 3)
   }
 
   test("per-group exact quantiles hold the bounded histogram shape") {

@@ -230,6 +230,22 @@ class QCurateSpec extends SparkSpec {
     assert(oldOld.count() > 0)
   }
 
+  test("q140: batches are exact 8-item runs per media type with faithful byte accounting") {
+    val out = run("q140_gpu_batching").cache()
+    // every non-final batch holds exactly 8 items
+    val maxBatch = out.groupBy("media_type").agg(max("batch_id").as("mb"))
+    val nonFinal = out.join(maxBatch, Seq("media_type"))
+      .filter(col("batch_id") < col("mb"))
+    assert(nonFinal.filter(col("n_items") =!= 8).count() === 0)
+    // byte accounting reconciles with the corpus
+    val totalBytes = spark.read.parquet(s"$sfDir/documents.parquet")
+      .agg(sum(length(col("text").cast("binary")))).head().getLong(0)
+    assert(out.agg(sum("total_bytes")).head().getLong(0) === totalBytes)
+    // the split flag fires somewhere (8 docs of ~300 chars exceed 4 KiB)
+    assert(out.filter(col("needs_split")).count() > 0)
+    out.unpersist()
+  }
+
   test("q130: bigram accounting and log-prob bounds hold") {
     val out = run("q130_bigram_lm").cache()
     // probabilities are strict mixtures in (0,1): mean log-prob < 0
