@@ -1705,6 +1705,59 @@ object QEtl {
     // same batches and asserts identity (see [[Scd2StreamTwin]])
     Qry("q120_scd2_stream_twin",
       (s, dir) => Scd2StreamTwin.merged(s, dir),
-      Some(Scd2StreamTwin.oracleSql))
+      Some(Scd2StreamTwin.oracleSql)),
+
+    // TPC-H Q5-shaped star join: local-supplier revenue per nation inside
+    // one region and one order year. Exercises Catalyst's join ordering
+    // across 6 tables: the only big⋈big join is lineitem⋈orders on the
+    // order key (with the year filter pushed to the orders scan);
+    // nation/region are forced broadcasts (always tiny), while
+    // customer/supplier are left to the planner — at sf they broadcast
+    // via AQE, at 100 TB they become shuffle joins on their keys without
+    // any code change. Revenue in exact integer cents so the group sums
+    // hash-match the oracle regardless of float addition order.
+    Qry("q141_regional_revenue",
+      (s, dir) => {
+        val ord = t(s, dir, "orders")
+          .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+                  col("o_orderdate") <  lit("1997-01-01").cast("timestamp"))
+          .select("o_orderkey", "o_custkey")
+        val li = t(s, dir, "lineitem")
+          .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+        val asiaNations = broadcast(
+          t(s, dir, "nation").join(
+            broadcast(t(s, dir, "region").filter(col("r_name") === "ASIA")),
+            col("n_regionkey") === col("r_regionkey"))
+            .select("n_nationkey", "n_name"))
+        li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .join(t(s, dir, "supplier").select("s_suppkey", "s_nationkey"),
+            col("l_suppkey") === col("s_suppkey"))
+          .join(t(s, dir, "customer").select("c_custkey", "c_nationkey"),
+            col("o_custkey") === col("c_custkey") &&
+              col("c_nationkey") === col("s_nationkey"))
+          .join(asiaNations, col("s_nationkey") === col("n_nationkey"))
+          .withColumn("rev_cents",
+            round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100, 0)
+              .cast("long"))
+          .groupBy("n_name")
+          .agg(sum("rev_cents").as("revenue_cents"),
+               count(lit(1)).as("n_lineitems"))
+          .orderBy(desc("revenue_cents"), col("n_name"))
+      },
+      Some("""SELECT n_name,
+        |  CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100)
+        |    AS BIGINT)) AS BIGINT) AS revenue_cents,
+        |  CAST(count(*) AS BIGINT) AS n_lineitems
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+        |JOIN nation   ON s_nationkey = n_nationkey
+        |JOIN region   ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate <  TIMESTAMP '1997-01-01'
+        |GROUP BY n_name
+        |ORDER BY revenue_cents DESC, n_name""".stripMargin))
   )
 }

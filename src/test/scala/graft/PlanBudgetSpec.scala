@@ -83,6 +83,13 @@ class PlanBudgetSpec extends SparkSpec {
     assert(shuffles("q76_moving_avg") <= 2)    // daily agg + post-agg window
     assert(shuffles("q77_ntile_deciles") <= 2) // nation window + rollup agg
     assert(shuffles("q79_order_baskets") <= 1) // one groupBy exchange
+    // q141: 6-table star — every dim side broadcasts (nation/region forced,
+    // supplier/customer planner-chosen), so the only exchanges are the
+    // group-by aggregate and the presentation sort; the order-year filter
+    // must reach the orders scan
+    assert(shuffles("q141_regional_revenue") <= 2)
+    assert(planOf("q141_regional_revenue")
+      .contains("GreaterThanOrEqual(o_orderdate,1996-01-01"))
   }
 
   test("per-row LLM operators shuffle only their spread() fan-out") {
