@@ -807,6 +807,57 @@ object QCurate {
         |  CAST(count(*) AS BIGINT) AS n_items,
         |  CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
         |  CAST(sum(n_bytes) AS BIGINT) > 2048 AS needs_split
-        |FROM r GROUP BY 1, 2""".stripMargin))
+        |FROM r GROUP BY 1, 2""".stripMargin)),
+
+    // chunk→document embedding pooling: long documents are embedded in
+    // chunks (8 consecutive vec_ids = one pseudo-doc here); the document
+    // vector is the elementwise mean. The explode → (doc, dim) hash
+    // aggregate is the standard distributed elementwise-mean: one shuffle
+    // of slim (gid, pos, v) rows, aggregation state bounded by the
+    // chunks-per-doc count (8), never the corpus. Per-cell sums fold in
+    // sorted order so the float math hash-matches the oracle exactly.
+    Qry("q142_mean_pool",
+      (s, dir) => {
+        t(s, dir, "embeddings")
+          .select(expr("vec_id div 8").as("doc_gid"),
+            posexplode(col("embedding")).as(Seq("pos", "v")))
+          .groupBy("doc_gid", "pos")
+          .agg(count(lit(1)).as("n_chunks"),
+            round(aggregate(array_sort(collect_list(col("v").cast("double"))),
+              lit(0.0d), (a, x) => a + x) / count(lit(1)), 6).as("mean_v"))
+      },
+      Some("""WITH x AS (SELECT vec_id // 8 AS doc_gid,
+        |    CAST(unnest(range(len(embedding))) AS INTEGER) AS pos,
+        |    CAST(unnest(embedding) AS DOUBLE) AS v
+        |  FROM embeddings)
+        |SELECT doc_gid, pos, CAST(count(*) AS BIGINT) AS n_chunks,
+        |  round(list_reduce(list_prepend(0.0, list_sort(list(v))),
+        |    (a, b) -> a + b) / count(*), 6) AS mean_v
+        |FROM x GROUP BY 1, 2""".stripMargin)),
+
+    // wide→long unpivot of the lineitem measures (`stack` = Spark's
+    // UNPIVOT): a narrow 4× Generate fan-out — no shuffle until the
+    // per-measure rollup, whose state is 4 groups. Sums in exact integer
+    // micros (discount/tax are 1e-2-scale fractions) so they hash-match.
+    Qry("q143_unpivot_measures",
+      (s, dir) => {
+        t(s, dir, "lineitem")
+          .selectExpr("""stack(4,
+              'quantity', l_quantity, 'extendedprice', l_extendedprice,
+              'discount', l_discount, 'tax', l_tax) AS (measure, value)""")
+          .groupBy("measure")
+          .agg(count(lit(1)).as("n"),
+            sum(round(col("value") * 1000000, 0).cast("long")).as("sum_micros"))
+          .orderBy("measure")
+      },
+      Some("""WITH u AS (
+        |  SELECT 'quantity' AS measure, l_quantity AS value FROM lineitem
+        |  UNION ALL SELECT 'extendedprice', l_extendedprice FROM lineitem
+        |  UNION ALL SELECT 'discount', l_discount FROM lineitem
+        |  UNION ALL SELECT 'tax', l_tax FROM lineitem)
+        |SELECT measure, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT)
+        |    AS sum_micros
+        |FROM u GROUP BY 1 ORDER BY measure""".stripMargin))
   )
 }

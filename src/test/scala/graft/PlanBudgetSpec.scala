@@ -260,6 +260,11 @@ class PlanBudgetSpec extends SparkSpec {
     assert(shuffles("q139_stream_curation_twin") <= 3)
     // GPU batching: the media-keyed window + the batch rollup
     assert(shuffles("q140_gpu_batching") <= 3)
+    // mean pooling: ONE (doc,dim)-keyed aggregate exchange; the explode
+    // fan-out is narrow and the agg state is bounded by chunks-per-doc
+    assert(shuffles("q142_mean_pool") <= 1)
+    // unpivot: the stack Generate is narrow; 4-group rollup + final sort
+    assert(shuffles("q143_unpivot_measures") <= 2)
   }
 
   test("per-group exact quantiles hold the bounded histogram shape") {
