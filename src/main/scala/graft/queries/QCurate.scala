@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.text.TextOps
-import QLlm.{t, spread, h64, normSql, toksSql, docsWithDups, docsWithDupsSql}
+import QLlm.{t, spread, h64, normSql, toksSql, docsWithDups, docsWithDupsSql, events}
 
 /** Corpus-curation operators beyond the round-3 surface: repetition-based
   * quality gates (Gopher-style n-gram repetition signals), sub-document
@@ -858,6 +858,64 @@ object QCurate {
         |SELECT measure, CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT)
         |    AS sum_micros
-        |FROM u GROUP BY 1 ORDER BY measure""".stripMargin))
+        |FROM u GROUP BY 1 ORDER BY measure""".stripMargin)),
+
+    // GROUPING SETS through the SQL surface: three simultaneous rollup
+    // grains (by status, by priority, grand total) in ONE pass — Catalyst
+    // plans a single Expand (3× the slim 3-column input) into one hash
+    // aggregate, vs three scans of the fact table. grouping() flags
+    // disambiguate the NULLs that mark a grouped-out column.
+    Qry("q144_grouping_sets",
+      (s, dir) => {
+        t(s, dir, "orders").createOrReplaceTempView("gs_orders")
+        s.sql("""SELECT o_orderstatus, o_orderpriority,
+            CAST(grouping(o_orderstatus) AS INT) AS g_status,
+            CAST(grouping(o_orderpriority) AS INT) AS g_prio,
+            count(*) AS n,
+            sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+          FROM gs_orders
+          GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""")
+      },
+      Some("""SELECT o_orderstatus, o_orderpriority,
+        |  CAST(grouping(o_orderstatus) AS INTEGER) AS g_status,
+        |  CAST(grouping(o_orderpriority) AS INTEGER) AS g_prio,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS cents
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())"""
+        .stripMargin)),
+
+    // incremental DISTINCT-count rollup — the sketch twin of q118's
+    // partials-merge MV algebra. Exact distinct partials don't merge
+    // (yesterday's count + today's count double-counts returning users);
+    // HLL sketches DO: one Datasketches HLL per (event_type, day) is the
+    // stored state, tonight's refresh unions ONLY the new day's sketch —
+    // at 100 TB the nightly cost is the delta scan plus a few-KB-per-row
+    // sketch union, never a re-scan of history. The estimate is checked
+    // against the exact recompute with the q112-style oracle-asserted
+    // error bound (lgK=14 ⇒ rsd ≈ 0.8%, bound 5%).
+    Qry("q145_incremental_distinct",
+      (s, dir) => {
+        val ev = events(s, dir)
+          .select(col("event_type"), to_date(col("ts")).as("d"), col("user_id"))
+        // stored per-day partials (the MV state), then the union refresh
+        val daily = ev.groupBy("event_type", "d")
+          .agg(expr("hll_sketch_agg(user_id, 14)").as("sk"))
+        val merged = daily.groupBy("event_type")
+          .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("n_approx"))
+        // exact twin: two-stage distinct (no Expand mixing, see q112)
+        val exact = ev.groupBy("event_type", "user_id")
+          .agg(count(lit(1)).as("__o"))
+          .groupBy("event_type").agg(count(lit(1)).as("n_users_exact"))
+        merged.join(exact, Seq("event_type"))
+          .select(col("event_type"), col("n_users_exact"),
+            (abs(col("n_approx") - col("n_users_exact")).cast("double") /
+              col("n_users_exact") <= 0.05).as("within_5pct"))
+      },
+      Some("""SELECT event_type,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users_exact,
+        |  TRUE AS within_5pct
+        |FROM events GROUP BY event_type""".stripMargin))
   )
 }

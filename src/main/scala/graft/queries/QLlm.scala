@@ -25,7 +25,7 @@ object QLlm {
   /** events.parquet is TIMESTAMP(NANOS): readable only as long under
     * `nanosAsLong` — convert to µs then; pass through when the session
     * already reads it as a timestamp (type-guarded like QEtl.events). */
-  private def events(s: SparkSession, dir: String): DataFrame = {
+  private[queries] def events(s: SparkSession, dir: String): DataFrame = {
     val raw = t(s, dir, "events")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>

@@ -265,6 +265,12 @@ class PlanBudgetSpec extends SparkSpec {
     assert(shuffles("q142_mean_pool") <= 1)
     // unpivot: the stack Generate is narrow; 4-group rollup + final sort
     assert(shuffles("q143_unpivot_measures") <= 2)
+    // grouping sets: ONE Expand (3× the slim projection) into ONE agg
+    // exchange — never three scans
+    assert(shuffles("q144_grouping_sets") <= 1)
+    // HLL MV refresh: day-sketch agg + union agg + the exact twin's
+    // two-stage distinct; the 5-row merge side rides a broadcast
+    assert(shuffles("q145_incremental_distinct") <= 4)
   }
 
   test("per-group exact quantiles hold the bounded histogram shape") {
