@@ -1758,6 +1758,75 @@ object QEtl {
         |  AND o_orderdate >= TIMESTAMP '1996-01-01'
         |  AND o_orderdate <  TIMESTAMP '1997-01-01'
         |GROUP BY n_name
-        |ORDER BY revenue_cents DESC, n_name""".stripMargin))
+        |ORDER BY revenue_cents DESC, n_name""".stripMargin)),
+
+    // linear interpolation across calendar gaps — the missing sibling of
+    // q83's forward fill and q87's zero fill: unobserved days get the
+    // straight line between the bracketing observations (sensor/metric
+    // backfill semantics). Per-priority series, so both IGNORE-NULLS
+    // windows partition on prio — no global sort; the windowed input is
+    // the day-grain aggregate. Every 3rd day-of-month is "observed" to
+    // force real gaps; calendar edges are observed by construction so the
+    // interpolation is always bracketed.
+    Qry("q146_linear_interp",
+      (s, dir) => {
+        val obs = t(s, dir, "orders")
+          .groupBy(col("o_orderpriority").as("prio"),
+            col("o_orderdate").cast("date").as("d"))
+          .agg(sum(round(col("o_totalprice") * 100, 0).cast("long")).as("cents"))
+          .filter(dayofmonth(col("d")) % 3 === 0)
+        val cal = obs.groupBy("prio").agg(min("d").as("d0"), max("d").as("d1"))
+          .select(col("prio"),
+            explode(sequence(col("d0"), col("d1"), expr("interval 1 day"))).as("d"))
+        val wPrev = Window.partitionBy("prio").orderBy("d")
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val wNext = Window.partitionBy("prio").orderBy("d")
+          .rowsBetween(0, Window.unboundedFollowing)
+        cal.join(obs, Seq("prio", "d"), "left")
+          .withColumn("pv", last(col("cents"), ignoreNulls = true).over(wPrev))
+          .withColumn("pd", last(when(col("cents").isNotNull, col("d")),
+            ignoreNulls = true).over(wPrev))
+          .withColumn("nv", first(col("cents"), ignoreNulls = true).over(wNext))
+          .withColumn("nd", first(when(col("cents").isNotNull, col("d")),
+            ignoreNulls = true).over(wNext))
+          .select(col("prio"), date_format(col("d"), "yyyy-MM-dd").as("d"),
+            col("cents").isNotNull.as("observed"),
+            round(when(col("cents").isNotNull, col("cents").cast("double"))
+              .otherwise(col("pv").cast("double") +
+                (col("nv") - col("pv")).cast("double") *
+                  datediff(col("d"), col("pd")).cast("double") /
+                  datediff(col("nd"), col("pd")).cast("double")), 6)
+              .as("cents_filled"))
+      },
+      Some("""WITH obs AS (SELECT * FROM (
+        |    SELECT o_orderpriority AS prio, CAST(o_orderdate AS DATE) AS d,
+        |      CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |        AS cents
+        |    FROM orders GROUP BY 1, 2) WHERE day(d) % 3 = 0),
+        |cal AS (SELECT prio, CAST(unnest(generate_series(d0, d1,
+        |    INTERVAL 1 DAY)) AS DATE) AS d
+        |  FROM (SELECT prio, min(d) AS d0, max(d) AS d1 FROM obs GROUP BY 1)),
+        |j AS (SELECT cal.prio, cal.d, obs.cents,
+        |    last_value(obs.cents IGNORE NULLS) OVER (PARTITION BY cal.prio
+        |      ORDER BY cal.d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS pv,
+        |    last_value(CASE WHEN obs.cents IS NOT NULL THEN cal.d END
+        |      IGNORE NULLS) OVER (PARTITION BY cal.prio ORDER BY cal.d
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
+        |    first_value(obs.cents IGNORE NULLS) OVER (PARTITION BY cal.prio
+        |      ORDER BY cal.d ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        |      AS nv,
+        |    first_value(CASE WHEN obs.cents IS NOT NULL THEN cal.d END
+        |      IGNORE NULLS) OVER (PARTITION BY cal.prio ORDER BY cal.d
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+        |  FROM cal LEFT JOIN obs ON cal.prio = obs.prio AND cal.d = obs.d)
+        |SELECT prio, strftime(d, '%Y-%m-%d') AS d,
+        |  cents IS NOT NULL AS observed,
+        |  round(CASE WHEN cents IS NOT NULL THEN CAST(cents AS DOUBLE)
+        |    ELSE CAST(pv AS DOUBLE) + CAST(nv - pv AS DOUBLE)
+        |      * CAST(date_diff('day', pd, d) AS DOUBLE)
+        |      / CAST(date_diff('day', pd, nd) AS DOUBLE) END, 6)
+        |    AS cents_filled
+        |FROM j""".stripMargin))
   )
 }

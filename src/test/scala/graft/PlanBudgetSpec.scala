@@ -271,6 +271,9 @@ class PlanBudgetSpec extends SparkSpec {
     // HLL MV refresh: day-sketch agg + union agg + the exact twin's
     // two-stage distinct; the 5-row merge side rides a broadcast
     assert(shuffles("q145_incremental_distinct") <= 4)
+    // linear interpolation: day-grain agg + the prio-partitioned window
+    // pair; the per-prio calendar bounds ride a broadcast
+    assert(shuffles("q146_linear_interp") <= 3)
   }
 
   test("per-group exact quantiles hold the bounded histogram shape") {
