@@ -916,6 +916,46 @@ object QCurate {
       Some("""SELECT event_type,
         |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users_exact,
         |  TRUE AS within_5pct
-        |FROM events GROUP BY event_type""".stripMargin))
+        |FROM events GROUP BY event_type""".stripMargin)),
+
+    // vocabulary growth curve — corpus novelty over ingest time: per day,
+    // how many token TYPES appear for the first time ever, plus the
+    // cumulative vocabulary size. A flattening curve means the corpus has
+    // stopped contributing new language (diminishing returns signal for
+    // continued crawling). first-seen = one min() aggregate per type;
+    // per-day distinct types is the two-stage count (no Expand, see
+    // q112); the cumulative window is global but sits over the 28-row
+    // day-grain aggregate. All-integer outputs — exact parity for free.
+    Qry("q147_vocab_growth",
+      (s, dir) => {
+        val tok = spread(s, t(s, dir, "documents"))
+          .select((col("doc_id") % 28).as("day"),
+            explode(TextOps.tokens(col("text"))).as("w"))
+          .cache()
+        val newTypes = tok.groupBy("w").agg(min("day").as("day"))
+          .groupBy("day").agg(count(lit(1)).as("new_types"))
+        val daily = tok.groupBy("day", "w").agg(count(lit(1)).as("n"))
+          .groupBy("day").agg(count(lit(1)).as("day_types"),
+            sum("n").as("n_tokens"))
+        daily.join(newTypes, Seq("day"), "left_outer")
+          .select(col("day"), col("n_tokens"), col("day_types"),
+            coalesce(col("new_types"), lit(0L)).as("new_types"))
+          .withColumn("vocab_size",
+            sum("new_types").over(Window.orderBy("day")
+              .rowsBetween(Window.unboundedPreceding, 0)))
+      },
+      Some(s"""WITH tok AS (SELECT doc_id % 28 AS day, unnest($toksSql) AS w
+        |    FROM documents),
+        |nt AS (SELECT day, CAST(count(*) AS BIGINT) AS new_types FROM
+        |  (SELECT w, min(day) AS day FROM tok GROUP BY 1) GROUP BY 1),
+        |daily AS (SELECT day, CAST(count(*) AS BIGINT) AS day_types,
+        |    CAST(sum(n) AS BIGINT) AS n_tokens FROM
+        |  (SELECT day, w, count(*) AS n FROM tok GROUP BY 1, 2) GROUP BY 1)
+        |SELECT daily.day, n_tokens, day_types,
+        |  coalesce(new_types, 0) AS new_types,
+        |  CAST(sum(coalesce(new_types, 0)) OVER (ORDER BY daily.day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS vocab_size
+        |FROM daily LEFT JOIN nt USING (day)""".stripMargin))
   )
 }

@@ -274,6 +274,10 @@ class PlanBudgetSpec extends SparkSpec {
     // linear interpolation: day-grain agg + the prio-partitioned window
     // pair; the per-prio calendar bounds ride a broadcast
     assert(shuffles("q146_linear_interp") <= 3)
+    // vocab growth: first-seen agg + two-stage day-distinct off the
+    // cached token frame; the cumulative window rides the 28-row
+    // day-grain join (28-row side broadcast)
+    assert(shuffles("q147_vocab_growth") <= 5)
   }
 
   test("per-group exact quantiles hold the bounded histogram shape") {
