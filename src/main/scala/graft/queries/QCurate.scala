@@ -956,6 +956,40 @@ object QCurate {
         |  CAST(sum(coalesce(new_types, 0)) OVER (ORDER BY daily.day
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
         |    AS vocab_size
-        |FROM daily LEFT JOIN nt USING (day)""".stripMargin))
+        |FROM daily LEFT JOIN nt USING (day)""".stripMargin)),
+
+    // robust (median/IQR) per-group feature scaling — the outlier-safe
+    // normalization (mean/std moves with the outliers it should flag;
+    // q98 is the moment-based sibling). The group quantiles come from
+    // the bounded histogram-partition operator — never a per-group value
+    // buffer — and ride back over a broadcast (one row per group); the
+    // fact side stays a narrow pipeline. The outlier flag is decided on
+    // the ROUNDED score so the boolean can't straddle an engine-rounding
+    // boundary.
+    Qry("q148_robust_scaling",
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderpriority").as("prio"),
+            round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+          .cache()
+        val q = graft.ops.Quantiles.exactQuantiles(o, Seq("prio"), "cents",
+          Seq("p25" -> 0.25, "p50" -> 0.5, "p75" -> 0.75))
+        o.join(broadcast(q), Seq("prio"))
+          .withColumn("robust_z",
+            round((col("cents") - col("p50")) / (col("p75") - col("p25")), 6))
+          .select(col("o_orderkey"), col("prio"), col("robust_z"),
+            (abs(col("robust_z")) > 1.5d).as("is_outlier"))
+      },
+      Some("""WITH o AS (SELECT o_orderkey, o_orderpriority AS prio,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+        |q AS (SELECT prio,
+        |    quantile_cont(cents, 0.25) AS p25,
+        |    quantile_cont(cents, 0.5)  AS p50,
+        |    quantile_cont(cents, 0.75) AS p75
+        |  FROM o GROUP BY 1)
+        |SELECT o_orderkey, prio,
+        |  round((cents - p50) / (p75 - p25), 6) AS robust_z,
+        |  abs(round((cents - p50) / (p75 - p25), 6)) > 1.5 AS is_outlier
+        |FROM o JOIN q USING (prio)""".stripMargin))
   )
 }

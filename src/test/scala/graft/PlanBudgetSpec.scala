@@ -278,6 +278,9 @@ class PlanBudgetSpec extends SparkSpec {
     // cached token frame; the cumulative window rides the 28-row
     // day-grain join (28-row side broadcast)
     assert(shuffles("q147_vocab_growth") <= 5)
+    // robust scaling: q64's quantile machinery (all exchanges slim/
+    // group-keyed, same ceiling) + the broadcast join back to the facts
+    assert(shuffles("q148_robust_scaling") <= 18)
   }
 
   test("per-group exact quantiles hold the bounded histogram shape") {
