@@ -1,10 +1,10 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-import graft.queries.{QCurate, QEtl, QLlm}
+import graft.queries.{QCurate, QEtl, QLlm, QScale}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
-  private def registry: Seq[graft.queries.Qry] = QEtl.all ++ QLlm.all ++ QCurate.all
+  private def registry: Seq[graft.queries.Qry] = QEtl.all ++ QLlm.all ++ QCurate.all ++ QScale.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * the composed PIT fact-transaction load (SURVEY §7.3). */

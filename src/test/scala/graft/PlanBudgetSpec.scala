@@ -283,6 +283,27 @@ class PlanBudgetSpec extends SparkSpec {
     assert(shuffles("q148_robust_scaling") <= 18)
   }
 
+  test("scale-layout additions stay within their shuffle budgets") {
+    spark.catalog.clearCache()
+    // equi-depth bins: global quantile machinery (q64-ceiling) + the
+    // 1-row cuts broadcast + the 4-group bin rollup — the fact side
+    // never sorts globally (the whole point vs window NTILE)
+    assert(shuffles("q149_equidepth_bins") <= 18)
+    // EWMA: day-grain agg, the bounded-horizon self-join of the
+    // AGGREGATE-grain series, the final per-(type,day) fold
+    assert(shuffles("q150_ewma_daily") <= 4)
+    // triangles: pair-gen + edge distinct + degree agg + orientation
+    // joins + the wedge self-join — every frame past the first distinct
+    // is a slim (int,int[,deg]) edge list. The TEXT count multiplies the
+    // cached edge/orientation subtrees per DAG reference (oriented is
+    // consumed 3×, each copy printing the edge pipeline again); the
+    // exchanges that actually RUN materialize each cached frame once
+    // (~15 — e, deg, oriented, the wedge self-join, the final 1-row aggs)
+    assert(shuffles("q151_triangle_count") <= 70)
+    // z-order audit: pure narrow bit math into ONE 64-group aggregate
+    assert(shuffles("q152_zorder_layout") <= 1)
+  }
+
   test("per-group exact quantiles hold the bounded histogram shape") {
     // all exchanges are group-keyed or ≤ nBuckets-per-group slim frames;
     // no single buffer ever holds a group's values
