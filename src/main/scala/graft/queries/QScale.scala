@@ -1,8 +1,11 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import QLlm.{t, events}
+import graft.ops.{Components, Dedup}
+import graft.text.TextOps
+import QLlm.{t, events, h64, toksSql, docsWithDups, docsWithDupsSql}
 
 /** Scale-layout and distributed-analytics operators past the curation
   * surface: equi-depth binning off broadcast quantile cuts (the
@@ -205,6 +208,206 @@ object QScale {
           |  min(x) AS x_min, max(x) AS x_max,
           |  min(y) AS y_min, max(y) AS y_max
           |FROM m GROUP BY 1""".stripMargin)
-      })
+      }),
+
+    // PREFIX-FILTER set-similarity join (PPJoin's blocking step) — the
+    // EXACT companion to LSH near-dup: no false negatives at all. The
+    // theorem: two token sets with Jaccard ≥ t (t = 0.8 here) MUST share
+    // a token within each other's first n − ⌈t·n⌉ + 1 tokens under any
+    // fixed global order — a short prefix at a high threshold; ordering
+    // rare-first (ascending document frequency) makes
+    // those prefix tokens the most selective, so the candidate join is
+    // orders of magnitude under all-pairs. Every frame past tokenization
+    // is slim (doc_id, token) / (id, id); the verify step re-reads only
+    // candidate rows' sets.
+    Qry("q153_prefix_filter_join",
+      (s, dir) => {
+        val d = docsWithDups(s, dir)
+          .select(col("doc_id"),
+            array_distinct(TextOps.tokens(col("text"))).as("tk"))
+          .filter(size(col("tk")) > 0)
+          .cache()
+        val dfreq = d.select(col("doc_id"), explode(col("tk")).as("w"))
+          .groupBy("w").agg(count(lit(1)).as("df"))
+        val prefix = d
+          .select(col("doc_id"), size(col("tk")).as("n"), explode(col("tk")).as("w"))
+          .join(dfreq, Seq("w"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("doc_id").orderBy("df", "w")))
+          .filter(col("rn") <= col("n") - ceil(col("n") * 0.8) + 1)
+          .select("doc_id", "w")
+        val cand = prefix.as("a").join(prefix.as("b"),
+            col("a.w") === col("b.w") && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+          .distinct()
+        cand
+          .join(d.select(col("doc_id").as("id_a"), col("tk").as("tka")), Seq("id_a"))
+          .join(d.select(col("doc_id").as("id_b"), col("tk").as("tkb")), Seq("id_b"))
+          .select(col("id_a"), col("id_b"),
+            round(TextOps.jaccard(col("tka"), col("tkb")), 6).as("jacc"))
+          .filter(col("jacc") >= 0.8)
+      },
+      Some(s"""WITH d0 AS ($docsWithDupsSql),
+        |d AS (SELECT doc_id, list_distinct($toksSql) AS tk FROM d0),
+        |docs AS (SELECT doc_id, tk FROM d WHERE len(tk) > 0),
+        |dfreq AS (SELECT w, count(*) AS df FROM (
+        |    SELECT doc_id, unnest(tk) AS w FROM docs) GROUP BY 1),
+        |r AS (SELECT doc_id, n, w, row_number() OVER (
+        |      PARTITION BY doc_id ORDER BY df, w) AS rn
+        |  FROM (SELECT doc_id, len(tk) AS n, unnest(tk) AS w FROM docs)
+        |  JOIN dfreq USING (w)),
+        |p AS (SELECT doc_id, w FROM r WHERE rn <= n - ceil(n * 0.8) + 1),
+        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM p a JOIN p b ON a.w = b.w AND a.doc_id < b.doc_id),
+        |scored AS (SELECT id_a, id_b,
+        |    round(CASE WHEN len(list_distinct(da.tk || db.tk)) = 0 THEN 0.0
+        |      ELSE CAST(len(list_intersect(da.tk, db.tk)) AS DOUBLE)
+        |           / len(list_distinct(da.tk || db.tk)) END, 6) AS jacc
+        |  FROM cand JOIN docs da ON da.doc_id = id_a
+        |    JOIN docs db ON db.doc_id = id_b)
+        |SELECT id_a, id_b, jacc FROM scored WHERE jacc >= 0.8""".stripMargin)),
+
+    // CANONICAL-DOC selection per near-dup cluster — after closure
+    // (q72's capped LSH pairs → connected components), curation keeps ONE
+    // member per cluster; longest-text-wins (ties → smallest doc_id) is
+    // the standard canonical pick. The argmax rides a per-cluster window
+    // over the (id, label, len) frame — state bounded by cluster size,
+    // which the hot-band cap already bounds upstream.
+    Qry("q154_cluster_representative",
+      (s, dir) => {
+        val raw = docsWithDups(s, dir)
+          .select(col("doc_id"), col("text")).cache()
+        val docs = raw
+          .select(col("doc_id"),
+            TextOps.shingles(TextOps.tokens(col("text")), 3).as("sh"))
+          .filter(size(col("sh")) > 0)
+          .cache()
+        val edges = Dedup.lshBandCandidates(docs, maxBandSize = 5000)
+          .join(docs.select(col("doc_id").as("id_a"), col("sh").as("sha")), Seq("id_a"))
+          .join(docs.select(col("doc_id").as("id_b"), col("sh").as("shb")), Seq("id_b"))
+          .filter(TextOps.jaccard(col("sha"), col("shb")) >= 0.5)
+          .select(col("id_a").as("src"), col("id_b").as("dst"))
+        val cc = Components.connectedComponents(
+            docs.select(col("doc_id").as("id")), edges)
+          .join(raw.select(col("doc_id").as("id"), length(col("text")).as("len")),
+            Seq("id"))
+        val rn = row_number().over(
+          Window.partitionBy("lbl").orderBy(col("len").desc, col("id")))
+        cc.withColumn("rn", rn)
+          .withColumn("n_members", count(lit(1)).over(Window.partitionBy("lbl")))
+          .filter(col("rn") === 1)
+          .select(col("lbl").as("cluster_id"), col("id").as("rep_doc_id"),
+            col("len").as("rep_len"), col("n_members"))
+      },
+      Some({
+        val (as, bs) = TextOps.minhashParams(16)
+        val aArr = as.mkString("[", ",", "]")
+        val bArr = bs.mkString("[", ",", "]")
+        val sh3 = s"""CASE WHEN len($toksSql) >= 3
+          |  THEN list_transform(range(0, len($toksSql) - 2),
+          |         i -> $toksSql[i + 1] || ' ' || $toksSql[i + 2] || ' ' || $toksSql[i + 3])
+          |  ELSE [] END""".stripMargin
+        s"""WITH RECURSIVE d0 AS ($docsWithDupsSql),
+        |d AS (SELECT doc_id, length(text) AS len, $sh3 AS sh FROM d0),
+        |docs AS (SELECT doc_id, len, sh FROM d WHERE len(sh) > 0),
+        |bases AS (SELECT doc_id, sh,
+        |    list_transform(sh, s -> ${h64("s")} % ${TextOps.minhashM}) AS hs FROM docs),
+        |sigs AS (SELECT doc_id, sh,
+        |    list_transform(range(0, 16), i -> list_min(list_transform(hs,
+        |      h -> (h * ($aArr)[i + 1] + ($bArr)[i + 1]) % ${TextOps.minhashM}))) AS sig
+        |  FROM bases),
+        |keys AS (SELECT doc_id, unnest(list_transform(range(0, 8),
+        |    b -> CAST(b AS VARCHAR) || ':' || md5(array_to_string(
+        |           sig[b * 2 + 1 : b * 2 + 2], ',')))) AS band_key
+        |  FROM sigs),
+        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM keys a JOIN keys b ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+        |pairs AS (SELECT id_a, id_b
+        |  FROM cand JOIN docs da ON da.doc_id = id_a JOIN docs db ON db.doc_id = id_b
+        |  WHERE (CASE WHEN len(list_distinct(da.sh || db.sh)) = 0 THEN 0.0
+        |    ELSE CAST(len(list_intersect(list_distinct(da.sh), list_distinct(db.sh))) AS DOUBLE)
+        |         / len(list_distinct(da.sh || db.sh)) END) >= 0.5),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION ALL SELECT id_b, id_a FROM pairs),
+        |reach(id, lbl) AS (
+        |  SELECT doc_id, doc_id FROM docs
+        |  UNION
+        |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id),
+        |cc AS (SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY 1),
+        |m AS (SELECT cc.id, cc.cluster_id, d.len,
+        |    row_number() OVER (PARTITION BY cluster_id
+        |      ORDER BY d.len DESC, cc.id) AS rn,
+        |    count(*) OVER (PARTITION BY cluster_id) AS nm
+        |  FROM cc JOIN docs d ON d.doc_id = cc.id)
+        |SELECT cluster_id, id AS rep_doc_id, len AS rep_len,
+        |  CAST(nm AS BIGINT) AS n_members
+        |FROM m WHERE rn = 1""".stripMargin
+      })),
+
+    // FILE-COMPACTION planner (the small-files problem): given per-file
+    // stats (one "file" per order date here — the daily-append layout),
+    // assign date-contiguous files to target-size output groups by
+    // cumulative byte position — exactly what an OPTIMIZE/compaction job
+    // plans before its per-group rewrite. The window runs over the
+    // date-grain AGGREGATE (bounded ~2.4k rows), never raw facts; the
+    // rewrite itself would then parallelize per group.
+    Qry("q155_compaction_plan",
+      (s, dir) => {
+        val files = t(s, dir, "orders")
+          .groupBy(col("o_orderdate").as("file_date"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(length(col("o_orderpriority")) + length(col("o_orderstatus")) + 64L)
+              .as("est_bytes"))
+        val cumPrev = coalesce(sum("est_bytes").over(
+          Window.orderBy("file_date").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L))
+        files.withColumn("grp", floor(cumPrev / 262144L))
+          .groupBy("grp")
+          .agg(count(lit(1)).as("n_files"), sum("n_rows").as("n_rows"),
+            sum("est_bytes").as("total_bytes"),
+            date_format(min("file_date"), "yyyy-MM-dd").as("from_date"),
+            date_format(max("file_date"), "yyyy-MM-dd").as("to_date"))
+      },
+      Some("""WITH f AS (SELECT o_orderdate AS file_date,
+        |    CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(sum(length(o_orderpriority) + length(o_orderstatus) + 64)
+        |      AS BIGINT) AS est_bytes
+        |  FROM orders GROUP BY 1),
+        |g AS (SELECT *, CAST(floor(COALESCE(sum(est_bytes) OVER (
+        |      ORDER BY file_date ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND 1 PRECEDING), 0) / 262144.0) AS BIGINT) AS grp FROM f)
+        |SELECT grp, CAST(count(*) AS BIGINT) AS n_files,
+        |  CAST(sum(n_rows) AS BIGINT) AS n_rows,
+        |  CAST(sum(est_bytes) AS BIGINT) AS total_bytes,
+        |  strftime(min(file_date), '%Y-%m-%d') AS from_date,
+        |  strftime(max(file_date), '%Y-%m-%d') AS to_date
+        |FROM g GROUP BY 1""".stripMargin)),
+
+    // CDC APPLY — the inverse of q107's change feed: applying
+    // diff(old, new) back onto the old snapshot must reproduce the new
+    // snapshot EXACTLY, and the oracle checks precisely that by
+    // computing the new snapshot directly. Removals anti-join, changes
+    // overwrite through coalesce, additions union — one full-outer pass,
+    // the same merge shape an incremental MERGE INTO runs at 100 TB
+    // (keyed shuffle, no driver state).
+    Qry("q156_cdc_apply",
+      (s, dir) => {
+        val cust = t(s, dir, "customer")
+        val old = cust.select(col("c_custkey").as("k"),
+          round(col("c_acctbal") * 100, 0).cast("long").as("bal"))
+        // q107's change feed, re-derived (added / removed / changed)
+        val changes = graft.SparkEntry.queries("q107_snapshot_diff")(s, dir)
+        old.join(changes, Seq("k"), "full_outer")
+          .filter(col("change_type").isNull || col("change_type") =!= "removed")
+          .select(col("k"), coalesce(col("bal_b"), col("bal")).as("bal"))
+      },
+      Some("""SELECT c_custkey AS k,
+        |  CASE WHEN c_custkey % 5 = 0
+        |    THEN CAST(round(c_acctbal * 100) AS BIGINT) + 12345
+        |    ELSE CAST(round(c_acctbal * 100) AS BIGINT) END AS bal
+        |FROM customer WHERE c_custkey % 17 <> 0
+        |UNION ALL
+        |SELECT -c_custkey - 1, CAST(round(c_acctbal * 100) AS BIGINT)
+        |FROM customer WHERE c_custkey % 13 = 0""".stripMargin))
   )
 }

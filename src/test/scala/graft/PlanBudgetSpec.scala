@@ -302,6 +302,18 @@ class PlanBudgetSpec extends SparkSpec {
     assert(shuffles("q151_triangle_count") <= 70)
     // z-order audit: pure narrow bit math into ONE 64-group aggregate
     assert(shuffles("q152_zorder_layout") <= 1)
+    // prefix-filter join: df agg + per-doc prefix window + slim (id,id)
+    // candidate self-join + the verify joins off the cached set frame;
+    // text count multiplies the cached subtree per consumer
+    assert(shuffles("q153_prefix_filter_join") <= 30)
+    // cluster representative: q72's CC (checkpointed lineage collapses
+    // its iterations) + the length join + the per-cluster argmax window
+    assert(shuffles("q154_cluster_representative") <= 8)
+    // compaction plan: date-grain agg, the bounded global window over
+    // it, the 5-group rollup
+    assert(shuffles("q155_compaction_plan") <= 3)
+    // CDC apply: one keyed full-outer merge over q107's change feed
+    assert(shuffles("q156_cdc_apply") <= 6)
   }
 
   test("per-group exact quantiles hold the bounded histogram shape") {
