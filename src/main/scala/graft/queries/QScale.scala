@@ -113,11 +113,14 @@ object QScale {
         |      (x, y) -> x + y), 6) AS ewma_cents
         |FROM j GROUP BY 1, 2""".stripMargin)),
 
-    // TRIANGLE COUNTING on the co-purchase graph (parts sharing an
-    // order) — the community-density signal behind graph curation. The
-    // distributed-safe shape is degree ORIENTATION: each undirected edge
-    // points from its (degree, id)-smaller endpoint, so out-degree is
-    // O(sqrt(m)) even on power-law graphs and the wedge self-join's
+    // TRIANGLE COUNTING on the co-purchase graph — the community-density
+    // signal behind graph curation. Edges carry a SUPPORT floor (parts
+    // co-purchased in ≥2 distinct orders, q92's noise floor): a single
+    // shared basket is noise, and at 100 TB the floor is also the first
+    // densification guard — it cuts the edge set before any graph work.
+    // The distributed-safe shape is degree ORIENTATION: each undirected
+    // edge points from its (degree, id)-smaller endpoint, so out-degree
+    // is O(sqrt(m)) even on power-law graphs and the wedge self-join's
     // fan-out is bounded — the naive adjacency join explodes on hub
     // nodes. Wedges then semi-join the oriented edge set: each triangle
     // counted exactly once. All joins are slim (int, int) frames.
@@ -129,7 +132,9 @@ object QScale {
         val e = po.as("a").join(po.as("b"),
             col("a.o") === col("b.o") && col("a.p") < col("b.p"))
           .select(col("a.p").as("u"), col("b.p").as("v"))
-          .distinct().cache()
+          .groupBy("u", "v").agg(count(lit(1)).as("support"))
+          .filter(col("support") >= 2)
+          .select("u", "v").cache()
         val deg = e.select(explode(array(col("u"), col("v"))).as("n"))
           .groupBy("n").agg(count(lit(1)).as("d"))
         val withDeg = e
@@ -157,8 +162,9 @@ object QScale {
           .select(col("n_nodes"), col("n_edges"), col("max_degree"), col("n_triangles"))
       },
       Some("""WITH po AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
-        |e AS (SELECT DISTINCT a.p AS u, b.p AS v
-        |  FROM po a JOIN po b ON a.o = b.o AND a.p < b.p),
+        |e AS (SELECT a.p AS u, b.p AS v
+        |  FROM po a JOIN po b ON a.o = b.o AND a.p < b.p
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
         |deg AS (SELECT n, CAST(count(*) AS BIGINT) AS d FROM (
         |    SELECT u AS n FROM e UNION ALL SELECT v FROM e) GROUP BY 1),
         |orient AS (SELECT
@@ -210,16 +216,21 @@ object QScale {
           |FROM m GROUP BY 1""".stripMargin)
       }),
 
-    // PREFIX-FILTER set-similarity join (PPJoin's blocking step) — the
-    // EXACT companion to LSH near-dup: no false negatives at all. The
-    // theorem: two token sets with Jaccard ≥ t (t = 0.8 here) MUST share
-    // a token within each other's first n − ⌈t·n⌉ + 1 tokens under any
-    // fixed global order — a short prefix at a high threshold; ordering
-    // rare-first (ascending document frequency) makes
-    // those prefix tokens the most selective, so the candidate join is
-    // orders of magnitude under all-pairs. Every frame past tokenization
-    // is slim (doc_id, token) / (id, id); the verify step re-reads only
-    // candidate rows' sets.
+    // PREFIX-FILTER set-similarity join (PPJoin blocking + length
+    // filter), t = 0.9 with a HOT-TOKEN cap. The theorem: two token sets
+    // with Jaccard ≥ t MUST share a token within each other's first
+    // n − ⌈t·n⌉ + 1 tokens under any fixed global order; rare-first
+    // (ascending df) ordering makes those prefix tokens the most
+    // selective. Two scale guards, both oracle-reproduced:
+    //   • LENGTH filter — |a∩b| ≥ t·|a∪b| forces t·n_a ≤ n_b ≤ n_a/t,
+    //     pruned in the candidate join before any set is scored;
+    //   • hot-token cap — prefix tokens with df > 64 are excluded from
+    //     the candidate INDEX (each contributes df² pairs; a template
+    //     family of m docs would otherwise emit m² candidates — the
+    //     text twin of the q54/q119 band caps). Pairs whose EVERY
+    //     shared prefix token is corpus-hot are deferred to the
+    //     clustering path (q72/q154), which handles mega-families by
+    //     label propagation instead of pairwise output.
     Qry("q153_prefix_filter_join",
       (s, dir) => {
         val d = docsWithDups(s, dir)
@@ -234,10 +245,13 @@ object QScale {
           .join(dfreq, Seq("w"))
           .withColumn("rn", row_number().over(
             Window.partitionBy("doc_id").orderBy("df", "w")))
-          .filter(col("rn") <= col("n") - ceil(col("n") * 0.8) + 1)
-          .select("doc_id", "w")
+          .filter(col("rn") <= col("n") - ceil(col("n") * 0.9) + 1 &&
+            col("df") <= 64)
+          .select("doc_id", "n", "w")
         val cand = prefix.as("a").join(prefix.as("b"),
-            col("a.w") === col("b.w") && col("a.doc_id") < col("b.doc_id"))
+            col("a.w") === col("b.w") && col("a.doc_id") < col("b.doc_id") &&
+              col("b.n") >= ceil(col("a.n") * 0.9) &&
+              col("b.n") <= floor(col("a.n") / 0.9))
           .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
           .distinct()
         cand
@@ -245,27 +259,29 @@ object QScale {
           .join(d.select(col("doc_id").as("id_b"), col("tk").as("tkb")), Seq("id_b"))
           .select(col("id_a"), col("id_b"),
             round(TextOps.jaccard(col("tka"), col("tkb")), 6).as("jacc"))
-          .filter(col("jacc") >= 0.8)
+          .filter(col("jacc") >= 0.9)
       },
       Some(s"""WITH d0 AS ($docsWithDupsSql),
         |d AS (SELECT doc_id, list_distinct($toksSql) AS tk FROM d0),
         |docs AS (SELECT doc_id, tk FROM d WHERE len(tk) > 0),
         |dfreq AS (SELECT w, count(*) AS df FROM (
         |    SELECT doc_id, unnest(tk) AS w FROM docs) GROUP BY 1),
-        |r AS (SELECT doc_id, n, w, row_number() OVER (
+        |r AS (SELECT doc_id, n, w, df, row_number() OVER (
         |      PARTITION BY doc_id ORDER BY df, w) AS rn
         |  FROM (SELECT doc_id, len(tk) AS n, unnest(tk) AS w FROM docs)
         |  JOIN dfreq USING (w)),
-        |p AS (SELECT doc_id, w FROM r WHERE rn <= n - ceil(n * 0.8) + 1),
+        |p AS (SELECT doc_id, n, w FROM r
+        |  WHERE rn <= n - ceil(n * 0.9) + 1 AND df <= 64),
         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-        |  FROM p a JOIN p b ON a.w = b.w AND a.doc_id < b.doc_id),
+        |  FROM p a JOIN p b ON a.w = b.w AND a.doc_id < b.doc_id
+        |    AND b.n >= ceil(a.n * 0.9) AND b.n <= floor(a.n / 0.9)),
         |scored AS (SELECT id_a, id_b,
         |    round(CASE WHEN len(list_distinct(da.tk || db.tk)) = 0 THEN 0.0
         |      ELSE CAST(len(list_intersect(da.tk, db.tk)) AS DOUBLE)
         |           / len(list_distinct(da.tk || db.tk)) END, 6) AS jacc
         |  FROM cand JOIN docs da ON da.doc_id = id_a
         |    JOIN docs db ON db.doc_id = id_b)
-        |SELECT id_a, id_b, jacc FROM scored WHERE jacc >= 0.8""".stripMargin)),
+        |SELECT id_a, id_b, jacc FROM scored WHERE jacc >= 0.9""".stripMargin)),
 
     // CANONICAL-DOC selection per near-dup cluster — after closure
     // (q72's capped LSH pairs → connected components), curation keeps ONE
