@@ -424,6 +424,47 @@ object QScale {
         |FROM customer WHERE c_custkey % 17 <> 0
         |UNION ALL
         |SELECT -c_custkey - 1, CAST(round(c_acctbal * 100) AS BIGINT)
-        |FROM customer WHERE c_custkey % 13 = 0""".stripMargin))
+        |FROM customer WHERE c_custkey % 13 = 0""".stripMargin)),
+
+    // SKETCH SET ALGEBRA — audience-overlap estimation ("users who did
+    // BOTH view and purchase") via HLL inclusion–exclusion:
+    // |A∩B| ≈ est(A) + est(B) − est(A∪B), where the union sketch is the
+    // MERGE of the two stored per-type sketches (exact distinct partials
+    // can't merge; sketches can — the q145 argument, extended from
+    // refresh to set OPERATIONS). At 100 TB the three estimates come off
+    // kilobyte sketches; the exact twin's (type,user) dedup shuffles the
+    // world. Exact columns hash-match; the compounded-error contract
+    // (≤10% — three 2%-rsd estimates stack) is the oracle-asserted
+    // boolean, same shape as q112/q145.
+    Qry("q157_sketch_overlap",
+      (s, dir) => {
+        val ev = events(s, dir)
+          .filter(col("event_type").isin("view", "purchase"))
+          .select(col("event_type"), col("user_id"))
+        val sk = ev.groupBy("event_type")
+          .agg(expr("hll_sketch_agg(user_id, 14)").as("sk"))
+        val est = sk.agg(
+          expr("hll_sketch_estimate(hll_union_agg(sk))").as("n_union_approx"),
+          sum(expr("hll_sketch_estimate(sk)")).as("n_sum_approx"))
+        val exact = ev.groupBy("user_id")
+          .agg(count(when(col("event_type") === "view", 1)).as("nv"),
+            count(when(col("event_type") === "purchase", 1)).as("np"))
+          .agg(count(when(col("nv") > 0, 1)).as("n_view_exact"),
+            count(when(col("np") > 0, 1)).as("n_purchase_exact"),
+            count(when(col("nv") > 0 && col("np") > 0, 1)).as("n_both_exact"))
+        exact.crossJoin(broadcast(est))
+          .select(col("n_view_exact"), col("n_purchase_exact"), col("n_both_exact"),
+            (abs((col("n_sum_approx") - col("n_union_approx")) - col("n_both_exact"))
+              / col("n_both_exact") <= 0.10).as("overlap_within_10pct"))
+      },
+      Some("""WITH u AS (SELECT user_id,
+        |    count(CASE WHEN event_type = 'view' THEN 1 END) AS nv,
+        |    count(CASE WHEN event_type = 'purchase' THEN 1 END) AS np
+        |  FROM events WHERE event_type IN ('view', 'purchase') GROUP BY 1)
+        |SELECT CAST(count(CASE WHEN nv > 0 THEN 1 END) AS BIGINT) AS n_view_exact,
+        |  CAST(count(CASE WHEN np > 0 THEN 1 END) AS BIGINT) AS n_purchase_exact,
+        |  CAST(count(CASE WHEN nv > 0 AND np > 0 THEN 1 END) AS BIGINT) AS n_both_exact,
+        |  TRUE AS overlap_within_10pct
+        |FROM u""".stripMargin))
   )
 }

@@ -314,6 +314,9 @@ class PlanBudgetSpec extends SparkSpec {
     assert(shuffles("q155_compaction_plan") <= 3)
     // CDC apply: one keyed full-outer merge over q107's change feed
     assert(shuffles("q156_cdc_apply") <= 6)
+    // sketch overlap: two sketch aggregates (type-keyed then 1-row
+    // merge) + the exact twin's two-stage user dedup
+    assert(shuffles("q157_sketch_overlap") <= 4)
   }
 
   test("per-group exact quantiles hold the bounded histogram shape") {
