@@ -465,6 +465,138 @@ object QScale {
         |  CAST(count(CASE WHEN np > 0 THEN 1 END) AS BIGINT) AS n_purchase_exact,
         |  CAST(count(CASE WHEN nv > 0 AND np > 0 THEN 1 END) AS BIGINT) AS n_both_exact,
         |  TRUE AS overlap_within_10pct
-        |FROM u""".stripMargin))
+        |FROM u""".stripMargin)),
+
+    // TOP-K SESSION PATHS — the behavioural sequence profile behind
+    // funnel design: each session's first 5 event types joined into a
+    // path string, then the 20 most common paths. Sessionization is
+    // q40's user-partitioned lag/running-sum (never a global window over
+    // raw events); per-session state is the ≤5-element sorted slice; the
+    // final top-k is a TakeOrdered, not a global sort.
+    Qry("q158_top_paths",
+      (s, dir) => {
+        val ev = events(s, dir)
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val run = Window.partitionBy("user_id").orderBy("ts", "event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ev.withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+          .withColumn("new_session",
+            when(col("prev_us").isNull ||
+              unix_micros(col("ts")) - col("prev_us") > 1800000000L, 1).otherwise(0))
+          .withColumn("session_num", sum("new_session").over(run))
+          .groupBy("user_id", "session_num")
+          .agg(slice(array_sort(collect_list(struct(
+            col("ts"), col("event_id"), col("event_type")))), 1, 5).as("s5"))
+          .select(concat_ws(">", expr("transform(s5, x -> x.event_type)")).as("path"))
+          .groupBy("path").agg(count(lit(1)).as("n"))
+          .orderBy(desc("n"), col("path")).limit(20)
+      },
+      Some("""WITH g AS (SELECT user_id, event_id, ts, event_type,
+        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000 THEN 1
+        |         ELSE 0 END AS new_session
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (SELECT user_id, event_type, ts, event_id,
+        |    sum(new_session) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_num FROM g),
+        |p AS (SELECT user_id, session_num,
+        |    array_to_string(list(event_type ORDER BY ts, event_id)[1:5], '>') AS path
+        |  FROM s GROUP BY 1, 2)
+        |SELECT path, CAST(count(*) AS BIGINT) AS n
+        |FROM p GROUP BY 1 ORDER BY n DESC, path LIMIT 20""".stripMargin)),
+
+    // CAPPED INVERTED INDEX — the retrieval-side artifact BM25 (q88)
+    // assumes: per token, an ordered posting list of the top-8 docs by
+    // term frequency. Two boundedness guards, both part of the contract:
+    // a RELATIVE df band (2 ≤ df AND df·100 ≤ 78·|corpus|, integer math
+    // so Spark and DuckDB agree on the boundary) drops hapax noise and
+    // stopword-grade tokens whose posting lists would be corpus-sized —
+    // an absolute ceiling would be wrong at 100 TB where every df grows
+    // with the corpus (here the hottest template tokens sit at ~0.80·n
+    // and the ceiling provably drops them) — and the per-token rank
+    // window caps surviving lists at 8 postings. |corpus| is a 1-row broadcast.
+    // Postings travel as a joined string: the list is DATA here, not an
+    // intermediate.
+    Qry("q159_inverted_index",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val ndocs = docs.agg(count(lit(1)).as("n"))
+        val tf = QLlm.spread(s, docs)
+          .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("w"))
+          .groupBy("w", "doc_id").agg(count(lit(1)).as("tf"))
+        val dfreq = tf.groupBy("w").agg(count(lit(1)).as("df"))
+          .crossJoin(broadcast(ndocs))
+          .filter(col("df") >= 2 && col("df") * 100 <= col("n") * 78)
+          .select("w", "df")
+        tf.join(dfreq, Seq("w"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("w").orderBy(desc("tf"), col("doc_id"))))
+          .filter(col("rn") <= 8)
+          .groupBy("w")
+          .agg(first("df").as("df"),
+            concat_ws(",", expr(
+              "transform(array_sort(collect_list(struct(-tf AS a, doc_id AS d))), x -> x.d)"))
+              .as("postings"))
+      },
+      Some(s"""WITH tf AS (SELECT w, doc_id, count(*) AS tf FROM (
+        |    SELECT doc_id, unnest($toksSql) AS w
+        |    FROM documents) GROUP BY 1, 2),
+        |nd AS (SELECT count(*) AS n FROM documents),
+        |d AS (SELECT w, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |k AS (SELECT d.w, d.df FROM d, nd
+        |  WHERE d.df >= 2 AND d.df * 100 <= nd.n * 78),
+        |r AS (SELECT tf.w, tf.doc_id, tf.tf, k.df, row_number() OVER (
+        |    PARTITION BY tf.w ORDER BY tf.tf DESC, tf.doc_id) AS rn
+        |  FROM tf JOIN k USING (w))
+        |SELECT w, df, array_to_string(
+        |    list(doc_id ORDER BY tf DESC, doc_id), ',') AS postings
+        |FROM r WHERE rn <= 8 GROUP BY 1, 2""".stripMargin)),
+
+    // SNAPSHOT PROFILE DRIFT — the monitoring pass a 100 TB warehouse
+    // runs nightly: per-column statistical profiles of two snapshot
+    // versions (q107's old/new pair), joined into drift deltas. Each
+    // profile is ONE slim aggregate row; drift math is arithmetic on the
+    // 1-row join — the whole check costs two scans regardless of table
+    // width, and at scale each column's profile rides the same single
+    // aggregate. Exact integer cents and counts — no float drift in the
+    // drift detector.
+    Qry("q160_profile_drift",
+      (s, dir) => {
+        def profile(df: DataFrame, tag: String): DataFrame =
+          df.agg(count(lit(1)).as(s"n_$tag"),
+            count(when(col("bal").isNull, 1)).as(s"nulls_$tag"),
+            min("bal").as(s"min_$tag"), max("bal").as(s"max_$tag"),
+            sum("bal").as(s"sum_$tag"))
+        val cust = t(s, dir, "customer")
+        val a = cust.select(col("c_custkey").as("k"),
+          round(col("c_acctbal") * 100, 0).cast("long").as("bal"))
+        val b = cust.filter(col("c_custkey") % 17 =!= 0)
+          .select(col("c_custkey").as("k"),
+            when(col("c_custkey") % 5 === 0,
+              round(col("c_acctbal") * 100, 0).cast("long") + 12345L)
+              .otherwise(round(col("c_acctbal") * 100, 0).cast("long")).as("bal"))
+        profile(a, "a").crossJoin(broadcast(profile(b, "b")))
+          .select(col("n_a"), col("n_b"), (col("n_b") - col("n_a")).as("row_drift"),
+            col("nulls_a"), col("nulls_b"),
+            (col("max_b") - col("max_a")).as("max_drift"),
+            (col("min_b") - col("min_a")).as("min_drift"),
+            (col("sum_b") - col("sum_a")).as("sum_drift"))
+      },
+      Some("""WITH a AS (SELECT CAST(round(c_acctbal * 100) AS BIGINT) AS bal
+        |  FROM customer),
+        |b AS (SELECT CASE WHEN c_custkey % 5 = 0
+        |      THEN CAST(round(c_acctbal * 100) AS BIGINT) + 12345
+        |      ELSE CAST(round(c_acctbal * 100) AS BIGINT) END AS bal
+        |  FROM customer WHERE c_custkey % 17 <> 0),
+        |pa AS (SELECT CAST(count(*) AS BIGINT) AS n_a,
+        |    CAST(count(CASE WHEN bal IS NULL THEN 1 END) AS BIGINT) AS nulls_a,
+        |    min(bal) AS min_a, max(bal) AS max_a, sum(bal) AS sum_a FROM a),
+        |pb AS (SELECT CAST(count(*) AS BIGINT) AS n_b,
+        |    CAST(count(CASE WHEN bal IS NULL THEN 1 END) AS BIGINT) AS nulls_b,
+        |    min(bal) AS min_b, max(bal) AS max_b, sum(bal) AS sum_b FROM b)
+        |SELECT n_a, n_b, n_b - n_a AS row_drift, nulls_a, nulls_b,
+        |  max_b - max_a AS max_drift, min_b - min_a AS min_drift,
+        |  CAST(sum_b - sum_a AS BIGINT) AS sum_drift
+        |FROM pa, pb""".stripMargin))
   )
 }
