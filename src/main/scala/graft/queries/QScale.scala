@@ -597,6 +597,31 @@ object QScale {
         |SELECT n_a, n_b, n_b - n_a AS row_drift, nulls_a, nulls_b,
         |  max_b - max_a AS max_drift, min_b - min_a AS min_drift,
         |  CAST(sum_b - sum_a AS BIGINT) AS sum_drift
-        |FROM pa, pb""".stripMargin))
+        |FROM pa, pb""".stripMargin)),
+
+    // DATASOURCE V2 CONNECTOR — the registry's one non-parquet source:
+    // graft.sources.SyntheticSource is a full DSv2 TableProvider whose
+    // id-range filter pushdown prunes InputPartitions at PLAN time
+    // (the predicate below schedules 4 of 16 slices; asserted in
+    // SyntheticSourceSpec) and whose column pruning reaches the reader
+    // (`tag` is never materialized here). The oracle reproduces the
+    // connector's LCG row content with the SAME non-overflowing int64
+    // arithmetic over a DuckDB range() series — the source IS the
+    // query's semantics, so this row hash-proves the connector, not
+    // just the aggregate on top.
+    Qry("q161_synthetic_source",
+      (s, _) => {
+        s.read.format("graft.sources.SyntheticSource")
+          .option("rows", 100000).option("slices", 16).load()
+          .filter(col("id") >= 25000 && col("id") < 50000)
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"),
+            min("id").as("min_id"), max("id").as("max_id"))
+      },
+      Some(s"""WITH t AS (${graft.sources.SyntheticSource.duckSql(100000L)})
+        |SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |  min(id) AS min_id, max(id) AS max_id
+        |FROM t WHERE id >= 25000 AND id < 50000 GROUP BY 1""".stripMargin))
   )
 }
