@@ -317,6 +317,17 @@ class PlanBudgetSpec extends SparkSpec {
     // sketch overlap: two sketch aggregates (type-keyed then 1-row
     // merge) + the exact twin's two-stage user dedup
     assert(shuffles("q157_sketch_overlap") <= 4)
+    // session paths: sessionization windows + per-session collect +
+    // path rollup; final top-20 is TakeOrdered, never a global Sort
+    assert(shuffles("q158_top_paths") <= 4)
+    assert(!planOf("q158_top_paths").matches("(?s).*Sort \\[n.*global=true.*"))
+    // inverted index: tf agg + df agg + 1-row corpus count broadcast +
+    // the per-token rank window + postings rollup
+    assert(shuffles("q159_inverted_index") <= 6)
+    // profile drift: two 1-row profile aggregates into a broadcast join
+    assert(shuffles("q160_profile_drift") <= 4)
+    // DSv2 connector: the 97-bucket rollup is the only exchange
+    assert(shuffles("q161_synthetic_source") <= 1)
   }
 
   test("per-group exact quantiles hold the bounded histogram shape") {
