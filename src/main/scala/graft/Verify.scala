@@ -12,20 +12,32 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // events.parquet is TIMESTAMP(NANOS); Spark only reads it as long
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // native functions + date-string-compare pushdown rule
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // a failed query must become a RED row, never a silently missing one
+    // (r4 lost four regressed queries this way): write an explicit
+    // <out>/<name>/_ERROR marker — the driver's parquet read of that
+    // directory fails loudly instead of the row vanishing — and collect
+    // every failure into <out>/errors.json.
+    val failed = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only.contains(name) }
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        val msg = s"${e.getClass.getName}: ${String.valueOf(e.getMessage).take(2000)}"
+        System.err.println(s"[verify] $name FAILED: $msg")
+        failed += name -> msg
+        val d = new java.io.File(s"$outDir/$name")
+        d.mkdirs()
+        // leave ONLY the marker: a half-written parquet dir must not pass
+        // for a result
+        d.listFiles().filter(_.getName != "_ERROR").foreach(deleteRec)
+        Files.writeString(Paths.get(s"$outDir/$name/_ERROR"), msg)
       }
       finally spark.catalog.clearCache() // don't let cached intermediates accumulate
     }
@@ -44,6 +56,18 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val errJson = failed.map { case (k, v) => s"${q(k)}: ${q(v)}" }
+      .mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/errors.json"), errJson)
+    if (failed.nonEmpty)
+      System.err.println(s"[verify] ${failed.size} FAILED: ${failed.keys.mkString(", ")}")
+    // rc stays 0: the per-query artifacts above are the failure signal —
+    // a non-zero exit could make a harness discard the 150+ good rows
     spark.stop()
+  }
+
+  private def deleteRec(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(deleteRec)
+    f.delete()
   }
 }

@@ -50,6 +50,26 @@ object Tables {
   def nation(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "region")
   def events(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "events")
+
+  /** `events.parquet` carries TIMESTAMP(NANOS), which different Spark
+    * runtimes surface differently: 4.1+ reads it as TIMESTAMP_NTZ (µs
+    * truncation built in); older runtimes under
+    * `spark.sql.legacy.parquet.nanosAsLong` surface a raw nanos long.
+    * Normalize both to a session-zone TIMESTAMP `ts` at µs precision —
+    * in the UTC sessions this library runs, the NTZ→LTZ cast is the
+    * identity on the underlying micros, which is exactly DuckDB's own
+    * µs-truncated read of the same file, so oracle hashes line up.
+    * Type-guarded so the same code runs on any of the three read shapes. */
+  def eventsMicros(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    val raw = events(spark, dir)
+    raw.schema("ts").dataType match {
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
+  }
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
 }

@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.internal.SQLConf
-import org.apache.spark.sql.types.{DateType, StringType, TimestampType}
+import org.apache.spark.sql.types.{DateType, StringType, TimestampNTZType, TimestampType}
 
 /** Optimizer rule: comparisons of `date_format(col, 'yyyy-MM-dd')` against
   * a string literal become native date/timestamp comparisons, so the
@@ -67,6 +67,22 @@ object DateStringComparePushdown extends Rule[LogicalPlan] {
   private def tsLit(d: LocalDate, tz: Option[String]): Literal =
     Literal(dayStartMicros(d, tz), TimestampType)
 
+  /** Naive (zone-less) day-boundary micros for TIMESTAMP_NTZ bounds. */
+  private def ntzLit(d: LocalDate): Literal =
+    Literal(ChronoUnit.MICROS.between(
+      java.time.Instant.EPOCH,
+      d.atStartOfDay.toInstant(java.time.ZoneOffset.UTC)), TimestampNTZType)
+
+  /** A zone with no DST transitions (fixed offset): there the NTZ→LTZ cast
+    * renders back to the identical naive value under `date_format`, so
+    * unwrapping the cast and comparing naive bounds is exact. In a DST zone
+    * a skipped local hour at a day boundary could shift the rendered date,
+    * so the rewrite stays off. */
+  private def fixedOffset(tz: Option[String]): Boolean =
+    try ZoneId.of(tz.getOrElse(SQLConf.get.sessionLocalTimeZone))
+      .getRules.isFixedOffset
+    catch { case _: Exception => false }
+
   /** The timestamp rewrite for `date_format(ts) <op> day`, or None when the
     * op has no single/range bound form we rewrite. */
   private def tsRewrite(cmp: BinaryComparison, ts: Expression, day: LocalDate,
@@ -92,17 +108,43 @@ object DateStringComparePushdown extends Rule[LogicalPlan] {
       case other => other.withNewChildren(Seq(l, r)).asInstanceOf[BinaryComparison]
     }
 
+  /** The NTZ twin of [[tsRewrite]]: naive day-boundary bounds, no zone. */
+  private def ntzRewrite(cmp: BinaryComparison, ts: Expression,
+                         day: LocalDate): Option[Expression] =
+    cmp match {
+      case _: EqualTo => Some(And(
+        GreaterThanOrEqual(ts, ntzLit(day)), LessThan(ts, ntzLit(day.plusDays(1)))))
+      case _: LessThan => Some(LessThan(ts, ntzLit(day)))
+      case _: LessThanOrEqual => Some(LessThan(ts, ntzLit(day.plusDays(1))))
+      case _: GreaterThan => Some(GreaterThanOrEqual(ts, ntzLit(day.plusDays(1))))
+      case _: GreaterThanOrEqual => Some(GreaterThanOrEqual(ts, ntzLit(day)))
+      case _ => None
+    }
+
   private def rewrite(cmp: BinaryComparison, fmtChild: Expression,
                       day: LocalDate, tz: Option[String]): Option[Expression] =
-    fmtChild.dataType match {
-      case DateType => cmp match {
-        case _: EqualTo | _: EqualNullSafe | _: LessThan | _: LessThanOrEqual |
-             _: GreaterThan | _: GreaterThanOrEqual =>
-          Some(cmp.withNewChildren(Seq(fmtChild, dateLit(day))))
+    fmtChild match {
+      // Spark 4.1+ reads parquet TIMESTAMP(NANOS) as TIMESTAMP_NTZ; the
+      // analyzer then wraps the column in Cast(ntz AS timestamp) under
+      // date_format. That cast blocks parquet pushdown — but when the
+      // cast's zone and date_format's render zone agree (both resolve from
+      // the same session) and the zone has no DST, cast-then-render is the
+      // identity on the naive value, so we unwrap and bound the BARE NTZ
+      // attribute: the predicate reaches PushedFilters / row-group pruning.
+      case Cast(inner, TimestampType, castTz, _)
+          if inner.dataType == TimestampNTZType && castTz == tz && fixedOffset(tz) =>
+        ntzRewrite(cmp, inner, day)
+      case _ => fmtChild.dataType match {
+        case DateType => cmp match {
+          case _: EqualTo | _: EqualNullSafe | _: LessThan | _: LessThanOrEqual |
+               _: GreaterThan | _: GreaterThanOrEqual =>
+            Some(cmp.withNewChildren(Seq(fmtChild, dateLit(day))))
+          case _ => None
+        }
+        case TimestampType => tsRewrite(cmp, fmtChild, day, tz)
+        case TimestampNTZType => ntzRewrite(cmp, fmtChild, day)
         case _ => None
       }
-      case TimestampType => tsRewrite(cmp, fmtChild, day, tz)
-      case _ => None
     }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {

@@ -542,17 +542,19 @@ object QCurate {
     // contamination bug cluster-aware splitting exists to prevent). The
     // bucket draw hashes the cluster label, so the property holds BY
     // CONSTRUCTION at any scale; split fractions are 8/1/1.
-    Qry("q134_leakage_free_split", {
-      val q72 = QLlm.all.find(_.name == "q72_dedup_clusters").get
+    Qry("q134_leakage_free_split",
       (s, dir) => {
         val bucket = TextOps.hash64(
           concat(lit("split42:"), col("cluster_id").cast("string"))) % 10
-        q72.fn(s, dir)
+        // shared materialized labels (ClusterLabels): the plan here is a
+        // bare parquet scan + the split projection — no second band
+        // self-join, no second closure (VERDICT r4 #5)
+        ClusterLabels(s, dir)
           .select(col("doc_id"), col("cluster_id"), col("n_members"))
           .withColumn("split",
             when(bucket <= 7, "train").when(bucket === 8, "val")
               .otherwise("test"))
-      }},
+      },
       Some {
         val q72Sql = QLlm.all.find(_.name == "q72_dedup_clusters").get.sql.get
         s"""SELECT doc_id, cluster_id, n_members,

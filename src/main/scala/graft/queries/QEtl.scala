@@ -26,18 +26,12 @@ object QEtl {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
-  /** `events.parquet` carries TIMESTAMP(NANOS), which Spark only reads with
-    * `spark.sql.legacy.parquet.nanosAsLong=true` (set in Verify/Bench) —
-    * convert back to a timestamp at µs precision, matching DuckDB's own
-    * internal µs truncation of the same file. */
-  private def events(s: SparkSession, dir: String): DataFrame = {
-    val raw = t(s, dir, "events")
-    raw.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case _ => raw
-    }
-  }
+  /** `events.parquet` carries TIMESTAMP(NANOS) — normalize to a µs
+    * session-zone timestamp whatever the runtime reads it as (NTZ on
+    * Spark 4.1+, nanos-long under the legacy flag). See
+    * [[graft.io.Tables.eventsMicros]]. */
+  private def events(s: SparkSession, dir: String): DataFrame =
+    graft.io.Tables.eventsMicros(s, dir)
 
   private def ymd(c: Column): Column = date_format(c, "yyyy-MM-dd")
 

@@ -22,17 +22,11 @@ object QLlm {
   private[queries] def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
-  /** events.parquet is TIMESTAMP(NANOS): readable only as long under
-    * `nanosAsLong` — convert to µs then; pass through when the session
-    * already reads it as a timestamp (type-guarded like QEtl.events). */
-  private[queries] def events(s: SparkSession, dir: String): DataFrame = {
-    val raw = t(s, dir, "events")
-    raw.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case _ => raw
-    }
-  }
+  /** events.parquet is TIMESTAMP(NANOS) — normalized to a µs session-zone
+    * timestamp whatever the runtime reads it as (NTZ on Spark 4.1+,
+    * nanos-long under the legacy flag); see [[graft.io.Tables.eventsMicros]]. */
+  private[queries] def events(s: SparkSession, dir: String): DataFrame =
+    graft.io.Tables.eventsMicros(s, dir)
 
   /** documents/embeddings arrive as ONE small parquet file → one input
     * partition, but the per-row work downstream (shingling, minhash,
@@ -679,26 +673,12 @@ object QLlm {
     // near-dup CLUSTERS: the q29 pair pipeline closed transitively via
     // min-label propagation ([[graft.ops.Components]]) — without the
     // closure, chained near-dups (A~B, B~C, A!~C) survive pairwise dedup.
-    // The oracle computes the same fixpoint as a recursive CTE.
+    // The oracle computes the same fixpoint as a recursive CTE. The labels
+    // are built/materialized ONCE per input by [[ClusterLabels]] and shared
+    // with q134/q154 (VERDICT r4 #5: the closure is the registry's most
+    // expensive subtree — persist it, don't recompute it per consumer).
     Qry("q72_dedup_clusters",
-      (s, dir) => {
-        val docs = docsWithDups(s, dir)
-          .select(col("doc_id"), TextOps.shingles(TextOps.tokens(col("text")), 3).as("sh"))
-          .filter(size(col("sh")) > 0)
-          .cache()
-        // same production cap as q57 — a no-op on testdata, so the
-        // recursive-CTE oracle still computes the identical fixpoint
-        val edges = Dedup.lshBandCandidates(docs, maxBandSize = 5000)
-          .join(docs.select(col("doc_id").as("id_a"), col("sh").as("sha")), Seq("id_a"))
-          .join(docs.select(col("doc_id").as("id_b"), col("sh").as("shb")), Seq("id_b"))
-          .filter(TextOps.jaccard(col("sha"), col("shb")) >= 0.5)
-          .select(col("id_a").as("src"), col("id_b").as("dst"))
-        graft.ops.Components.connectedComponents(
-            docs.select(col("doc_id").as("id")), edges)
-          .select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
-          .withColumn("n_members",
-            count(lit(1)).over(Window.partitionBy("cluster_id")))
-      },
+      (s, dir) => ClusterLabels(s, dir),
       Some({
         val (as, bs) = TextOps.minhashParams(16)
         val aArr = as.mkString("[", ",", "]")
@@ -743,13 +723,16 @@ object QLlm {
       (s, dir) => {
         // early-window cut keeps each set selective (every user eventually
         // does everything over the full month). The cut is applied to the
-        // RAW ts column — under nanosAsLong that is a plain long compare,
-        // which reaches PushedFilters; a compare on the converted
-        // timestamp column would not (PlanAudit-verified)
+        // RAW ts column in its native read type — a bare-attribute compare
+        // reaches PushedFilters (row-group pruning at 100 TB); a compare on
+        // the cast/converted column would not (PlanAudit-verified). NTZ
+        // literal for the 4.1+ NTZ read, nanos long under the legacy flag.
         val raw = t(s, dir, "events")
         val ev = raw.schema("ts").dataType match {
           case org.apache.spark.sql.types.LongType =>
             raw.filter(col("ts") < lit(1704326400L * 1000000000L)) // 2024-01-04T00:00Z ns
+          case org.apache.spark.sql.types.TimestampNTZType =>
+            raw.filter(col("ts") < lit("2024-01-04").cast("timestamp_ntz"))
           case _ => raw.filter(col("ts") < lit("2024-01-04").cast("timestamp"))
         }
         def ids(tpe: String) =

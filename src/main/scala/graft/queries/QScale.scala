@@ -3,7 +3,6 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.ops.{Components, Dedup}
 import graft.text.TextOps
 import QLlm.{t, events, h64, toksSql, docsWithDups, docsWithDupsSql}
 
@@ -291,28 +290,18 @@ object QScale {
     // which the hot-band cap already bounds upstream.
     Qry("q154_cluster_representative",
       (s, dir) => {
-        val raw = docsWithDups(s, dir)
-          .select(col("doc_id"), col("text")).cache()
-        val docs = raw
-          .select(col("doc_id"),
-            TextOps.shingles(TextOps.tokens(col("text")), 3).as("sh"))
-          .filter(size(col("sh")) > 0)
-          .cache()
-        val edges = Dedup.lshBandCandidates(docs, maxBandSize = 5000)
-          .join(docs.select(col("doc_id").as("id_a"), col("sh").as("sha")), Seq("id_a"))
-          .join(docs.select(col("doc_id").as("id_b"), col("sh").as("shb")), Seq("id_b"))
-          .filter(TextOps.jaccard(col("sha"), col("shb")) >= 0.5)
-          .select(col("id_a").as("src"), col("id_b").as("dst"))
-        val cc = Components.connectedComponents(
-            docs.select(col("doc_id").as("id")), edges)
-          .join(raw.select(col("doc_id").as("id"), length(col("text")).as("len")),
-            Seq("id"))
+        // shared materialized labels (ClusterLabels, VERDICT r4 #5): this
+        // plan is the label scan + the slim length join + the per-cluster
+        // argmax window — the LSH band join and closure run once per input
+        // across q72/q134/q154, not once per consumer
+        val lens = docsWithDups(s, dir)
+          .select(col("doc_id"), length(col("text")).as("len"))
+        val cc = graft.queries.ClusterLabels(s, dir).join(lens, Seq("doc_id"))
         val rn = row_number().over(
-          Window.partitionBy("lbl").orderBy(col("len").desc, col("id")))
+          Window.partitionBy("cluster_id").orderBy(col("len").desc, col("doc_id")))
         cc.withColumn("rn", rn)
-          .withColumn("n_members", count(lit(1)).over(Window.partitionBy("lbl")))
           .filter(col("rn") === 1)
-          .select(col("lbl").as("cluster_id"), col("id").as("rep_doc_id"),
+          .select(col("cluster_id"), col("doc_id").as("rep_doc_id"),
             col("len").as("rep_len"), col("n_members"))
       },
       Some({

@@ -87,14 +87,22 @@ object StreamPipelines {
     }
 
   /** One event as consumed by the session operator. */
-  final case class SessionEvent(event_id: Long, ts: java.sql.Timestamp, user_id: Long)
+  final case class SessionEvent(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                                event_type: String)
 
-  /** Open-session accumulator carried in the state store (O(1) per user). */
-  final case class SessionState(sessionNum: Long, startUs: Long, lastUs: Long, nEvents: Long)
+  /** Open-session accumulator carried in the state store (O(1) per user:
+    * the path prefix is capped at [[pathLen]] event types). */
+  final case class SessionState(sessionNum: Long, startUs: Long, lastUs: Long,
+                                nEvents: Long, first: Seq[String])
 
-  /** One emitted (closed or flushed) session. */
+  /** One emitted (closed or flushed) session. `path` is the '>'-joined
+    * first-[[pathLen]] event types — the same per-session value q158's
+    * batch path aggregation computes, so the stream output pins the
+    * newest registry query to an independent harness. */
   final case class SessionOut(user_id: Long, session_num: Long, n_events: Long,
-                              session_start: java.sql.Timestamp)
+                              session_start: java.sql.Timestamp, path: String)
+
+  val pathLen: Int = 5 // same prefix cap as batch q158
 
   val gapUs: Long = 1800000000L // 30 min, same as batch q40
 
@@ -113,26 +121,31 @@ object StreamPipelines {
       .flatMapGroupsWithState[SessionState, SessionOut](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         case (userId, it, state: GroupState[SessionState]) =>
+          def emit(s: SessionState): SessionOut =
+            SessionOut(userId, s.sessionNum, s.nEvents,
+              new java.sql.Timestamp(s.startUs / 1000), s.first.mkString(">"))
           if (state.hasTimedOut) {
             val s = state.get
             state.remove()
-            Iterator(SessionOut(userId, s.sessionNum, s.nEvents,
-              new java.sql.Timestamp(s.startUs / 1000)))
+            Iterator(emit(s))
           } else {
             val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
             var cur = state.getOption
             val closed = Seq.newBuilder[SessionOut]
             sorted.foreach { e =>
               val us = e.ts.getTime * 1000
+              def extend(f: Seq[String]) =
+                if (f.length < pathLen) f :+ e.event_type else f
               cur match {
                 case Some(s) if us - s.lastUs <= gapUs =>
-                  cur = Some(s.copy(lastUs = us, nEvents = s.nEvents + 1))
+                  cur = Some(s.copy(lastUs = us, nEvents = s.nEvents + 1,
+                    first = extend(s.first)))
                 case Some(s) =>
-                  closed += SessionOut(userId, s.sessionNum, s.nEvents,
-                    new java.sql.Timestamp(s.startUs / 1000))
-                  cur = Some(SessionState(s.sessionNum + 1, us, us, 1))
+                  closed += emit(s)
+                  cur = Some(SessionState(s.sessionNum + 1, us, us, 1,
+                    Seq(e.event_type)))
                 case None =>
-                  cur = Some(SessionState(1, us, us, 1))
+                  cur = Some(SessionState(1, us, us, 1, Seq(e.event_type)))
               }
             }
             cur.foreach { s =>

@@ -17,10 +17,7 @@ class PlanRuleSpec extends SparkSpec {
 
   private def orders = spark.read.parquet(s"$sfDir/orders.parquet")
 
-  private def events = {
-    val raw = spark.read.parquet(s"$sfDir/events.parquet")
-    raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-  }
+  private def events = graft.io.Tables.eventsMicros(spark, sfDir)
 
   test("DATE column: formatted-string compares push as native date filters") {
     val df = orders.filter(date_format(col("o_orderdate"), "yyyy-MM-dd") < "1995-03-15")
@@ -39,22 +36,26 @@ class PlanRuleSpec extends SparkSpec {
   }
 
   test("TIMESTAMP column: formatted equality becomes a day range; pushes on µs parquet") {
-    // the reference's raw-string daily-extract shape (SURVEY S3). On the
-    // nanos-as-long testdata the ts column is derived (timestamp_micros),
-    // so the bounds stay in the Filter; the rewrite itself must still
-    // replace the per-row formatter with native bounds
+    // the reference's raw-string daily-extract shape (SURVEY S3). On
+    // Spark 4.1+ the nanos testdata reads as TIMESTAMP_NTZ and the
+    // adapter's ts is Cast(ntz AS timestamp) — the rule unwraps the cast
+    // (fixed-offset UTC session) and bounds the bare NTZ attribute, so
+    // the range reaches PushedFilters of the RAW nanos scan itself
     val df = events.filter(date_format(col("ts"), "yyyy-MM-dd") === "2024-01-18")
       .select("event_id")
     val p = plan(df)
     assert(p.contains(">= 2024-01-18 00:00:00") && p.contains("< 2024-01-19 00:00:00"),
       p.take(800))
+    assert(p.contains("PushedFilters: [IsNotNull(ts), GreaterThanOrEqual(ts,2024-01-18T00:00)"),
+      p.take(1200))
     val native = events.filter(col("ts") >= to_timestamp(lit("2024-01-18 00:00:00")) &&
       col("ts") < to_timestamp(lit("2024-01-19 00:00:00")))
       .select("event_id")
     assert(sortedRows(df) === sortedRows(native))
     assert(df.count() > 0)
 
-    // on a REAL µs-timestamp parquet the range reaches PushedFilters
+    // on a re-materialized µs-LTZ parquet (the cast column written out,
+    // r3's original fixture) the plain TIMESTAMP branch still pushes
     val dir = java.nio.file.Files.createTempDirectory("graft_rule_ts").toString
     events.select("event_id", "ts").write.mode("overwrite").parquet(dir)
     val pushed = spark.read.parquet(dir)

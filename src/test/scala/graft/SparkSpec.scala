@@ -26,8 +26,6 @@ object SparkSpec {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // testdata events.parquet is TIMESTAMP(NANOS)
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // native functions + date-string-compare pushdown rule
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .getOrCreate()

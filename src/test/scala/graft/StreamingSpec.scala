@@ -15,11 +15,11 @@ class StreamingSpec extends SparkSpec {
   private val sfDir = "/root/testdata/sf0.001"
 
   private lazy val eventsDir: String = {
-    // re-materialize events at µs precision (source file is TIMESTAMP(NANOS),
-    // which the file STREAM source cannot read directly)
+    // re-materialize events at µs session-zone TIMESTAMP (source file is
+    // TIMESTAMP(NANOS), which the file STREAM source's fixed schema cannot
+    // read directly; eventsMicros normalizes whatever the runtime reads)
     val dir = Files.createTempDirectory("graft_stream_events").toString
-    spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    graft.io.Tables.eventsMicros(spark, sfDir)
       .write.mode("overwrite").parquet(dir)
     dir
   }
@@ -230,11 +230,11 @@ class StreamingSpec extends SparkSpec {
     assert(sortedRows(streamed) === sortedRows(batch))
   }
 
-  test("streaming sessionization matches batch q40 for emitted sessions") {
+  test("streaming sessionization matches batch q40 sessions and q158 paths") {
     val out = Files.createTempDirectory("graft_sess_out").toString
     implicit val s = spark
     val ev = StreamPipelines.readEvents(spark, eventsDir)
-      .select(col("event_id"), col("ts"), col("user_id"))
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
       .as[StreamPipelines.SessionEvent]
     val q = StreamPipelines.sessionize(ev)
       .writeStream.format("memory").queryName("sessions")
@@ -246,10 +246,33 @@ class StreamingSpec extends SparkSpec {
       .select(col("user_id"), col("session_num").cast("long").as("session_num"),
         col("n_events"))
 
-    val streamed = spark.table("sessions").select("user_id", "session_num", "n_events")
+    val streamed = spark.table("sessions")
     assert(streamed.count() > 0)
     // every emitted (closed/timed-out) session must equal its batch twin
-    assert(streamed.join(batch, Seq("user_id", "session_num", "n_events")).count()
+    assert(streamed.select("user_id", "session_num", "n_events")
+      .join(batch, Seq("user_id", "session_num", "n_events")).count()
+      === streamed.count())
+
+    // ...and its PATH must equal q158's per-session first-5 aggregation
+    // (the independent-harness pin for the newest registry query): rebuild
+    // the batch per-session path frame with q158's exact inner shape
+    import org.apache.spark.sql.expressions.Window
+    val bev = spark.read.parquet(eventsDir)
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val batchPaths = bev
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+      .withColumn("new_session",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > 1800000000L, 1).otherwise(0))
+      .withColumn("session_num", sum("new_session").over(run))
+      .groupBy("user_id", "session_num")
+      .agg(slice(array_sort(collect_list(struct(
+        col("ts"), col("event_id"), col("event_type")))), 1, 5).as("s5"))
+      .select(col("user_id"), col("session_num").cast("long").as("session_num"),
+        concat_ws(">", expr("transform(s5, x -> x.event_type)")).as("path"))
+    assert(streamed.select("user_id", "session_num", "path")
+      .join(batchPaths, Seq("user_id", "session_num", "path")).count()
       === streamed.count())
   }
 
