@@ -611,6 +611,87 @@ object QScale {
         |SELECT bucket, CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(cents) AS BIGINT) AS sum_cents,
         |  min(id) AS min_id, max(id) AS max_id
-        |FROM t WHERE id >= 25000 AND id < 50000 GROUP BY 1""".stripMargin))
+        |FROM t WHERE id >= 25000 AND id < 50000 GROUP BY 1""".stripMargin)),
+
+    // ROLLING-WINDOW DISTINCT via mergeable sketch partials — the q145
+    // incremental-distinct argument extended from a refreshable TOTAL to a
+    // rolling 7-day window: per-day HLL partials (the artifact a 100 TB
+    // pipeline stores once per ingest day) union-merge across a 7-row
+    // window over the DAY-GRAIN series, so the trailing-distinct series
+    // costs one pass over kilobyte sketches — no user-level data is ever
+    // re-shuffled per window. The exact twin (q96's bounded ≤7× fan-out)
+    // hash-matches, and the sketch estimate carries a 5% oracle-asserted
+    // error contract (lgK=14 ⇒ rsd ≈ 0.8%). The window is global but sits
+    // on the ~31-row day aggregate — bounded by construction.
+    Qry("q162_rolling_distinct",
+      (s, dir) => {
+        val ev = events(s, dir).select(to_date(col("ts")).as("day"), col("user_id"))
+        val days = ev.groupBy("day").agg(count(lit(1)).as("n_events"),
+          expr("hll_sketch_agg(user_id, 14)").as("sk"))
+        val w = Window.orderBy("day").rowsBetween(-6, 0)
+        val est = days.withColumn("sk7", expr("hll_union_agg(sk)").over(w))
+          .withColumn("n7_approx", expr("hll_sketch_estimate(sk7)"))
+        val fan = ev.distinct()
+          .select(col("user_id"),
+            explode(sequence(col("day"), date_add(col("day"), 6))).as("day"))
+        val exact = fan.groupBy("day")
+          .agg(countDistinct("user_id").as("n_users_7d_exact"))
+        est.join(exact, Seq("day"))
+          .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+            col("n_events"), col("n_users_7d_exact"),
+            (abs(col("n7_approx") - col("n_users_7d_exact")) /
+              col("n_users_7d_exact") <= 0.05).as("ok_7d"))
+      },
+      Some("""WITH days AS (SELECT CAST(ts AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS n_events FROM events GROUP BY 1),
+        |ud AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+        |f AS (SELECT d.day, u.user_id FROM days d
+        |  JOIN ud u ON u.day BETWEEN d.day - 6 AND d.day),
+        |x AS (SELECT day, CAST(count(DISTINCT user_id) AS BIGINT)
+        |    AS n_users_7d_exact FROM f GROUP BY 1)
+        |SELECT strftime(d.day, '%Y-%m-%d') AS day, d.n_events,
+        |  x.n_users_7d_exact, TRUE AS ok_7d
+        |FROM days d JOIN x USING (day)""".stripMargin)),
+
+    // DEDUP SURVIVORSHIP report — the per-source audit every curation run
+    // ships with its output: which corpus slices survived near-dup
+    // deduplication and at what rate. THIRD consumer of the shared
+    // materialized cluster labels (q72 emits them, q134 splits on them):
+    // this plan is a label scan + one aggregate — no third closure, no
+    // third band join. Keep-policy fidelity: min-label propagation labels
+    // every cluster by its smallest member id, so "kept" is exactly
+    // doc_id = cluster_id (the canonical min-id representative), a
+    // zero-join test. Buckets follow the injected-duplicate layout of
+    // docsWithDups (originals / suffix near-dups / verbatim copies).
+    Qry("q163_dedup_survivorship",
+      (s, dir) => {
+        val bucket = when(col("doc_id") < 10000, "original")
+          .when(col("doc_id") < 20000, "near_dup_suffix")
+          .otherwise("verbatim_dup")
+        graft.queries.ClusterLabels(s, dir)
+          .select(bucket.as("bucket"),
+            (col("doc_id") === col("cluster_id")).as("kept"),
+            (col("n_members") > 1).as("clustered"))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+            sum(when(!col("kept"), 1L).otherwise(0L)).as("n_removed"),
+            sum(when(col("clustered"), 1L).otherwise(0L)).as("n_in_dup_clusters"))
+          .orderBy("bucket")
+      },
+      Some {
+        val q72Sql = QLlm.all.find(_.name == "q72_dedup_clusters").get.sql.get
+        s"""SELECT CASE WHEN doc_id < 10000 THEN 'original'
+           |    WHEN doc_id < 20000 THEN 'near_dup_suffix'
+           |    ELSE 'verbatim_dup' END AS bucket,
+           |  CAST(count(*) AS BIGINT) AS n_docs,
+           |  CAST(sum(CASE WHEN doc_id = cluster_id THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_kept,
+           |  CAST(sum(CASE WHEN doc_id <> cluster_id THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_removed,
+           |  CAST(sum(CASE WHEN n_members > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_in_dup_clusters
+           |FROM ($q72Sql) b GROUP BY 1 ORDER BY 1""".stripMargin
+      })
   )
 }

@@ -331,6 +331,14 @@ class PlanBudgetSpec extends SparkSpec {
     assert(shuffles("q160_profile_drift") <= 4)
     // DSv2 connector: the 97-bucket rollup is the only exchange
     assert(shuffles("q161_synthetic_source") <= 1)
+    // rolling distinct: day-sketch agg + the bounded day-grain window +
+    // the exact twin's distinct/fan-out aggregates + the day-grain join —
+    // user-level rows shuffle once (the distinct), never per window
+    assert(shuffles("q162_rolling_distinct") <= 8)
+    // survivorship: a label scan + ONE aggregate + the 3-row sort — the
+    // third consumer of the materialized labels adds no closure/band join
+    assert(shuffles("q163_dedup_survivorship") <= 2)
+    assert(!planOf("q163_dedup_survivorship").contains("SortMergeJoin"))
   }
 
   test("per-group exact quantiles hold the bounded histogram shape") {
