@@ -692,6 +692,34 @@ object QScale {
            |  CAST(sum(CASE WHEN n_members > 1 THEN 1 ELSE 0 END) AS BIGINT)
            |    AS n_in_dup_clusters
            |FROM ($q72Sql) b GROUP BY 1 ORDER BY 1""".stripMargin
-      })
+      }),
+
+    // RAW-STRING DAILY EVENT EXTRACT — the reference's S3 shape
+    // (`date_format(col) = 'yyyy-MM-dd'`, its daily incremental filter)
+    // aimed at the EVENT STREAM, the table that is actually 100 TB in
+    // production. The formatter-string compare is the classic
+    // pushdown-killing anti-pattern; the DateStringComparePushdown rule
+    // rewrites it to day bounds on the BARE column — including through
+    // Spark 4.1's TIMESTAMP_NTZ read of the nanos parquet, where the
+    // analyzer's Cast(ntz AS timestamp) under date_format is unwrapped —
+    // so the predicate reaches PushedFilters / row-group pruning of the
+    // raw scan (plan-asserted in PlanBudgetSpec). Aggregates avoid the
+    // count-distinct Expand trap by design (PERF win #12).
+    Qry("q164_event_daily_extract",
+      (s, dir) => {
+        val ev = events(s, dir)
+        ev.filter(date_format(col("ts"), "yyyy-MM-dd") === "2024-01-18")
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            sum(round(col("value") * 100, 0).cast("long")).as("sum_cents"),
+            min("event_id").as("min_event_id"),
+            max("event_id").as("max_event_id"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+        |  min(event_id) AS min_event_id, max(event_id) AS max_event_id
+        |FROM events WHERE strftime(ts, '%Y-%m-%d') = '2024-01-18'
+        |GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }

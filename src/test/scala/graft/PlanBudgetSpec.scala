@@ -339,6 +339,13 @@ class PlanBudgetSpec extends SparkSpec {
     // third consumer of the materialized labels adds no closure/band join
     assert(shuffles("q163_dedup_survivorship") <= 2)
     assert(!planOf("q163_dedup_survivorship").contains("SortMergeJoin"))
+    // daily event extract: the formatter-string filter must be rewritten
+    // to day bounds that reach the RAW event scan — through the NTZ read's
+    // analyzer cast — or 100 TB of events are scanned for one day
+    assert(shuffles("q164_event_daily_extract") <= 2)
+    assert(planOf("q164_event_daily_extract")
+      .contains("PushedFilters: [IsNotNull(ts), GreaterThanOrEqual(ts,2024-01-18T00:00)"),
+      planOf("q164_event_daily_extract").take(900))
   }
 
   test("per-group exact quantiles hold the bounded histogram shape") {
