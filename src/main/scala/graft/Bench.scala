@@ -89,7 +89,8 @@ object Bench {
     // THROWS is a failure, not a timing: it lands in `failed` with its
     // message and is excluded from per-query times and the total (r4
     // recorded four time-to-throw values as 14x "speedups").
-    val nRuns = sys.env.getOrElse("SPARK_GRAFT_RUNS", "1").toInt.max(1)
+    val nRuns = scala.util.Try(sys.env.getOrElse("SPARK_GRAFT_RUNS", "1").trim.toInt)
+      .getOrElse(1).max(1)
     val times = scala.collection.mutable.LinkedHashMap[String, Double]()
     val failed = scala.collection.mutable.LinkedHashMap[String, String]()
     for (run <- 1 to nRuns) {

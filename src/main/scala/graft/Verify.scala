@@ -56,9 +56,15 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    val errJson = failed.map { case (k, v) => s"${q(k)}: ${q(v)}" }
-      .mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/errors.json"), errJson)
+    // errors.json summarizes a FULL-registry run only; on a targeted
+    // re-run (`only` filter) the per-query _ERROR markers are the source
+    // of truth — rewriting the summary from a partial run would erase the
+    // record of failures in queries that weren't re-run
+    if (only.isEmpty) {
+      val errJson = failed.map { case (k, v) => s"${q(k)}: ${q(v)}" }
+        .mkString("{", ",", "}")
+      Files.writeString(Paths.get(s"$outDir/errors.json"), errJson)
+    }
     if (failed.nonEmpty)
       System.err.println(s"[verify] ${failed.size} FAILED: ${failed.keys.mkString(", ")}")
     // rc stays 0: the per-query artifacts above are the failure signal —

@@ -27,8 +27,22 @@ object ClusterLabels {
 
   private val memo = scala.collection.concurrent.TrieMap[String, String]()
 
-  /** Drop all memoized materializations (next call rebuilds). */
-  def reset(): Unit = memo.clear()
+  /** Drop all memoized materializations (next call rebuilds) AND delete
+    * their scratch directories — a multi-run bench resets per run, and at
+    * a real scale factor the labels artifact is corpus-sized; leaking one
+    * copy per run would fill the temp volume. */
+  def reset(): Unit = {
+    memo.values.foreach { p =>
+      try deleteRec(new java.io.File(p).getParentFile)
+      catch { case _: Exception => () } // scratch cleanup is best-effort
+    }
+    memo.clear()
+  }
+
+  private def deleteRec(f: java.io.File): Unit = if (f != null && f.exists()) {
+    if (f.isDirectory) f.listFiles().foreach(deleteRec)
+    f.delete()
+  }
 
   def apply(s: SparkSession, dir: String): DataFrame = {
     val path = memo.getOrElseUpdate(dir, {

@@ -628,8 +628,13 @@ object QScale {
         val ev = events(s, dir).select(to_date(col("ts")).as("day"), col("user_id"))
         val days = ev.groupBy("day").agg(count(lit(1)).as("n_events"),
           expr("hll_sketch_agg(user_id, 14)").as("sk"))
-        val w = Window.orderBy("day").rowsBetween(-6, 0)
-        val est = days.withColumn("sk7", expr("hll_union_agg(sk)").over(w))
+        // CALENDAR-day frame (rangeBetween over the epoch-day ordinal), not
+        // a 7-ROW frame: a zero-event day in the series must NOT silently
+        // widen the window to 8+ calendar days
+        val w = Window.orderBy("d_ord").rangeBetween(-6, 0)
+        val est = days
+          .withColumn("d_ord", datediff(col("day"), to_date(lit("1970-01-01"))))
+          .withColumn("sk7", expr("hll_union_agg(sk)").over(w))
           .withColumn("n7_approx", expr("hll_sketch_estimate(sk7)"))
         val fan = ev.distinct()
           .select(col("user_id"),

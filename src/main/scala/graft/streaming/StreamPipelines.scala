@@ -129,11 +129,16 @@ object StreamPipelines {
             state.remove()
             Iterator(emit(s))
           } else {
-            val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            // full-µs event time: Timestamp.getTime is ms-truncated, and the
+            // testdata carries real sub-ms micros — ordering at ms precision
+            // could diverge from the batch twin (q40/q158 order by exact ts)
+            def micros(t: java.sql.Timestamp): Long =
+              math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+            val sorted = it.toSeq.sortBy(e => (micros(e.ts), e.event_id))
             var cur = state.getOption
             val closed = Seq.newBuilder[SessionOut]
             sorted.foreach { e =>
-              val us = e.ts.getTime * 1000
+              val us = micros(e.ts)
               def extend(f: Seq[String]) =
                 if (f.length < pathLen) f :+ e.event_type else f
               cur match {

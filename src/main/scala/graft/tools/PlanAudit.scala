@@ -13,6 +13,10 @@ object PlanAudit {
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      // same extensions as Bench/Verify — the pushdown-rule plans this
+      // tool audits must be the plans those harnesses run
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     args.tail.foreach { name =>

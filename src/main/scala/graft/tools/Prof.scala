@@ -12,6 +12,9 @@ object Prof {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // same extensions as Bench/Verify — the pushdown-rule plans this
+      // tool audits must be the plans those harnesses run
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     args.tail.foreach { name =>

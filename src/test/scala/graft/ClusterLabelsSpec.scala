@@ -35,10 +35,12 @@ class ClusterLabelsSpec extends SparkSpec {
     // memoized read returns identical content
     val b = ClusterLabels(spark, sfDir)
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
-    // rebuild after reset is deterministic (fresh scratch dir, same labels)
+    // rebuild after reset is deterministic (reset deletes the old scratch
+    // dir, so pin a's content on the driver before invalidating it)
+    val aRows = sortedRows(a)
+    a.unpersist()
     ClusterLabels.reset()
     val c = ClusterLabels(spark, sfDir)
-    assert(a.exceptAll(c).isEmpty && c.exceptAll(a).isEmpty)
-    a.unpersist()
+    assert(sortedRows(c) === aRows)
   }
 }
