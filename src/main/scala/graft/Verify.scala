@@ -56,15 +56,19 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    // errors.json summarizes a FULL-registry run only; on a targeted
-    // re-run (`only` filter) the per-query _ERROR markers are the source
-    // of truth — rewriting the summary from a partial run would erase the
-    // record of failures in queries that weren't re-run
-    if (only.isEmpty) {
-      val errJson = failed.map { case (k, v) => s"${q(k)}: ${q(v)}" }
-        .mkString("{", ",", "}")
-      Files.writeString(Paths.get(s"$outDir/errors.json"), errJson)
-    }
+    // errors.json is DERIVED from the per-query _ERROR markers on disk —
+    // the markers are the single source of truth, so a targeted re-run
+    // (`only` filter) that fixes a query also drops it from the summary,
+    // while failures in queries that weren't re-run keep their markers
+    // and stay listed. (The r5 scheme only rewrote the summary on full
+    // runs, so after a targeted fix the two signals could disagree.)
+    val markers = Option(new java.io.File(outDir).listFiles()).getOrElse(Array())
+      .filter(d => d.isDirectory && new java.io.File(d, "_ERROR").exists())
+      .sortBy(_.getName)
+      .map(d => d.getName -> Files.readString(Paths.get(d.getPath, "_ERROR")))
+    val errJson = markers.map { case (k, v) => s"${q(k)}: ${q(v)}" }
+      .mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/errors.json"), errJson)
     if (failed.nonEmpty)
       System.err.println(s"[verify] ${failed.size} FAILED: ${failed.keys.mkString(", ")}")
     // rc stays 0: the per-query artifacts above are the failure signal —

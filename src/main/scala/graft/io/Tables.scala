@@ -66,7 +66,22 @@ object Tables {
     val raw = events(spark, dir)
     raw.schema("ts").dataType match {
       case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case TimestampNTZType => raw.withColumn("ts", col("ts").cast("timestamp"))
+      case TimestampNTZType =>
+        // the NTZ->LTZ cast interprets the wall-clock in the SESSION zone;
+        // it is the identity on the underlying micros (= DuckDB's read of
+        // the same file) only under a zero-offset session. A non-UTC
+        // caller would silently shift every ts and break oracle-hash
+        // parity, so enforce the precondition instead of documenting it.
+        // (Kept as a plain cast rather than a zone-pinning convert:
+        // DateStringComparePushdown unwraps exactly this cast shape to
+        // push day bounds into the raw NTZ scan — q164's PushedFilters.)
+        val tz = spark.sessionState.conf.sessionLocalTimeZone
+        val rules = java.time.ZoneId.of(tz).getRules
+        require(rules.isFixedOffset &&
+            rules.getOffset(java.time.Instant.EPOCH).getTotalSeconds == 0,
+          s"eventsMicros requires a zero-offset session timeZone " +
+            s"(spark.sql.session.timeZone=UTC); got '$tz'")
+        raw.withColumn("ts", col("ts").cast("timestamp"))
       case _ => raw
     }
   }

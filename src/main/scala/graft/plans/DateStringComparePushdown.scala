@@ -131,9 +131,19 @@ object DateStringComparePushdown extends Rule[LogicalPlan] {
       // the same session) and the zone has no DST, cast-then-render is the
       // identity on the naive value, so we unwrap and bound the BARE NTZ
       // attribute: the predicate reaches PushedFilters / row-group pruning.
-      case Cast(inner, TimestampType, castTz, _)
-          if inner.dataType == TimestampNTZType && castTz == tz && fixedOffset(tz) =>
-        ntzRewrite(cmp, inner, day)
+      case Cast(inner, TimestampType, castTz, _) if inner.dataType == TimestampNTZType =>
+        // Zero-offset render zone: unwrap and bound the bare NTZ attribute.
+        // ANY other zone: leave the expression COMPLETELY alone — do not
+        // fall through to tsRewrite on the cast. Rewriting on the cast is
+        // sound by itself (zoned day-start instants), but it arms Spark's
+        // own UnwrapCastInBinaryComparison, which converts the instant
+        // bounds back to naive NTZ literals and is unsound across a DST
+        // gap: the NTZ→LTZ cast maps every naive value inside a skipped
+        // interval AND the first value after it to the same instant, so a
+        // single naive bound cannot represent the instant bound (observed:
+        // Pacific/Apia's skipped 2011-12-30 — the rewrite dropped the
+        // whole gap day from an equality extract; PlanRuleSpec pins it).
+        if (castTz == tz && fixedOffset(tz)) ntzRewrite(cmp, inner, day) else None
       case _ => fmtChild.dataType match {
         case DateType => cmp match {
           case _: EqualTo | _: EqualNullSafe | _: LessThan | _: LessThanOrEqual |

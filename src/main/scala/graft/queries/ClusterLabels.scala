@@ -15,24 +15,52 @@ import graft.text.TextOps
   * production pipeline PERSISTS — dedup labels are a pipeline artifact, not
   * a per-query recomputation.
   *
-  * So: built ONCE per (JVM, input dir) and materialized to scratch parquet;
-  * every later call reads the artifact (plan: a bare parquet scan — no band
-  * self-join, no closure). The memo is JVM-local and the scratch dir is
-  * freshly created per JVM, so a code change can never serve stale labels
-  * across builds. [[graft.Bench]] calls [[reset]] between timed runs so a
-  * multi-run bench pays the build exactly once per run (whichever consumer
-  * runs first), keeping per-run totals honest.
+  * So: built ONCE per (JVM, input fingerprint) and materialized to scratch
+  * parquet; every later call reads the artifact (plan: a bare parquet scan —
+  * no band self-join, no closure). The memo key is a CONTENT fingerprint of
+  * the documents table (relative path + length + mtime of every data file),
+  * not the dir string — a mutated input can never serve stale labels, which
+  * is the contract a production pipeline artifact needs. The memo is
+  * JVM-local and scratch dirs are deleted on [[reset]] AND by a JVM
+  * shutdown hook (Verify exits without calling reset; at a real scale
+  * factor a leaked artifact is corpus-sized). [[graft.Bench]] calls
+  * [[reset]] between timed runs so a multi-run bench pays the build exactly
+  * once per run (whichever consumer runs first), keeping per-run totals
+  * honest.
   */
 object ClusterLabels {
 
-  private val memo = scala.collection.concurrent.TrieMap[String, String]()
+  // ConcurrentHashMap.computeIfAbsent is atomic per key: concurrent first
+  // callers block on ONE build instead of racing two builds into temp dirs
+  // of which one would leak forever (TrieMap.getOrElseUpdate ran the thunk
+  // outside the map lock)
+  private val memo = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private val hooked = new java.util.concurrent.atomic.AtomicBoolean(false)
+  private def ensureShutdownHook(): Unit =
+    if (hooked.compareAndSet(false, true))
+      Runtime.getRuntime.addShutdownHook(new Thread(() => reset()))
+
+  /** Content fingerprint of the build's only input (the documents table):
+    * every data file's name, byte length, and mtime. Cheap (directory
+    * metadata only — no data read) and exactly as strong as parquet
+    * immutability conventions: any rewrite changes length or mtime. */
+  private def fingerprint(dir: String): String = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().sortBy(_.getName).toSeq.flatMap(walk)
+      else Seq(f)
+    val root = new java.io.File(s"$dir/documents.parquet")
+    val sig = walk(root)
+      .map(f => s"${f.getName}:${f.length}:${f.lastModified}").mkString("|")
+    s"$dir#${java.util.UUID.nameUUIDFromBytes(sig.getBytes("UTF-8"))}"
+  }
 
   /** Drop all memoized materializations (next call rebuilds) AND delete
     * their scratch directories — a multi-run bench resets per run, and at
     * a real scale factor the labels artifact is corpus-sized; leaking one
     * copy per run would fill the temp volume. */
   def reset(): Unit = {
-    memo.values.foreach { p =>
+    memo.values.forEach { p =>
       try deleteRec(new java.io.File(p).getParentFile)
       catch { case _: Exception => () } // scratch cleanup is best-effort
     }
@@ -45,10 +73,14 @@ object ClusterLabels {
   }
 
   def apply(s: SparkSession, dir: String): DataFrame = {
-    val path = memo.getOrElseUpdate(dir, {
-      val out = java.nio.file.Files
-        .createTempDirectory("graft_cluster_labels").toString + "/labels"
-      build(s, dir, out)
+    ensureShutdownHook()
+    val path = memo.computeIfAbsent(fingerprint(dir), _ => {
+      val scratch = java.nio.file.Files.createTempDirectory("graft_cluster_labels")
+      val out = scratch.toString + "/labels"
+      // a failed build must not leak its scratch dir (only memoized paths
+      // are reachable by reset)
+      try build(s, dir, out)
+      catch { case e: Throwable => deleteRec(scratch.toFile); throw e }
       out
     })
     s.read.parquet(path)

@@ -91,7 +91,14 @@ object StreamPipelines {
                                 event_type: String)
 
   /** Open-session accumulator carried in the state store (O(1) per user:
-    * the path prefix is capped at [[pathLen]] event types). */
+    * the path prefix is capped at [[pathLen]] event types).
+    *
+    * STATE SCHEMA VERSIONING: this case class IS the
+    * flatMapGroupsWithState state encoder schema. Any field change (the
+    * `first` path buffer was added after the initial release) invalidates
+    * checkpoints written by the previous schema — a restarted stream will
+    * fail or misdecode state. On upgrade, restart with a fresh checkpoint
+    * location (or a new queryName) rather than resuming the old one. */
   final case class SessionState(sessionNum: Long, startUs: Long, lastUs: Long,
                                 nEvents: Long, first: Seq[String])
 

@@ -43,4 +43,33 @@ class ClusterLabelsSpec extends SparkSpec {
     val c = ClusterLabels(spark, sfDir)
     assert(sortedRows(c) === aRows)
   }
+
+  test("memo keys on input CONTENT: a mutated documents table rebuilds") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val dir = Files.createTempDirectory("graft_cl_fp")
+    val doc = dir.resolve("documents.parquet")
+    Files.copy(Paths.get(s"$sfDir/documents.parquet"), doc,
+      StandardCopyOption.REPLACE_EXISTING)
+    val art1 = ClusterLabels(spark, dir.toString).inputFiles.toSet
+    // unchanged input → the memoized artifact is served again
+    assert(ClusterLabels(spark, dir.toString).inputFiles.toSet === art1)
+    // same bytes, newer mtime = "rewritten table" → fingerprint changes
+    // and the artifact is REBUILT, never served stale
+    assert(doc.toFile.setLastModified(doc.toFile.lastModified() + 2000))
+    val art2 = ClusterLabels(spark, dir.toString).inputFiles.toSet
+    assert(art2.intersect(art1).isEmpty, "stale artifact served after input mutation")
+    ClusterLabels.reset()
+  }
+
+  test("a failed build leaks no scratch directory") {
+    import java.nio.file.Files
+    val tmpRoot = new java.io.File(System.getProperty("java.io.tmpdir"))
+    def scratchDirs = tmpRoot.listFiles()
+      .filter(_.getName.startsWith("graft_cluster_labels")).map(_.getName).toSet
+    val dir = Files.createTempDirectory("graft_cl_bad")
+    Files.writeString(dir.resolve("documents.parquet"), "not parquet")
+    val before = scratchDirs
+    intercept[Throwable] { ClusterLabels(spark, dir.toString).count() }
+    assert(scratchDirs === before, "failed build left a scratch dir behind")
+  }
 }

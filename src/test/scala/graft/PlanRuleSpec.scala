@@ -74,6 +74,44 @@ class PlanRuleSpec extends SparkSpec {
     assert(gt.count() === gtNative.count())
   }
 
+  test("DST-zone session: the NTZ cast shape is left alone, results stay correct") {
+    // In a non-fixed-offset render zone the rule must leave
+    // `date_format(Cast(ntz AS timestamp)) = 'day'` COMPLETELY untouched:
+    // naive bounds are wrong by construction there, and even sound zoned
+    // bounds on the cast get re-unwrapped to naive bounds by Spark's own
+    // UnwrapCastInBinaryComparison — which is unsound across a DST gap
+    // (this exact test caught that as a live wrong-results bug in r6).
+    // Pacific/Apia makes the gap observable at day grain: the zone skipped
+    // ALL of 2011-12-30, so every naive 12-30 value casts forward into
+    // rendered 12-31 — naive-date and rendered-date disagree for a whole
+    // day, and any naive-bound rewrite returns visibly wrong rows.
+    val dir = java.nio.file.Files.createTempDirectory("graft_rule_dst").toString
+    spark.range(0, 72) // hourly naive 2011-12-29T00 .. 2011-12-31T23 (NTZ)
+      .selectExpr("id AS event_id",
+        "timestampadd(HOUR, CAST(id AS INT), TIMESTAMP_NTZ'2011-12-29 00:00:00') AS ts")
+      .write.mode("overwrite").parquet(dir)
+    val prev = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "Pacific/Apia")
+      // The analyzer inserts Cast(ntz AS timestamp) under date_format for
+      // any NTZ column, so this IS the only NTZ shape the optimizer sees
+      // (same as eventsMicros' explicit adapter cast). Rendered dates:
+      // ids 0-23 → 12-29; ids 24-47 (the skipped naive day) cast forward
+      // 24h → 12-31; ids 48-71 → 12-31.
+      def casted(day: String) = spark.read.parquet(dir)
+        .filter(date_format(col("ts").cast("timestamp"), "yyyy-MM-dd") === day)
+        .select("event_id")
+      // no naive bound may reach the scan in either direction
+      val p = plan(casted("2011-12-31"))
+      assert(!p.contains("PushedFilters: [IsNotNull(ts), GreaterThanOrEqual"),
+        s"NTZ bounds pushed in a DST zone:\n${p.take(1200)}")
+      // ...and the ROWS are the rendered-date matches, not the naive ones:
+      // a naive rewrite would return 24 rows for 12-31 and 24 for 12-30
+      assert(sortedRows(casted("2011-12-31")) === (24L until 72L).map(i => Seq(i)))
+      assert(casted("2011-12-30").count() === 0)
+    } finally spark.conf.set("spark.sql.session.timeZone", prev)
+  }
+
   test("guards: non-ISO literals and non-ISO formats stay as string compares") {
     // '1995-3-15' parses as a date loosely but NOT strictly — its string
     // compare ('1995-3...' > '1995-0...') differs from the date compare,
