@@ -8,13 +8,19 @@ import org.apache.spark.sql.functions._
   * with typed metadata, decoded / feature-extracted / resized /
   * frame-sampled via `mapPartitions` over typed Datasets.
   *
-  * The actual codec work is STUBBED (this container ships no image/audio
-  * libraries): `fakeDecode` derives deterministic pseudo-metadata from an
-  * md5 of the payload, clearly marked below. Everything AROUND the stub is
-  * the real production shape — binary-safe schemas, per-partition batch
-  * processing (one decoder init per partition, not per row), narrow
-  * plan (no shuffle introduced by any stage), and explode-shaped frame
-  * sampling — so swapping `fakeDecode` for javacv/ffmpeg is a local change.
+  * The IMAGE branch is REAL: `decodeMeta` and `resize` decode any format
+  * the JDK's built-in `javax.imageio` readers understand (PNG/BMP/GIF/
+  * JPEG/WBMP — zero external dependencies), and `resize` actually
+  * resamples pixels and re-encodes. Audio/video codec work remains
+  * STUBBED (this container ships no media libraries): `fakeDecode`
+  * derives deterministic pseudo-metadata from an md5 of the payload, and
+  * also backstops image payloads no installed reader accepts, so a
+  * corrupt blob degrades to labeled fake metadata instead of failing the
+  * job. Everything around the stub is the real production shape —
+  * binary-safe schemas, per-partition batch processing (one decoder init
+  * per partition, not per row), narrow plan (no shuffle introduced by any
+  * stage), and explode-shaped frame sampling — so swapping the remaining
+  * stub for javacv/ffmpeg is a local change.
   *
   * Scale: all four operators are per-row/narrow; a 100 TB corpus of binary
   * payloads distributes by input split. Keep payloads ≤ a few MB per row
@@ -31,37 +37,89 @@ object Multimodal {
   final case class MediaVec(doc_id: Long, embedding: Array[Float])
 
   /** ======= STUB ======= deterministic fake decoder: md5(payload) →
-    * pseudo (width, height, channels). A real build replaces ONLY this. */
+    * pseudo (width, height, channels). Covers audio/video (no codecs in
+    * this container) and image payloads no ImageIO reader accepts. */
   private def fakeDecode(payload: Array[Byte]): (Int, Int, Int) = {
     val d = MessageDigest.getInstance("MD5").digest(payload)
     def u16(i: Int) = ((d(i) & 0xff) << 8 | (d(i + 1) & 0xff))
     (u16(0) % 1024 + 1, u16(2) % 1024 + 1, Array(1, 3, 4)(u16(4) % 3))
   }
 
-  /** Decode metadata per payload. One decoder instance per PARTITION (the
-    * digest here stands in for a codec context that is expensive to init). */
+  /** REAL image decode via the JDK's bundled ImageIO readers. None when no
+    * installed reader accepts the payload (caller falls back to the stub). */
+  private def decodeImage(payload: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
+    catch { case _: Exception => None }
+
+  /** One-time per-partition codec setup: headless AWT (executors have no
+    * display) and no ImageIO disk-cache (payloads are already in memory —
+    * a temp-file cache per image would thrash executor-local disk). */
+  private def initCodecs(): Unit = {
+    System.setProperty("java.awt.headless", "true")
+    javax.imageio.ImageIO.setUseCache(false)
+  }
+
+  /** Decode metadata per payload: real width/height/channels for any
+    * ImageIO-readable image, stub metadata otherwise. One decoder init per
+    * PARTITION, not per row. */
   def decodeMeta(media: Dataset[Media])(implicit spark: SparkSession): Dataset[ImageMeta] = {
     import spark.implicits._
     media.mapPartitions { it =>
-      // per-partition init happens here in a real decoder
+      initCodecs()
       it.map { m =>
-        val (w, h, c) = fakeDecode(m.payload)
-        ImageMeta(m.doc_id, m.media_type, m.payload.length.toLong, w, h, c)
+        (if (m.media_type == "image") decodeImage(m.payload) else None) match {
+          case Some(img) =>
+            ImageMeta(m.doc_id, m.media_type, m.payload.length.toLong,
+              img.getWidth, img.getHeight, img.getColorModel.getNumComponents)
+          case None =>
+            val (w, h, c) = fakeDecode(m.payload)
+            ImageMeta(m.doc_id, m.media_type, m.payload.length.toLong, w, h, c)
+        }
       }
     }
   }
 
-  /** Resize: payload-in/payload-out, metadata updated. The stub keeps the
-    * payload and clamps dims — the schema and batch shape are the point. */
+  /** Resize to `maxSide` on the longer edge (never upscale). For
+    * ImageIO-readable images this REALLY resamples (bilinear) and
+    * re-encodes as PNG — the reported dims and byte count are measured
+    * from the re-encoded output. Non-decodable payloads keep the stub's
+    * clamp-the-fake-dims behavior. */
   def resize(media: Dataset[Media], maxSide: Int)
             (implicit spark: SparkSession): Dataset[ImageMeta] = {
     import spark.implicits._
-    media.mapPartitions(_.map { m =>
-      val (w, h, c) = fakeDecode(m.payload)
-      val scale = math.min(1.0, maxSide.toDouble / math.max(w, h))
-      ImageMeta(m.doc_id, m.media_type, m.payload.length.toLong,
-        math.max(1, (w * scale).toInt), math.max(1, (h * scale).toInt), c)
-    })
+    media.mapPartitions { it =>
+      initCodecs()
+      it.map { m =>
+        (if (m.media_type == "image") decodeImage(m.payload) else None) match {
+          case Some(img) =>
+            val scale = math.min(1.0, maxSide.toDouble / math.max(img.getWidth, img.getHeight))
+            if (scale >= 1.0) // already within bounds: no resample, no re-encode
+              ImageMeta(m.doc_id, m.media_type, m.payload.length.toLong,
+                img.getWidth, img.getHeight, img.getColorModel.getNumComponents)
+            else {
+              val nw = math.max(1, (img.getWidth * scale).toInt)
+              val nh = math.max(1, (img.getHeight * scale).toInt)
+              val dst = new java.awt.image.BufferedImage(nw, nh,
+                if (img.getColorModel.hasAlpha) java.awt.image.BufferedImage.TYPE_INT_ARGB
+                else java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+              val g = dst.createGraphics()
+              g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+                java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+              g.drawImage(img, 0, 0, nw, nh, null)
+              g.dispose()
+              val bos = new java.io.ByteArrayOutputStream()
+              javax.imageio.ImageIO.write(dst, "png", bos)
+              ImageMeta(m.doc_id, m.media_type, bos.size().toLong,
+                dst.getWidth, dst.getHeight, dst.getColorModel.getNumComponents)
+            }
+          case None =>
+            val (w, h, c) = fakeDecode(m.payload)
+            val scale = math.min(1.0, maxSide.toDouble / math.max(w, h))
+            ImageMeta(m.doc_id, m.media_type, m.payload.length.toLong,
+              math.max(1, (w * scale).toInt), math.max(1, (h * scale).toInt), c)
+        }
+      }
+    }
   }
 
   /** Frame sampling for video payloads: emits `everyNth`-stride frames as

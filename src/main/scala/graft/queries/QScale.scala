@@ -725,6 +725,93 @@ object QScale {
         |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
         |  min(event_id) AS min_event_id, max(event_id) AS max_event_id
         |FROM events WHERE strftime(ts, '%Y-%m-%d') = '2024-01-18'
-        |GROUP BY 1 ORDER BY 1""".stripMargin))
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // IVF RECALL CONTRACT — the number that justifies running IVF at all:
+    // at nprobe < nCentroids (here 4 of 32, probing ~1/8 of the corpus),
+    // per-query recall@5 against the q33 brute-force baseline, computed
+    // EXACTLY on both sides (the oracle re-derives IVF and brute force in
+    // SQL, so the recall values hash-match, and the floor boolean is a
+    // computed comparison on both sides — not a literal TRUE). q45/q56
+    // prove exact recall only at nprobe=all; this row pins the
+    // recall-for-throughput trade itself. The floor applies to the
+    // MICRO-AVERAGED corpus recall (sum hits / sum relevant — integer
+    // sums, so the division is bit-deterministic across engines), not
+    // per query: on near-random embeddings — the worst case for a coarse
+    // quantizer — an individual query can legitimately probe all-miss
+    // lists (observed at sf0.01). Floor 0.25 = 2× the probed corpus
+    // fraction; structured corpora sit far above. VectorOpsSpec asserts
+    // the floor holds on testdata.
+    Qry("q165_ivf_recall",
+      (s, dir) => {
+        import graft.vector.VectorOps
+        val e = QLlm.spread(s, t(s, dir, "embeddings"))
+          .select(col("vec_id").as("id"), col("embedding").as("vec"))
+        val qs = e.filter(col("id") < 10)
+        val exact = VectorOps.bruteForceTopK(qs, e, 5)
+          .select(col("query_id"), col("neighbor_id"))
+        val ivf = VectorOps.ivfSearch(qs, e, nCentroids = 32, nprobe = 4, k = 5)
+          .select(col("query_id"), col("neighbor_id").as("ivf_neighbor_id"))
+        val per = exact.join(ivf,
+            exact("query_id") === ivf("query_id") &&
+              exact("neighbor_id") === ivf("ivf_neighbor_id"), "left")
+          .groupBy(exact("query_id"))
+          .agg(count(lit(1)).as("n_exact"),
+            count(col("ivf_neighbor_id")).as("n_hit"))
+        val micro = per.agg(sum("n_hit").as("tot_hit"), sum("n_exact").as("tot_exact"))
+        per.crossJoin(broadcast(micro)) // 1-row stats frame, q157 shape
+          .select(col("query_id"), col("n_exact"), col("n_hit"),
+            round(col("n_hit").cast("double") / col("n_exact"), 6).as("recall_at_5"),
+            round(col("tot_hit").cast("double") / col("tot_exact"), 6).as("micro_recall_at_5"),
+            (col("tot_hit").cast("double") / col("tot_exact") >= 0.25).as("meets_recall_floor"))
+          .orderBy("query_id")
+      },
+      Some("""WITH e AS (SELECT vec_id AS id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |cents AS (SELECT id AS centroid_id, v AS cvec FROM e
+        |  ORDER BY md5('7|' || CAST(id AS VARCHAR)), id LIMIT 32),
+        |assigned AS (
+        |  SELECT e.id, e.v, c.centroid_id FROM e CROSS JOIN cents c
+        |  QUALIFY row_number() OVER (PARTITION BY e.id ORDER BY
+        |    (list_sum(list_transform(range(1, len(e.v) + 1), i -> e.v[i] * c.cvec[i]))
+        |     / (sqrt(list_sum(list_transform(e.v, x -> x * x)))
+        |        * sqrt(list_sum(list_transform(c.cvec, x -> x * x))))) DESC,
+        |    c.centroid_id) = 1),
+        |q AS (SELECT id AS query_id, v AS qv FROM e WHERE id < 10),
+        |probes AS (
+        |  SELECT q.query_id, q.qv, c.centroid_id FROM q CROSS JOIN cents c
+        |  QUALIFY row_number() OVER (PARTITION BY q.query_id ORDER BY
+        |    (list_sum(list_transform(range(1, len(q.qv) + 1), i -> q.qv[i] * c.cvec[i]))
+        |     / (sqrt(list_sum(list_transform(q.qv, x -> x * x)))
+        |        * sqrt(list_sum(list_transform(c.cvec, x -> x * x))))) DESC,
+        |    c.centroid_id) <= 4),
+        |ivf AS (SELECT query_id, neighbor_id FROM (
+        |    SELECT p.query_id, a.id AS neighbor_id,
+        |      (list_sum(list_transform(range(1, len(p.qv) + 1), i -> p.qv[i] * a.v[i]))
+        |       / (sqrt(list_sum(list_transform(p.qv, x -> x * x)))
+        |          * sqrt(list_sum(list_transform(a.v, x -> x * x))))) AS cos
+        |    FROM probes p JOIN assigned a USING (centroid_id)
+        |    WHERE a.id <> p.query_id)
+        |  QUALIFY row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cos DESC, neighbor_id) <= 5),
+        |bf AS (SELECT query_id, neighbor_id FROM (
+        |    SELECT q.query_id, e.id AS neighbor_id,
+        |      (list_sum(list_transform(range(1, len(q.qv) + 1), i -> q.qv[i] * e.v[i]))
+        |       / (sqrt(list_sum(list_transform(q.qv, x -> x * x)))
+        |          * sqrt(list_sum(list_transform(e.v, x -> x * x))))) AS cos
+        |    FROM q, e WHERE e.id <> q.query_id)
+        |  QUALIFY row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cos DESC, neighbor_id) <= 5),
+        |per AS (SELECT bf.query_id, CAST(count(*) AS BIGINT) AS n_exact,
+        |    CAST(count(ivf.neighbor_id) AS BIGINT) AS n_hit
+        |  FROM bf LEFT JOIN ivf USING (query_id, neighbor_id)
+        |  GROUP BY 1)
+        |SELECT query_id, n_exact, n_hit,
+        |  round(n_hit * 1.0 / n_exact, 6) AS recall_at_5,
+        |  round(sum(n_hit) OVER () * 1.0 / sum(n_exact) OVER (), 6)
+        |    AS micro_recall_at_5,
+        |  sum(n_hit) OVER () * 1.0 / sum(n_exact) OVER () >= 0.25
+        |    AS meets_recall_floor
+        |FROM per ORDER BY 1""".stripMargin))
   )
 }

@@ -39,6 +39,37 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  private def encodeImage(w: Int, h: Int, imgType: Int, fmt: String): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, imgType)
+    for (x <- 0 until w; y <- 0 until h)
+      img.setRGB(x, y, (x * 31 + y * 17) & 0xffffff)
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, fmt, bos), s"no $fmt writer")
+    bos.toByteArray
+  }
+
+  test("REAL image branch: generated PNG/BMP payloads decode to exact dims and channels") {
+    import java.awt.image.BufferedImage._
+    val real = Seq(
+      Media(10L, "image", encodeImage(320, 200, TYPE_INT_RGB, "png")),
+      Media(11L, "image", encodeImage(64, 48, TYPE_3BYTE_BGR, "bmp")),
+      Media(12L, "image", encodeImage(20, 30, TYPE_INT_ARGB, "png"))
+    ).toDS()
+    val metas = Multimodal.decodeMeta(real).collect().map(m => m.doc_id -> m).toMap
+    assert((metas(10L).width, metas(10L).height, metas(10L).n_channels) === ((320, 200, 3)))
+    assert((metas(11L).width, metas(11L).height, metas(11L).n_channels) === ((64, 48, 3)))
+    assert((metas(12L).width, metas(12L).height, metas(12L).n_channels) === ((20, 30, 4)))
+
+    // resize really resamples: the longer edge lands exactly on maxSide,
+    // aspect preserved, alpha preserved; already-small images untouched
+    val rs = Multimodal.resize(real, 100).collect().map(m => m.doc_id -> m).toMap
+    assert((rs(10L).width, rs(10L).height) === ((100, 62)))
+    assert(rs(10L).n_bytes > 0 && rs(10L).n_bytes < metas(10L).n_bytes,
+      "re-encoded downscale should be smaller than the original")
+    assert((rs(11L).width, rs(11L).height, rs(11L).n_bytes) === ((64, 48, metas(11L).n_bytes)))
+    assert((rs(12L).width, rs(12L).height, rs(12L).n_channels) === ((20, 30, 4)))
+  }
+
   test("sampleFrames explodes only video payloads with stride") {
     val frames = Multimodal.sampleFrames(media, everyNth = 2).collect()
     assert(frames.nonEmpty)

@@ -151,4 +151,16 @@ class VectorOpsSpec extends SparkSpec {
     assert(pairs.distinct.size === pairs.size)
     assert(pairs.forall { case (a, b) => a < b })
   }
+
+  test("q165 recall contract: IVF at nprobe=4 clears the micro-recall floor") {
+    // the floor boolean is COMPUTED on both sides of the oracle pair, so
+    // a recall collapse would still hash-match there — this is the test
+    // that actually turns red if the coarse quantizer stops earning its
+    // keep on the known corpus
+    val rows = graft.SparkEntry.queries("q165_ivf_recall")(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Boolean]("meets_recall_floor")),
+      s"micro recall ${rows.head.getAs[Double]("micro_recall_at_5")} below floor")
+  }
 }
