@@ -223,13 +223,34 @@ object QScale {
     // selective. Two scale guards, both oracle-reproduced:
     //   • LENGTH filter — |a∩b| ≥ t·|a∪b| forces t·n_a ≤ n_b ≤ n_a/t,
     //     pruned in the candidate join before any set is scored;
-    //   • hot-token cap — prefix tokens with df > 64 are excluded from
-    //     the candidate INDEX (each contributes df² pairs; a template
-    //     family of m docs would otherwise emit m² candidates — the
-    //     text twin of the q54/q119 band caps). Pairs whose EVERY
-    //     shared prefix token is corpus-hot are deferred to the
-    //     clustering path (q72/q154), which handles mega-families by
-    //     label propagation instead of pairwise output.
+    //   • hot-token cap — prefix tokens with df > max(64, 1% of corpus)
+    //     are excluded from the candidate INDEX (each contributes df²
+    //     pairs; a template family of m docs would otherwise emit m²
+    //     candidates — the text twin of the q54/q119 band caps). The cap
+    //     is RELATIVE above the 64 floor: an absolute cap does not
+    //     survive corpus growth — replicating a corpus K× multiplies
+    //     every df by K, so a fixed 64 silently empties the candidate
+    //     set (recall → 0, observed at 3× on the scaled smoke corpus)
+    //     while max(64, 0.01·N) keeps per-corpus-rare tokens indexed at
+    //     any N yet still excludes the Zipf head (stopwords sit at
+    //     df ≈ 0.3–0.9·N). Pairs whose EVERY shared prefix token is
+    //     corpus-hot are deferred to the clustering path (q72/q154),
+    //     which handles mega-families by label propagation instead of
+    //     pairwise output. An 8192 absolute ceiling rides on top: the
+    //     per-token candidate bound is df²/2 pairs, and a purely
+    //     relative cap would let one 0.01·N token emit O(N²/10⁴) pairs
+    //     at corpus scale — the ceiling keeps the worst single token at
+    //     ≤ 2²⁵ pairs regardless of N. At the oracle scale
+    //     min(max(64, 0.01·N), 8192) = 64, so the scale-aware form is
+    //     bit-identical to the original contract.
+    //     NOTE the division of labor this encodes, verified on the
+    //     replica-scaled corpus (ScaleGen): when a corpus has NO
+    //     sub-cap-rare tokens (every df grows with N — the replica
+    //     corpus at K≥3), the prefix index is rightly empty and the
+    //     join emits nothing in ~flat time; the near-dup clusters are
+    //     still recovered by the banded-LSH labels (q72 rows grow K×).
+    //     Pairwise similarity output is a small-corpus/rare-tail tool;
+    //     label propagation is the corpus-scale one.
     Qry("q153_prefix_filter_join",
       (s, dir) => {
         val d = docsWithDups(s, dir)
@@ -239,13 +260,18 @@ object QScale {
           .cache()
         val dfreq = d.select(col("doc_id"), explode(col("tk")).as("w"))
           .groupBy("w").agg(count(lit(1)).as("df"))
+        // 1-row corpus size, broadcast under every prefix row (the same
+        // scalar-stats shape as the BM25 scorer) — the cap must scale
+        // with N without a driver-side action
+        val nd = d.agg(count(lit(1)).as("n_docs"))
         val prefix = d
           .select(col("doc_id"), size(col("tk")).as("n"), explode(col("tk")).as("w"))
           .join(dfreq, Seq("w"))
           .withColumn("rn", row_number().over(
             Window.partitionBy("doc_id").orderBy("df", "w")))
+          .crossJoin(broadcast(nd))
           .filter(col("rn") <= col("n") - ceil(col("n") * 0.9) + 1 &&
-            col("df") <= 64)
+            col("df") <= least(greatest(lit(64), ceil(col("n_docs") * 0.01)), lit(8192)))
           .select("doc_id", "n", "w")
         val cand = prefix.as("a").join(prefix.as("b"),
             col("a.w") === col("b.w") && col("a.doc_id") < col("b.doc_id") &&
@@ -269,8 +295,10 @@ object QScale {
         |      PARTITION BY doc_id ORDER BY df, w) AS rn
         |  FROM (SELECT doc_id, len(tk) AS n, unnest(tk) AS w FROM docs)
         |  JOIN dfreq USING (w)),
-        |p AS (SELECT doc_id, n, w FROM r
-        |  WHERE rn <= n - ceil(n * 0.9) + 1 AND df <= 64),
+        |nd AS (SELECT count(*) AS n_docs FROM docs),
+        |p AS (SELECT doc_id, n, w FROM r CROSS JOIN nd
+        |  WHERE rn <= n - ceil(n * 0.9) + 1
+        |    AND df <= least(greatest(64, ceil(n_docs * 0.01)), 8192)),
         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
         |  FROM p a JOIN p b ON a.w = b.w AND a.doc_id < b.doc_id
         |    AND b.n >= ceil(a.n * 0.9) AND b.n <= floor(a.n / 0.9)),
