@@ -85,8 +85,12 @@ object ScaleBench {
       for (run <- 1 to nRuns) {
         graft.queries.ClusterLabels.reset() // each run pays the build once
         heavy.foreach { name =>
-          val df = graft.SparkEntry.queries(name)(spark, dir)
+          // construction INSIDE the timer: ClusterLabels.apply eagerly
+          // materializes the closure artifact at DataFrame-construction
+          // time, so timing only the write would silently exclude the
+          // registry's most expensive subtree from its carrier query
           val t0 = System.nanoTime()
+          val df = graft.SparkEntry.queries(name)(spark, dir)
           df.write.format("noop").mode("overwrite").save()
           val dt = (System.nanoTime() - t0) / 1e9
           System.err.println(f"[sbench] $dir%-28s $name%-28s $dt%8.2f s (run $run)")
