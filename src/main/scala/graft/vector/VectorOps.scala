@@ -278,6 +278,151 @@ object VectorOps {
     cur
   }
 
+  /** Deterministic ±1 sign for the JL projection matrix, from md5 parity
+    * (low bit of the first hex nibble) — any engine rebuilds the same
+    * matrix from the formula, no RNG state to ship (the [[planeComponent]]
+    * construction, specialized to Achlioptas ±1 entries). */
+  private def jlSignConst(j: Int, i: Int): Double = {
+    val b0 = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"jl|$j|$i".getBytes("UTF-8"))(0)
+    if (((b0 >> 4) & 1) == 1) 1.0 else -1.0
+  }
+
+  /** Johnson–Lindenstrauss sign projection `inDims` → `outDims`:
+    * `y_j = Σ_i v_i · s(j,i) / sqrt(outDims)` with s = ±1 from
+    * [[jlSignConst]]. Pure per-row expression (the signs constant-fold to
+    * literal arrays at plan time — zero per-row hashing), so it scales
+    * linearly and shuffles nothing: the standard cheap dimensionality
+    * cut before clustering/ANN when 64 float dims are 4× more bytes than
+    * the distance quality needs. Pairwise distances are preserved within
+    * the JL distortion bound — pinned as an oracle contract by q171.
+    * Callers must guarantee `size(vec) == inDims` (zip_with null-pads
+    * otherwise and the sum poisons to null). */
+  def jlProject(vec: Column, outDims: Int, inDims: Int): Column =
+    letOnce(d(vec)) { vd =>
+      array((0 until outDims).map { j =>
+        val signs = typedlit((0 until inDims).map(jlSignConst(j, _)))
+        aggregate(zip_with(vd, signs, (x, sg) => x * sg),
+          lit(0.0), (acc, x) => acc + x) / math.sqrt(outDims.toDouble)
+      }: _*)
+    }
+
+  /** Squared L2 between two double arrays, accumulated in index order —
+    * the left fold matches DuckDB's `list_sum(list_transform(...))`
+    * bit-for-bit (same addition order), so distance comparisons and the
+    * argmin/rank decisions they drive agree across engines. (Public:
+    * q171's distortion contract computes projected-vs-original distance
+    * ratios with the same fold.) */
+  def l2sq(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x)
+
+  /** Per-row explode of a vector into its `m` PQ subvectors:
+    * (…, sub, sv) with `sub` 0-based and `sv` the `subDim`-wide slice. */
+  private def subVectors(vecs: DataFrame, id: Column, vec: Column, m: Int,
+                         subDim: Int): DataFrame =
+    vecs.filter(size(vec) === m * subDim) // symmetric guard (oracle: len(v) = D)
+      .select(id.as("id"), posexplode(transform(sequence(lit(0), lit(m - 1)),
+        s => slice(d(vec), s * subDim + 1, lit(subDim)))).as(Seq("sub", "sv")))
+
+  /** Product-quantization codebook with the same deterministic SAMPLED
+    * construction as [[ivfCentroids]]: the `ks` corpus vectors ranked
+    * first by seeded md5 become the codebook rows; subspace `sub`'s
+    * centroid `cid` is the `sub`-th `subDim`-slice of the sampled row
+    * ranked `cid`. (Sampled codebooks, not Lloyd-refined ones, keep the
+    * construction engine-reproducible — same rationale as IVF; at scale
+    * a PQ codebook is trained on a sample anyway.) Returns
+    * (sub, cid, cvec): m × ks tiny rows — always a broadcast. */
+  def pqCodebook(vecs: DataFrame, m: Int, subDim: Int, ks: Int,
+                 seed: Int = 7): DataFrame = {
+    val w = Window.orderBy(col("__r"), col("id")) // ks rows: single-task OK
+    subVectors(
+      vecs.filter(size(col("vec")) === m * subDim) // BEFORE the sample limit,
+        // so a malformed row can never occupy (and then vacate) a cid slot
+        .withColumn("__r", md5(concat(lit(s"$seed|"), col("id").cast("string"))))
+        .orderBy("__r", "id").limit(ks)
+        .withColumn("cid", (row_number().over(w) - 1).cast("int")),
+      col("cid"), col("vec"), m, subDim)
+      .select(col("sub"), col("id").as("cid"), col("sv").as("cvec"))
+  }
+
+  /** PQ encode: each vector compressed to `m` byte-ish codes — the
+    * 32×-class storage cut that makes billion-scale ANN fit in RAM.
+    * code(id, sub) = argmin over the subspace codebook of squared L2
+    * (ties → smallest cid), computed as a broadcast join plus ONE
+    * map-side-partial aggregate: `min(struct(dist, cid))` is the argmin
+    * (lexicographic struct ordering), so the shuffle carries one slim
+    * (id, sub) row per group — never the ks-way fan-out, never a window
+    * sort. Returns (id, codes: array<int>) with codes in subspace order.
+    */
+  def pqEncode(vecs: DataFrame, m: Int, subDim: Int, ks: Int,
+               seed: Int = 7): DataFrame = {
+    val cb = pqCodebook(vecs, m, subDim, ks, seed)
+    subVectors(vecs, col("id"), col("vec"), m, subDim)
+      .join(broadcast(cb), Seq("sub"))
+      .select(col("id"), col("sub"),
+        struct(l2sq(col("sv"), col("cvec")).as("d"), col("cid").as("cid")).as("dc"))
+      .groupBy("id", "sub").agg(min("dc").as("dc"))
+      .groupBy("id")
+      .agg(transform(array_sort(collect_list(struct(col("sub"), col("dc.cid").as("cid")))),
+        e => e.getField("cid")).as("codes"))
+  }
+
+  /** Asymmetric-distance (ADC) top-k over PQ codes: per query, a tiny
+    * (sub, cid) → partial-distance lookup table (|Q| × m × ks rows —
+    * broadcast by construction), then approximate distance is the sum of
+    * m table lookups per corpus row — the corpus vectors themselves are
+    * never touched at query time, which is the entire point of PQ at
+    * 100 TB (codes are ~1/32 the bytes of the float vectors; scan cost
+    * drops proportionally). The lookup is declared as a broadcast join on
+    * (sub, code) over the m-exploded code rows; per-pair distances fold
+    * in subspace order (array_sort before the sum) so the ranking — and
+    * therefore the emitted (query_id, neighbor_id, rank) rows — is
+    * bit-deterministic across engines. */
+  def pqAdcTopK(queries: DataFrame, corpus: DataFrame, m: Int, subDim: Int,
+                ks: Int, k: Int, seed: Int = 7): DataFrame = {
+    val cb = pqCodebook(corpus, m, subDim, ks, seed)
+    val lut = subVectors(queries, col("id"), col("vec"), m, subDim)
+      .withColumnRenamed("id", "query_id").withColumnRenamed("sv", "qsv")
+      .join(broadcast(cb), Seq("sub"))
+      .select(col("query_id"), col("sub"), col("cid"),
+        l2sq(col("qsv"), col("cvec")).as("pd"))
+    val cand = pqEncode(corpus, m, subDim, ks, seed)
+      .select(col("id").as("neighbor_id"), posexplode(col("codes")).as(Seq("sub", "cid")))
+      .join(broadcast(lut), Seq("sub", "cid"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .groupBy("query_id", "neighbor_id")
+      .agg(aggregate(array_sort(collect_list(struct(col("sub"), col("pd")))),
+        lit(0.0), (acc, e) => acc + e.getField("pd")).as("adist"))
+    val w = Window.partitionBy("query_id").orderBy(col("adist"), col("neighbor_id"))
+    cand.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+  }
+
+  /** Two-stage PQ search — ADC shortlist, then EXACT re-rank: the
+    * production shape for compressed-domain ANN. Pure ADC ranking on a
+    * 32× lossy code is weak on near-random vectors (recall@5 ≈ 0.1 on
+    * the testdata corpus); re-ranking the top-`shortlist` ADC candidates
+    * with exact cosine recovers most of it (≈ 0.54–0.66 observed) while
+    * still touching only |Q| × shortlist original vectors instead of the
+    * whole corpus — at 100 TB the full-precision vectors stay on disk
+    * and only the shortlist pages in. The shortlist (|Q| × shortlist slim
+    * id pairs) broadcasts against the corpus scan, so the re-rank is one
+    * narrow pass + a tiny window. */
+  def pqSearchRerank(queries: DataFrame, corpus: DataFrame, m: Int, subDim: Int,
+                     ks: Int, shortlist: Int, k: Int, seed: Int = 7): DataFrame = {
+    val short = pqAdcTopK(queries, corpus, m, subDim, ks, shortlist, seed)
+      .select(col("query_id"), col("neighbor_id"))
+    val sq = short.join(
+      queries.select(col("id").as("query_id"), col("vec").as("qv")), Seq("query_id"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    corpus.select(col("id").as("neighbor_id"), col("vec").as("cv"))
+      .join(broadcast(sq), Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), cosine(col("qv"), col("cv")).as("cos"))
+      .filter(col("cos").isNotNull)
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+  }
+
   /** Bucketed ANN: exact cosine evaluated only on bucket-colliding pairs.
     * Returns candidate pairs (id_a < id_b) with their cosine — the
     * IVF/LSH-style recall-for-throughput trade, with the pair join

@@ -348,6 +348,38 @@ class PlanBudgetSpec extends SparkSpec {
       planOf("q164_event_daily_extract").take(900))
   }
 
+  test("r6 additions: PQ / JL / OLS / correlation plan shapes") {
+    // PQ ADC: codebook + per-query LUT ride broadcasts (m×ks and
+    // |Q|×m×ks rows); encode argmin is a map-side-partial min(struct)
+    // aggregate — the shuffles carry slim (id,sub,code) rows only
+    assert(shuffles("q166_pq_adc_topk") <= 10)
+    assert(planOf("q166_pq_adc_topk").contains("BroadcastExchange"))
+    // JL projection: the ±1 matrix constant-folds to literals, so the
+    // projection is a pure narrow map; the only exchange is the
+    // deliberate CPU-spread repartition after the single-file scan
+    assert(shuffles("q170_jl_project") <= 1)
+    // OLS trend: one fact-side join shuffle + the month-grain and
+    // nation-grain aggregates; the nation dim stays a broadcast
+    assert(shuffles("q168_ols_trend") <= 4)
+    assert(planOf("q168_ols_trend").contains("BroadcastExchange"))
+    // correlation profile: ONE aggregate pass computes all 14 power sums
+    // (no Expand, no per-measure scans) — the only exchange is its
+    // partial→final step
+    assert(shuffles("q169_corr_profile") <= 1)
+    assert(!planOf("q169_corr_profile").contains("Expand"))
+    // JL distortion: spread + the consecutive-id self-join + the 1-row
+    // stats aggregate broadcast back onto the pair frame
+    assert(shuffles("q171_jl_distortion") <= 6)
+    // BPE: every cost is VOCABULARY-bounded — the word-freq aggregate +
+    // one pair-count aggregate per unrolled round; top pairs ride 1-row
+    // broadcasts (TakeOrdered, never a global sort exchange). The static
+    // count is inflated by the 3-way union repeating its round-prefix
+    // subtrees (round N's plan contains rounds 1..N-1); those prefixes
+    // canonicalize identically, so exchange reuse collapses them at
+    // execution — the budget pins the static ceiling
+    assert(shuffles("q172_bpe_merges") <= 14)
+  }
+
   test("per-group exact quantiles hold the bounded histogram shape") {
     // all exchanges are group-keyed or ≤ nBuckets-per-group slim frames;
     // no single buffer ever holds a group's values

@@ -24,6 +24,39 @@ class QCurateSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("bpeRound: chained occurrences merge in ONE round (greedy BPE semantics)") {
+    import spark.implicits._
+    // 'a b a b' ×3 and 'c d' ×5: pair counts (a,b)=6, (b,a)=3, (c,d)=5 →
+    // top pair is (a,b), and BOTH its occurrences must merge in the same
+    // round — the doubled-space encoding's whole point (a single-space
+    // encoding would leave ' ab a b ' behind)
+    val repr = Seq((" a  b  a  b ", 3L), (" c  d ", 5L)).toDF("repr", "cnt")
+    val (merged, m) = graft.queries.QScale.bpeRound(repr, 1)
+    assert(m.as[(Int, String, String, Long)].collect().toSeq ===
+      Seq((1, "a", "b", 6L)))
+    val out = merged.as[(String, Long)].collect().toMap
+    assert(out(" ab  ab ") === 3L)
+    assert(out(" c  d ") === 5L)
+  }
+
+  test("bpeRound: merged symbols participate as single units next round") {
+    import spark.implicits._
+    val repr = Seq((" a  b  c ", 4L)).toDF("repr", "cnt")
+    val (r1, _) = graft.queries.QScale.bpeRound(repr, 1) // merges (a,b) → ab
+    val (_, m2) = graft.queries.QScale.bpeRound(r1, 2)
+    // round 2 must see the pair (ab, c) — not (b, c)
+    assert(m2.as[(Int, String, String, Long)].collect().toSeq ===
+      Seq((2, "ab", "c", 4L)))
+  }
+
+  test("q172: three merges learned, each a real pair with positive corpus support") {
+    val out = run("q172_bpe_merges").collect()
+    assert(out.map(_.getAs[Int]("iter")).sorted.toSeq === Seq(1, 2, 3))
+    assert(out.forall(_.getAs[Long]("pair_count") > 0))
+    assert(out.forall(r => r.getAs[String]("lhs").nonEmpty &&
+      r.getAs[String]("rhs").nonEmpty))
+  }
+
   test("q124: verbatim copies lose every block; sole-occurrence docs survive intact") {
     val out = run("q124_block_dedup").cache()
     // +20000 rows are byte-identical copies scanned after their originals —

@@ -152,6 +152,84 @@ class VectorOpsSpec extends SparkSpec {
     assert(pairs.forall { case (a, b) => a < b })
   }
 
+  test("pqEncode: m codes per vector, all within [0, ks); deterministic") {
+    val vecs = (1L to 40L).map(i => (i, Seq.tabulate(8)(j =>
+      math.sin(i * 5.7 + j * 1.3).toFloat))).toDF("id", "vec")
+    val e1 = VectorOps.pqEncode(vecs, m = 4, subDim = 2, ks = 8)
+      .as[(Long, Seq[Int])].collect().toMap
+    assert(e1.size === 40)
+    assert(e1.values.forall(c => c.size === 4 && c.forall(x => x >= 0 && x < 8)))
+    val e2 = VectorOps.pqEncode(vecs, m = 4, subDim = 2, ks = 8)
+      .as[(Long, Seq[Int])].collect().toMap
+    assert(e1 === e2)
+  }
+
+  test("pqAdcTopK with ks = |corpus| is the exact squared-L2 top-k") {
+    // every vector sampled into the codebook -> each subvector encodes to
+    // its own exact copy (distance 0 is the argmin), so ADC distance IS
+    // the true squared L2 and the ranking must match a direct computation
+    val raw = (1L to 30L).map(i => (i, Seq.tabulate(8)(j =>
+      math.cos(i * 2.9 + j * 0.83).toFloat)))
+    val vecs = raw.toDF("id", "vec")
+    val q = vecs.filter(col("id") <= 3)
+    val got = VectorOps.pqAdcTopK(q, vecs, m = 4, subDim = 2, ks = 30, k = 5)
+      .as[(Long, Long, Int)].collect().toSet
+    def l2(a: Seq[Float], b: Seq[Float]): Double =
+      a.zip(b).map { case (x, y) => (x.toDouble - y) * (x.toDouble - y) }.sum
+    val expected = (for {
+      (qid, qv) <- raw.take(3)
+    } yield raw.filter(_._1 != qid)
+      .map { case (nid, nv) => (nid, l2(qv, nv)) }
+      .sortBy { case (nid, d2) => (d2, nid) }.take(5).zipWithIndex
+      .map { case ((nid, _), r) => (qid, nid, r + 1) }).flatten.toSet
+    assert(got === expected)
+  }
+
+  test("pqSearchRerank with shortlist >= |corpus| equals bruteForceTopK") {
+    val vecs = (1L to 50L).map(i => (i, Seq.tabulate(8)(j =>
+      math.sin(i * 1.7 + j * 2.1).toFloat))).toDF("id", "vec")
+    val q = vecs.filter(col("id") <= 4)
+    val exact = VectorOps.bruteForceTopK(q, vecs, 3)
+      .select("query_id", "neighbor_id", "rank")
+    val rr = VectorOps.pqSearchRerank(q, vecs, m = 4, subDim = 2, ks = 8,
+      shortlist = 50, k = 3)
+    assert(sortedRows(rr) === sortedRows(exact))
+  }
+
+  test("jlProject matches the md5-sign model; zero vector projects to zero") {
+    // reimplement the sign formula independently and check one projection
+    def sign(j: Int, i: Int): Double = {
+      val b0 = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"jl|$j|$i".getBytes("UTF-8"))(0)
+      if (((b0 >> 4) & 1) == 1) 1.0 else -1.0
+    }
+    val v = Seq.tabulate(8)(i => (0.25f * (i + 1)) * (if (i % 3 == 0) -1 else 1))
+    val out = Seq((1L, v), (2L, Seq.fill(8)(0.0f))).toDF("id", "vec")
+      .select(col("id"), VectorOps.jlProject(col("vec"), 4, 8).as("p"))
+      .as[(Long, Seq[Double])].collect().toMap
+    val expected = (0 until 4).map(j =>
+      v.indices.map(i => v(i).toDouble * sign(j, i)).sum / 2.0)
+    out(1L).zip(expected).foreach { case (got, exp) =>
+      assert(math.abs(got - exp) < 1e-12) }
+    assert(out(2L).forall(_ === 0.0))
+  }
+
+  test("q167 recall contract: PQ shortlist+rerank clears the micro-recall floor") {
+    val rows = graft.SparkEntry.queries("q167_pq_recall")(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Boolean]("meets_recall_floor")),
+      s"rerank micro recall ${rows.head.getAs[Double]("micro_recall_rerank")} below floor")
+  }
+
+  test("q171 distortion contract: JL mean distance ratio inside the bound") {
+    val rows = graft.SparkEntry.queries("q171_jl_distortion")(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Boolean]("meets_distortion_bound")),
+      s"mean ratio ${rows.head.getAs[Double]("mean_ratio")} outside [0.7, 1.4]")
+  }
+
   test("q165 recall contract: IVF at nprobe=4 clears the micro-recall floor") {
     // the floor boolean is COMPUTED on both sides of the oracle pair, so
     // a recall collapse would still hash-match there — this is the test
