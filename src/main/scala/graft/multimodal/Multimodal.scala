@@ -11,12 +11,17 @@ import org.apache.spark.sql.functions._
   * The IMAGE branch is REAL: `decodeMeta` and `resize` decode any format
   * the JDK's built-in `javax.imageio` readers understand (PNG/BMP/GIF/
   * JPEG/WBMP — zero external dependencies), and `resize` actually
-  * resamples pixels and re-encodes. Audio/video codec work remains
-  * STUBBED (this container ships no media libraries): `fakeDecode`
-  * derives deterministic pseudo-metadata from an md5 of the payload, and
-  * also backstops image payloads no installed reader accepts, so a
-  * corrupt blob degrades to labeled fake metadata instead of failing the
-  * job. Everything around the stub is the real production shape —
+  * resamples pixels and re-encodes. The AUDIO container branch is REAL
+  * too: `decodeAudioMeta` parses any format the JDK's
+  * `javax.sound.sampled` providers accept (WAV/AIFF/AU PCM) — sample
+  * rate, channels, bit depth, frame count, duration are measured from
+  * the actual stream, flagged `real_decode = true`. Compressed-audio and
+  * video codec work remains STUBBED (this container ships no media
+  * libraries): `fakeDecode` derives deterministic pseudo-metadata from
+  * an md5 of the payload, and also backstops image/audio payloads no
+  * installed provider accepts, so a corrupt blob degrades to labeled
+  * fake metadata instead of failing the job. Everything around the
+  * stub is the real production shape —
   * binary-safe schemas, per-partition batch processing (one decoder init
   * per partition, not per row), narrow plan (no shuffle introduced by any
   * stage), and explode-shaped frame sampling — so swapping the remaining
@@ -34,6 +39,10 @@ object Multimodal {
   final case class ImageMeta(doc_id: Long, media_type: String, n_bytes: Long,
                              width: Int, height: Int, n_channels: Int)
   final case class Frame(doc_id: Long, frame_idx: Int, frame_payload: Array[Byte])
+  final case class AudioMeta(doc_id: Long, media_type: String, n_bytes: Long,
+                             sample_rate: Int, n_channels: Int,
+                             bits_per_sample: Int, n_frames: Long,
+                             duration_ms: Long, real_decode: Boolean)
   final case class MediaVec(doc_id: Long, embedding: Array[Float])
 
   /** ======= STUB ======= deterministic fake decoder: md5(payload) →
@@ -117,6 +126,53 @@ object Multimodal {
             val scale = math.min(1.0, maxSide.toDouble / math.max(w, h))
             ImageMeta(m.doc_id, m.media_type, m.payload.length.toLong,
               math.max(1, (w * scale).toInt), math.max(1, (h * scale).toInt), c)
+        }
+      }
+    }
+  }
+
+  /** REAL audio container parse via the JDK's bundled `javax.sound.sampled`
+    * providers (WAV/AIFF/AU PCM). None when no installed provider accepts
+    * the payload (caller falls back to the stub). */
+  private def decodeAudio(payload: Array[Byte])
+      : Option[(javax.sound.sampled.AudioFormat, Long)] =
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload)) // supports mark/reset
+      val out = (in.getFormat, in.getFrameLength)
+      in.close()
+      Some(out)
+    } catch { case _: Exception => None }
+
+  /** Audio metadata per payload: real sample rate / channels / bit depth /
+    * frame count / duration for any `javax.sound.sampled`-readable stream
+    * (`real_decode = true`), md5-derived stub metadata otherwise. Same
+    * narrow per-partition shape as [[decodeMeta]]. */
+  def decodeAudioMeta(media: Dataset[Media])
+                     (implicit spark: SparkSession): Dataset[AudioMeta] = {
+    import spark.implicits._
+    media.mapPartitions { it =>
+      initCodecs()
+      it.map { m =>
+        (if (m.media_type == "audio") decodeAudio(m.payload) else None) match {
+          case Some((f, frames)) =>
+            val durMs =
+              if (f.getFrameRate > 0 && frames >= 0)
+                math.round(frames * 1000.0 / f.getFrameRate)
+              else -1L
+            AudioMeta(m.doc_id, m.media_type, m.payload.length.toLong,
+              math.round(f.getSampleRate), f.getChannels,
+              f.getSampleSizeInBits, frames, durMs, real_decode = true)
+          case None =>
+            // ======= STUB ======= compressed audio / non-audio payloads:
+            // deterministic md5-derived pseudo-metadata, clearly flagged
+            val (w, h, _) = fakeDecode(m.payload)
+            val rate = 8000 * (1 + w % 6)            // 8/16/../48 kHz classes
+            val channels = 1 + h % 2
+            val frames = m.payload.length.toLong / (2L * channels)
+            AudioMeta(m.doc_id, m.media_type, m.payload.length.toLong,
+              rate, channels, 16, frames, frames * 1000L / rate,
+              real_decode = false)
         }
       }
     }

@@ -70,6 +70,37 @@ class MultimodalSpec extends SparkSpec {
     assert((rs(12L).width, rs(12L).height, rs(12L).n_channels) === ((20, 30, 4)))
   }
 
+  private def encodeWav(sampleRate: Float, channels: Int, nFrames: Int): Array[Byte] = {
+    import javax.sound.sampled._
+    val fmt = new AudioFormat(sampleRate, 16, channels, true, false)
+    val pcm = new Array[Byte](nFrames * fmt.getFrameSize)
+    for (i <- pcm.indices) pcm(i) = ((i * 37 + 11) & 0xff).toByte
+    val in = new AudioInputStream(new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(in, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  test("REAL audio branch: generated WAV payloads decode to exact format fields") {
+    val real = Seq(
+      Media(20L, "audio", encodeWav(16000f, 1, 16000)), // 1 s mono 16 kHz
+      Media(21L, "audio", encodeWav(44100f, 2, 2205)),  // 50 ms stereo CD rate
+      Media(22L, "audio", "not really audio".getBytes)  // falls to the stub
+    ).toDS()
+    val m = Multimodal.decodeAudioMeta(real).collect().map(a => a.doc_id -> a).toMap
+    assert(m(20L).real_decode)
+    assert((m(20L).sample_rate, m(20L).n_channels, m(20L).bits_per_sample,
+      m(20L).n_frames, m(20L).duration_ms) === ((16000, 1, 16, 16000L, 1000L)))
+    assert(m(21L).real_decode)
+    assert((m(21L).sample_rate, m(21L).n_channels, m(21L).n_frames,
+      m(21L).duration_ms) === ((44100, 2, 2205L, 50L)))
+    assert(!m(22L).real_decode) // stub fallback is flagged, not silent
+    assert(m(22L).sample_rate >= 8000 && m(22L).n_channels >= 1)
+    // non-audio media types never hit the audio decoder
+    val img = Multimodal.decodeAudioMeta(media).collect()
+    assert(img.forall(!_.real_decode))
+  }
+
   test("sampleFrames explodes only video payloads with stride") {
     val frames = Multimodal.sampleFrames(media, everyNth = 2).collect()
     assert(frames.nonEmpty)
