@@ -91,6 +91,10 @@ object Bench {
     // recorded four time-to-throw values as 14x "speedups").
     val nRuns = scala.util.Try(sys.env.getOrElse("SPARK_GRAFT_RUNS", "1").trim.toInt)
       .getOrElse(1).max(1)
+    // SPARK_GRAFT_ONLY="q07_pit_lookup,q130_bigram_lm": time just these
+    // (diagnostics — isolates a query's cost from the full-sweep context)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val times = scala.collection.mutable.LinkedHashMap[String, Double]()
     val failed = scala.collection.mutable.LinkedHashMap[String, String]()
     for (run <- 1 to nRuns) {
@@ -98,7 +102,9 @@ object Bench {
       // (whichever of q72/q134/q154 runs first) — reuse across runs would
       // understate the per-run total
       graft.queries.ClusterLabels.reset()
-      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      SparkEntry.queries.toSeq.sortBy(_._1)
+        .filter { case (name, _) => only.forall(_.contains(name)) }
+        .foreach { case (name, fn) =>
         if (!failed.contains(name)) {
           val t0 = System.nanoTime()
           // noop-format write evaluates every output column (a bare count()

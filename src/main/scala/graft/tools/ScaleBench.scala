@@ -49,7 +49,14 @@ object ScaleBench {
     "q151_triangle_count",     // degree-oriented wedge join
     "q153_prefix_filter_join", // PPJoin prefix filter + hot-token cap
     "q164_event_daily_extract", // NTZ pushdown scan family
-    "q165_ivf_recall")         // IVF vs brute-force recall contract
+    "q165_ivf_recall",         // IVF vs brute-force recall contract
+    // r6 additions that scale with the data (q170/q171 are narrow
+    // per-row maps over the same tables — covered by the families above)
+    "q166_pq_adc_topk",        // PQ encode is corpus×m×ks; ADC corpus×m
+    "q167_pq_recall",          // brute force + ADC + rerank, all 10×
+    "q168_ols_trend",          // fact-side join + month-grain aggregate
+    "q169_corr_profile",       // one-pass power sums over 10× lineitem
+    "q172_bpe_merges")         // vocabulary-bounded merge rounds
 
   def main(args: Array[String]): Unit = {
     val baseDir = sys.env.getOrElse("SPARK_GRAFT_BASE_DIR", "/root/testdata/sf0.1")
