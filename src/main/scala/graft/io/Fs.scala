@@ -139,4 +139,118 @@ object Fs {
     f.delete(old, true)
     spark.catalog.refreshByPath(path)
   }
+
+  // ===== Versioned snapshots (time travel without a table format) =====
+  //
+  // Same staging/swap discipline as overwriteViaStaging, but each commit
+  // RETAINS the demoted snapshot as `<path>__v<N>` (pruned to the `keep`
+  // newest) and stamps the current snapshot's version in a `_VERSION`
+  // marker file — underscore-prefixed, so every parquet reader ignores
+  // it. This is the nightly-pipeline safety net ("yesterday's dim before
+  // the bad backfill") and a reproducibility primitive ("train against
+  // snapshot v12"), Iceberg-style in shape; a real table format's
+  // manifest commit replaces it on object stores. Crash-safety: the
+  // marker is written into STAGING after the job's `_SUCCESS`, so every
+  // window [[recoverSnapshot]] can promote forward already carries its
+  // version — monotonicity survives any crash, and the retained-version
+  // chain is append-only until pruned.
+
+  private def versionDirOf(path: String, v: Long) = s"${path}__v$v"
+
+  private def readVersionMarker(dir: String, conf: Configuration): Long = {
+    val p = new Path(dir, "_VERSION")
+    val f = fs(p, conf)
+    if (!f.exists(p)) 0L
+    else {
+      val in = f.open(p)
+      try new String(in.readAllBytes(), "UTF-8").trim.toLong
+      finally in.close()
+    }
+  }
+
+  private def writeVersionMarker(dir: String, v: Long, conf: Configuration): Unit = {
+    val p = new Path(dir, "_VERSION")
+    val out = fs(p, conf).create(p, true)
+    try out.write(s"$v\n".getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Version of the CURRENT snapshot at `path` (0 = never written by the
+    * versioned writer). */
+  def snapshotVersion(path: String, conf: Configuration): Long =
+    readVersionMarker(path, conf)
+
+  /** Retained historical versions (ascending) — the current snapshot's
+    * version is NOT in this list; see [[snapshotVersion]]. */
+  def retainedVersions(path: String, conf: Configuration): Seq[Long] = {
+    val target = new Path(path)
+    val f = fs(target, conf)
+    val parent = target.getParent
+    val prefix = target.getName + "__v"
+    if (parent == null || !f.exists(parent)) Seq.empty
+    else f.listStatus(parent).toSeq
+      .map(_.getPath.getName)
+      .filter(_.startsWith(prefix))
+      .flatMap(n => scala.util.Try(n.stripPrefix(prefix).toLong).toOption)
+      .sorted
+  }
+
+  /** Versioned overwrite: stage, demote the current snapshot to its
+    * version slot, promote, prune. Returns the NEW current version.
+    * Every crash window leaves either a readable current snapshot or a
+    * `_SUCCESS`-complete staging that [[recoverSnapshot]] promotes —
+    * with its `_VERSION` marker already inside. */
+  def overwriteVersioned(df: org.apache.spark.sql.DataFrame, path: String,
+                         keep: Int = 3): Long = {
+    val spark = df.sparkSession
+    val conf = spark.sessionState.newHadoopConf()
+    val next = stageVersioned(df, path)
+    commitVersioned(spark, path, keep)
+    next
+  }
+
+  /** Stage phase: write staging + stamp its `_VERSION` (= current + 1). */
+  def stageVersioned(df: org.apache.spark.sql.DataFrame, path: String): Long = {
+    val conf = df.sparkSession.sessionState.newHadoopConf()
+    recoverSnapshot(path, conf)
+    val next = snapshotVersion(path, conf) + 1
+    df.write.mode("overwrite").parquet(stagingOf(path))
+    writeVersionMarker(stagingOf(path), next, conf)
+    next
+  }
+
+  /** Commit phase: demote current → its version slot, promote staging,
+    * prune retained versions beyond `keep`. */
+  def commitVersioned(spark: org.apache.spark.sql.SparkSession, path: String,
+                      keep: Int): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    val target = new Path(path)
+    val f = fs(target, conf)
+    if (f.exists(target)) {
+      val cur = snapshotVersion(path, conf)
+      val slot = new Path(versionDirOf(path, cur))
+      if (f.exists(slot)) f.delete(slot, true) // re-run debris; newest wins
+      f.rename(target, slot)
+    }
+    f.rename(new Path(stagingOf(path)), target)
+    retainedVersions(path, conf).dropRight(keep)
+      .foreach(v => f.delete(new Path(versionDirOf(path, v)), true))
+    spark.catalog.refreshByPath(path)
+  }
+
+  /** Time-travel read: the snapshot as of version `v` (the current one or
+    * any retained historical version). Fails fast with the retained set
+    * when `v` has been pruned — silently serving the wrong version is the
+    * one unacceptable behavior for a reproducibility primitive. */
+  def readVersion(spark: org.apache.spark.sql.SparkSession, path: String,
+                  v: Long): org.apache.spark.sql.DataFrame = {
+    val conf = spark.sessionState.newHadoopConf()
+    val cur = snapshotVersion(path, conf)
+    if (v == cur) spark.read.parquet(path)
+    else {
+      val retained = retainedVersions(path, conf)
+      require(retained.contains(v),
+        s"version $v of $path not available: current=$cur retained=${retained.mkString(",")}")
+      spark.read.parquet(versionDirOf(path, v))
+    }
+  }
 }

@@ -73,6 +73,43 @@ object QScale {
     * observed worst and 3.5× a random 50-of-500 shortlist (~0.1). */
   private val PqRecallFloor: Double = 0.35
 
+  // ---- q173 linear-probe training: shared expression text -------------
+  // Both engines evaluate the SAME projection strings (Spark via
+  // selectExpr, DuckDB verbatim), so the Cramer solve and R² are
+  // bit-identical by construction — there is no hand-mirrored arithmetic
+  // to drift.
+  private def det3(a: Seq[Seq[String]]): String = {
+    def m(i: Int, j: Int) = a(i)(j)
+    s"(${m(0, 0)} * (${m(1, 1)} * ${m(2, 2)} - ${m(1, 2)} * ${m(2, 1)}) " +
+      s"- ${m(0, 1)} * (${m(1, 0)} * ${m(2, 2)} - ${m(1, 2)} * ${m(2, 0)}) " +
+      s"+ ${m(0, 2)} * (${m(1, 0)} * ${m(2, 1)} - ${m(1, 1)} * ${m(2, 0)}))"
+  }
+  private val lpA = Seq(
+    Seq("d_n", "d_s1", "d_s2"),
+    Seq("d_s1", "d_s11", "d_s12"),
+    Seq("d_s2", "d_s12", "d_s22"))
+  private val lpB = Seq("d_sy", "d_s1y", "d_s2y")
+  private def lpW(c: Int): String =
+    s"(${det3(lpA.zipWithIndex.map { case (r, i) => r.updated(c, lpB(i)) })} / ${det3(lpA)})"
+  /** Final projection over the double-cast stats row: the Cramer solve,
+    * then SSE/SST from the SAME sufficient statistics
+    * (SSE = Σy² − wᵀXᵀy for least squares) — no second pass, no float
+    * accumulation over rows anywhere in the training. */
+  private val lpProjection: Seq[String] = Seq(
+    "CAST(n AS BIGINT) AS n",
+    s"round(${lpW(0)}, 6) AS w0",
+    s"round(${lpW(1)}, 6) AS w1",
+    s"round(${lpW(2)}, 6) AS w2",
+    s"round(1 - (d_syy - (${lpW(0)} * d_sy + ${lpW(1)} * d_s1y + ${lpW(2)} * d_s2y)) " +
+      "/ (d_syy - d_sy * d_sy / d_n), 6) AS r2")
+  private val lpDoubles: Seq[String] = Seq("n",
+    "CAST(n AS DOUBLE) AS d_n", "CAST(sy AS DOUBLE) AS d_sy",
+    "CAST(syy AS DOUBLE) AS d_syy",
+    "CAST(s1 AS DOUBLE) AS d_s1", "CAST(s2 AS DOUBLE) AS d_s2",
+    "CAST(s11 AS DOUBLE) AS d_s11", "CAST(s22 AS DOUBLE) AS d_s22",
+    "CAST(s12 AS DOUBLE) AS d_s12", "CAST(s1y AS DOUBLE) AS d_s1y",
+    "CAST(s2y AS DOUBLE) AS d_s2y")
+
   val all: Seq[Qry] = Seq(
 
     // GLOBAL equi-depth (quartile) binning — the scale-safe replacement
@@ -1267,7 +1304,62 @@ object QScale {
            |SELECT 1 AS iter, lhs, rhs, pair_count FROM t1
            |UNION ALL SELECT 2, lhs, rhs, pair_count FROM t2
            |UNION ALL SELECT 3, lhs, rhs, pair_count FROM t3""".stripMargin
-      })
+      }),
+
+    // IN-ENGINE MODEL TRAINING — a linear probe fit by CLOSED-FORM least
+    // squares (3×3 normal equations, Cramer solve): y = the table's
+    // stored n_chars, features = token count and long-token (≥7 chars)
+    // count; the fit must recover the corpus's chars-per-token structure
+    // (R² ≈ 0.98 on testdata, floor-asserted in QCurateSpec so a broken
+    // feature pipeline can't hide behind hash parity). Every matrix
+    // entry is an EXACT integer power sum accumulated in ONE
+    // map-side-partial aggregate pass (decimal/hugeint for the products —
+    // the q98/q168 discipline); the solve and R² are double expressions
+    // over that single stats row, built from THE SAME expression text on
+    // both engines (selectExpr ≡ oracle SQL — parity by construction).
+    // This is how model fitting works at 100 TB: the data reduces to a
+    // tiny sufficient-statistics row in one pass; the algebra costs
+    // nothing. No gradient loop, no float accumulation over rows.
+    // (A lang-membership probe was tried first and correctly fits
+    // NOTHING here — the synthetic corpus shares one vocabulary across
+    // langs, R² ≈ 0.008 — so the regression target is the one with real
+    // structure in this data.)
+    Qry("q173_linear_probe",
+      (s, dir) => {
+        val dec = (c: Column) => c.cast("decimal(18,0)")
+        val feats = QLlm.spread(s, t(s, dir, "documents"))
+          .filter(col("text").isNotNull)
+          .select(col("n_chars").cast("long").as("y"),
+            size(TextOps.tokens(col("text"))).cast("long").as("x1"),
+            size(filter(TextOps.tokens(col("text")), tk => length(tk) >= 7))
+              .cast("long").as("x2"))
+        feats.agg(count(lit(1)).as("n"), sum("y").as("sy"),
+            sum(dec(col("y")) * dec(col("y"))).as("syy"),
+            sum("x1").as("s1"), sum("x2").as("s2"),
+            sum(dec(col("x1")) * dec(col("x1"))).as("s11"),
+            sum(dec(col("x2")) * dec(col("x2"))).as("s22"),
+            sum(dec(col("x1")) * dec(col("x2"))).as("s12"),
+            sum(dec(col("x1")) * dec(col("y"))).as("s1y"),
+            sum(dec(col("x2")) * dec(col("y"))).as("s2y"))
+          .selectExpr(lpDoubles: _*)
+          .selectExpr(lpProjection: _*)
+      },
+      Some(s"""WITH f AS (SELECT CAST(n_chars AS BIGINT) AS y,
+        |    len($toksSql) AS x1,
+        |    len(list_filter($toksSql, t -> len(t) >= 7)) AS x2
+        |  FROM documents WHERE text IS NOT NULL),
+        |st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(y) AS BIGINT) AS sy,
+        |    sum(CAST(y AS HUGEINT) * y) AS syy,
+        |    CAST(sum(x1) AS BIGINT) AS s1, CAST(sum(x2) AS BIGINT) AS s2,
+        |    sum(CAST(x1 AS HUGEINT) * x1) AS s11,
+        |    sum(CAST(x2 AS HUGEINT) * x2) AS s22,
+        |    sum(CAST(x1 AS HUGEINT) * x2) AS s12,
+        |    sum(CAST(x1 AS HUGEINT) * y) AS s1y,
+        |    sum(CAST(x2 AS HUGEINT) * y) AS s2y
+        |  FROM f),
+        |d AS (SELECT ${lpDoubles.mkString(", ")} FROM st)
+        |SELECT ${lpProjection.mkString(", ")} FROM d""".stripMargin))
   )
 
   /** The BPE rounds for q172, unrolled (the q131 fixed-point pattern):
@@ -1290,6 +1382,7 @@ object QScale {
         "' ' || __l || __r || ' ')").as("repr"), col("cnt"))
     (merged, top.select(lit(it).as("iter"), col("lhs"), col("rhs"), col("pair_count")))
   }
+
 
   /** DuckDB rendering of [[graft.vector.VectorOps.jlProject]]'s ±1 sign:
     * low bit of md5's first hex nibble for key `jl|j|i`. */

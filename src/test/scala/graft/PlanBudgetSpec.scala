@@ -370,6 +370,11 @@ class PlanBudgetSpec extends SparkSpec {
     // JL distortion: spread + the consecutive-id self-join + the 1-row
     // stats aggregate broadcast back onto the pair frame
     assert(shuffles("q171_jl_distortion") <= 6)
+    // linear-probe training: the corpus reduces to ONE sufficient-
+    // statistics row in a single map-side-partial aggregate pass; the
+    // Cramer solve is driver-free expression algebra on that row
+    assert(shuffles("q173_linear_probe") <= 1)
+    assert(!planOf("q173_linear_probe").contains("Expand"))
     // BPE: every cost is VOCABULARY-bounded — the word-freq aggregate +
     // one pair-count aggregate per unrolled round; top pairs ride 1-row
     // broadcasts (TakeOrdered, never a global sort exchange). The static

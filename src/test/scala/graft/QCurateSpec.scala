@@ -57,6 +57,19 @@ class QCurateSpec extends SparkSpec {
       r.getAs[String]("rhs").nonEmpty))
   }
 
+  test("q173: the closed-form probe actually fits (R² floor) with sane weights") {
+    // hash parity alone can't catch a dead feature pipeline (both engines
+    // would agree on garbage) — the fit quality is the semantic check:
+    // n_chars ≈ w1·n_tokens + w2·n_long_tokens must recover the corpus's
+    // chars-per-token structure
+    val r = run("q173_linear_probe").collect().head
+    assert(r.getAs[Long]("n") > 0)
+    assert(r.getAs[Double]("r2") >= 0.9,
+      s"probe failed to fit: r2 = ${r.getAs[Double]("r2")}")
+    assert(r.getAs[Double]("w1") > 0, "chars-per-token weight must be positive")
+    assert(r.getAs[Double]("w2") > 0, "long tokens must add chars")
+  }
+
   test("q124: verbatim copies lose every block; sole-occurrence docs survive intact") {
     val out = run("q124_block_dedup").cache()
     // +20000 rows are byte-identical copies scanned after their originals —
