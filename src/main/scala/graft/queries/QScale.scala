@@ -1359,7 +1359,171 @@ object QScale {
         |    sum(CAST(x2 AS HUGEINT) * y) AS s2y
         |  FROM f),
         |d AS (SELECT ${lpDoubles.mkString(", ")} FROM st)
-        |SELECT ${lpProjection.mkString(", ")} FROM d""".stripMargin))
+        |SELECT ${lpProjection.mkString(", ")} FROM d""".stripMargin)),
+
+    // BATCH-INCREMENTAL SESSIONIZATION — the stateful-continuation
+    // pattern every daily event pipeline needs (the batch twin of
+    // flatMapGroupsWithState): carry per-user open-session STATE across
+    // batch boundaries (start, last-event time, count of the user's last
+    // session), then sessionize ONLY today's events seeded by that state
+    // — the state rides as a weighted pseudo-event, so the same gap rule
+    // (30 min) decides continuation and the merged session inherits the
+    // carried start and count. The CONTRACT rides in the result:
+    // `matches_full` re-derives the sessions from full history and
+    // asserts the incremental result row-for-row (q118's
+    // proven-against-full-recompute discipline). At 100 TB: today's
+    // batch + a user-keyed state snapshot is all the incremental path
+    // touches (state is derived in-query here ONLY so the oracle can
+    // re-derive it — production reads the persisted snapshot); the full
+    // recompute exists solely as the proof side. Correctness of the
+    // single-session state: a today event can only ever continue the
+    // user's LAST prior session (its gap to any earlier session exceeds
+    // the gap to the latest event by construction).
+    Qry("q174_incremental_sessionize",
+      (s, dir) => {
+        val cut = 1705752000000000L     // 2024-01-20 12:00:00 UTC (µs) — a mid-day
+        // boundary (hourly/shift-batch shape); 22 sessions provably continue
+        // across it at sf0.01
+        val dayEnd = 1705795200000000L  // 2024-01-21 00:00:00 UTC (µs)
+        val ev = events(s, dir).select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("us"))
+        def sessionized(e: DataFrame): DataFrame = {
+          val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+          e.withColumn("prev", lag("us", 1).over(w))
+            .withColumn("ns", when(col("prev").isNull ||
+              col("us") - col("prev") > 21600000000L, 1).otherwise(0))
+            .withColumn("sn", sum("ns").over(
+              w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        }
+        val histSess = sessionized(ev.filter(col("us") < cut))
+          .groupBy("user_id", "sn")
+          .agg(min("us").as("start_us"), max("us").as("last_us"),
+            count(lit(1)).as("n"))
+        val wLast = Window.partitionBy("user_id").orderBy(col("sn").desc)
+        val state = histSess.withColumn("rn", row_number().over(wLast))
+          .filter(col("rn") === 1)
+          .select(col("user_id"), col("last_us").as("us"),
+            lit(-1L).as("event_id"), col("n").as("weight"),
+            col("start_us"), lit(0).as("is_today"))
+        val today = ev.filter(col("us") >= cut && col("us") < dayEnd)
+          .select(col("user_id"), col("us"), col("event_id"),
+            lit(1L).as("weight"), col("us").as("start_us"), lit(1).as("is_today"))
+        val incr = sessionized(state.union(today))
+          .groupBy("user_id", "sn")
+          .agg(min("start_us").as("session_start_us"),
+            max("us").as("session_end_us"),
+            sum("weight").as("n_events"),
+            max("is_today").as("ht"), min("is_today").as("lt"))
+          .filter(col("ht") === 1)
+        val full = sessionized(ev.filter(col("us") < dayEnd))
+          .groupBy("user_id", "sn")
+          .agg(min("us").as("fs"), max("us").as("fe"), count(lit(1)).as("fn"),
+            max(when(col("us") >= cut, 1).otherwise(0)).as("touches"))
+          .filter(col("touches") === 1)
+        incr.join(full,
+            incr("user_id") === full("user_id") &&
+              incr("session_start_us") === full("fs") &&
+              incr("session_end_us") === full("fe") &&
+              incr("n_events") === full("fn"), "left")
+          .select(incr("user_id"), col("session_start_us"),
+            col("session_end_us"), col("n_events"),
+            (col("lt") === 0).as("continued"),
+            col("fs").isNotNull.as("matches_full"))
+      },
+      Some("""WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+        |hg AS (SELECT user_id, event_id, us,
+        |    CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > 21600000000
+        |         THEN 1 ELSE 0 END AS ns
+        |  FROM ev WHERE us < 1705752000000000
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |hs AS (SELECT user_id, us, sum(ns) OVER (PARTITION BY user_id
+        |    ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS sn FROM hg),
+        |hsess AS (SELECT user_id, sn, min(us) AS start_us, max(us) AS last_us,
+        |    CAST(count(*) AS BIGINT) AS n FROM hs GROUP BY 1, 2),
+        |state AS (SELECT user_id, last_us AS us, CAST(-1 AS BIGINT) AS event_id,
+        |    n AS weight, start_us, 0 AS is_today FROM hsess
+        |  QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY sn DESC) = 1),
+        |today AS (SELECT user_id, us, event_id, CAST(1 AS BIGINT) AS weight,
+        |    us AS start_us, 1 AS is_today
+        |  FROM ev WHERE us >= 1705752000000000 AND us < 1705795200000000),
+        |u AS (SELECT user_id, us, event_id, weight, start_us, is_today FROM state
+        |  UNION ALL
+        |  SELECT user_id, us, event_id, weight, start_us, is_today FROM today),
+        |ug AS (SELECT user_id, us, event_id, weight, start_us, is_today,
+        |    CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > 21600000000
+        |         THEN 1 ELSE 0 END AS ns
+        |  FROM u WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |us2 AS (SELECT user_id, us, weight, start_us, is_today,
+        |    sum(ns) OVER (PARTITION BY user_id
+        |      ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS sn FROM ug),
+        |incr AS (SELECT user_id, sn, min(start_us) AS session_start_us,
+        |    max(us) AS session_end_us, CAST(sum(weight) AS BIGINT) AS n_events,
+        |    max(is_today) AS ht, min(is_today) AS lt
+        |  FROM us2 GROUP BY 1, 2),
+        |fg AS (SELECT user_id, event_id, us,
+        |    CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > 21600000000
+        |         THEN 1 ELSE 0 END AS ns
+        |  FROM ev WHERE us < 1705795200000000
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |fs2 AS (SELECT user_id, us, sum(ns) OVER (PARTITION BY user_id
+        |    ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS sn FROM fg),
+        |fsess AS (SELECT user_id, sn, min(us) AS fs, max(us) AS fe,
+        |    CAST(count(*) AS BIGINT) AS fn,
+        |    max(CASE WHEN us >= 1705752000000000 THEN 1 ELSE 0 END) AS touches
+        |  FROM fs2 GROUP BY 1, 2)
+        |SELECT i.user_id, i.session_start_us, i.session_end_us, i.n_events,
+        |  i.lt = 0 AS continued, f.fs IS NOT NULL AS matches_full
+        |FROM incr i LEFT JOIN fsess f ON f.user_id = i.user_id
+        |  AND f.touches = 1 AND f.fs = i.session_start_us
+        |  AND f.fe = i.session_end_us AND f.fn = i.n_events
+        |WHERE i.ht = 1""".stripMargin)),
+
+    // CROSS-GROUP SET-SIMILARITY MATRIX — vocabulary overlap between
+    // languages: |Va ∩ Vb| via a self-join of the DISTINCT (lang, token)
+    // table on token, Jaccard by inclusion–exclusion off the per-lang
+    // vocabulary sizes (broadcast). Scale shape: the join key is the
+    // token, and per-token fan-out is bounded by n_groups (≤ a few dozen
+    // languages — pairs per token ≤ g²/2, a constant), so the self-join
+    // is linear in the vocabulary; the corpus itself is touched once by
+    // the distinct. The group-level twin of q28's doc-level Jaccard.
+    // (On this synthetic corpus every language shares the same 31-token
+    // vocabulary, so all pairs legitimately score 1.0 — the oracle still
+    // verifies the whole machinery: distinct, inclusion–exclusion,
+    // per-lang sizes; QCurateSpec pins the set-algebra invariants.)
+    Qry("q175_lang_vocab_overlap",
+      (s, dir) => {
+        val d = QLlm.spread(s, t(s, dir, "documents"))
+          .select(col("lang"), explode(TextOps.tokens(col("text"))).as("tok"))
+          .filter(length(col("tok")) > 0)
+          .distinct()
+        val sizes = d.groupBy("lang").agg(count(lit(1)).as("n"))
+        val inter = d.as("a")
+          .join(d.as("b"), col("a.tok") === col("b.tok") &&
+            col("a.lang") < col("b.lang"))
+          .groupBy(col("a.lang").as("lang_a"), col("b.lang").as("lang_b"))
+          .agg(count(lit(1)).as("n_common"))
+        inter
+          .join(broadcast(sizes.select(col("lang").as("lang_a"), col("n").as("n_a"))),
+            Seq("lang_a"))
+          .join(broadcast(sizes.select(col("lang").as("lang_b"), col("n").as("n_b"))),
+            Seq("lang_b"))
+          .select(col("lang_a"), col("lang_b"), col("n_a"), col("n_b"),
+            col("n_common"),
+            round(col("n_common").cast("double") /
+              (col("n_a") + col("n_b") - col("n_common")), 6).as("jaccard"))
+      },
+      Some(s"""WITH d AS (SELECT DISTINCT lang, tok FROM
+        |    (SELECT lang, unnest($toksSql) AS tok FROM documents)
+        |  WHERE length(tok) > 0),
+        |sizes AS (SELECT lang, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1),
+        |inter AS (SELECT a.lang AS lang_a, b.lang AS lang_b,
+        |    CAST(count(*) AS BIGINT) AS n_common
+        |  FROM d a JOIN d b ON a.tok = b.tok AND a.lang < b.lang
+        |  GROUP BY 1, 2)
+        |SELECT lang_a, lang_b, sa.n AS n_a, sb.n AS n_b, n_common,
+        |  round(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 6) AS jaccard
+        |FROM inter JOIN sizes sa ON sa.lang = lang_a
+        |JOIN sizes sb ON sb.lang = lang_b""".stripMargin))
   )
 
   /** The BPE rounds for q172, unrolled (the q131 fixed-point pattern):

@@ -370,6 +370,16 @@ class PlanBudgetSpec extends SparkSpec {
     // JL distortion: spread + the consecutive-id self-join + the 1-row
     // stats aggregate broadcast back onto the pair frame
     assert(shuffles("q171_jl_distortion") <= 6)
+    // incremental sessionize: all windows/aggregates are user-keyed; the
+    // proof-side full recompute doubles the exchanges but every one is
+    // partitioned — no global window anywhere near raw events
+    assert(shuffles("q174_incremental_sessionize") <= 12)
+    // vocab overlap: distinct + token-keyed self-join (per-token fan-out
+    // bounded by n_langs) + two broadcast size lookups; the static count
+    // includes the size branches re-deriving the distinct subtree, which
+    // canonicalizes identically and reuses at execution
+    assert(shuffles("q175_lang_vocab_overlap") <= 8)
+    assert(planOf("q175_lang_vocab_overlap").contains("BroadcastExchange"))
     // linear-probe training: the corpus reduces to ONE sufficient-
     // statistics row in a single map-side-partial aggregate pass; the
     // Cramer solve is driver-free expression algebra on that row

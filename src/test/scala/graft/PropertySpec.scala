@@ -109,6 +109,60 @@ class PropertySpec extends SparkSpec {
       s"score must grow with tf ($k)"))
   }
 
+  test("property: PQ codes are valid and ADC with ks=|corpus| is exact L2 on random vectors") {
+    import graft.vector.VectorOps
+    val vecGen: Gen[Seq[Float]] = Gen.listOfN(8,
+      Gen.choose(-1.0f, 1.0f)).map(_.toSeq)
+    val vecs = Gen.listOfN(24, vecGen).sample.get.zipWithIndex
+      .map { case (v, i) => (i.toLong + 1, v) }
+    val df = vecs.toDF("id", "vec")
+    val enc = VectorOps.pqEncode(df, m = 4, subDim = 2, ks = 8)
+      .as[(Long, Seq[Int])].collect().toMap
+    assert(enc.size === vecs.size)
+    assert(enc.values.forall(c => c.size === 4 && c.forall(x => x >= 0 && x < 8)))
+    // codebook = whole corpus -> ADC distance IS squared L2; model check
+    val got = VectorOps.pqAdcTopK(df.filter(col("id") <= 2), df,
+        m = 4, subDim = 2, ks = 24, k = 3)
+      .as[(Long, Long, Int)].collect().toSet
+    def l2(a: Seq[Float], b: Seq[Float]) =
+      a.zip(b).map { case (x, y) => (x.toDouble - y) * (x.toDouble - y) }.sum
+    val expected = vecs.take(2).flatMap { case (qid, qv) =>
+      vecs.filter(_._1 != qid).map { case (nid, nv) => (nid, l2(qv, nv)) }
+        .sortBy { case (nid, d) => (d, nid) }.take(3).zipWithIndex
+        .map { case ((nid, _), r) => (qid, nid, r + 1) }
+    }.toSet
+    assert(got === expected)
+  }
+
+  test("property: JL projection is linear and preserves mean pair distortion") {
+    import graft.vector.VectorOps
+    val vecGen: Gen[Seq[Float]] = Gen.listOfN(16,
+      Gen.choose(-1.0f, 1.0f)).map(_.toSeq)
+    val vecs = Gen.listOfN(60, vecGen).sample.get.zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }
+    val p = vecs.toDF("id", "vec")
+      .select(col("id"), VectorOps.jlProject(col("vec"), 8, 16).as("pv"))
+      .as[(Long, Seq[Double])].collect().toMap
+    // linearity within float/double tolerance: proj(2a) == 2·proj(a)
+    val doubled = vecs.map { case (i, v) => (i, v.map(_ * 2.0f)) }
+    val p2 = doubled.toDF("id", "vec")
+      .select(col("id"), VectorOps.jlProject(col("vec"), 8, 16).as("pv"))
+      .as[(Long, Seq[Double])].collect().toMap
+    vecs.foreach { case (i, _) =>
+      p(i).zip(p2(i)).foreach { case (a, b) =>
+        assert(math.abs(b - 2.0 * a) < 1e-6, s"linearity at id $i") }
+    }
+    // mean distortion over consecutive pairs near 1 (JL with k=8: wide net)
+    def l2(a: Seq[Double], b: Seq[Double]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val ratios = vecs.sliding(2).collect { case Seq((i, vi), (j, vj)) =>
+      val den = vi.zip(vj).map { case (x, y) => (x.toDouble - y) * (x.toDouble - y) }.sum
+      if (den > 0) Some(l2(p(i), p(j)) / den) else None
+    }.flatten.toSeq
+    val mean = ratios.sum / ratios.size
+    assert(mean > 0.5 && mean < 1.6, s"mean distortion $mean drifted from 1")
+  }
+
   test("property: token entropy bounded by ln(distinct terms)") {
     // uniform over m distinct tokens -> exactly ln(m); skewed -> less
     def h(ps: Seq[Double]): Double = ps.map(p => -p * math.log(p)).sum

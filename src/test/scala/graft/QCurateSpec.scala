@@ -70,6 +70,35 @@ class QCurateSpec extends SparkSpec {
     assert(r.getAs[Double]("w2") > 0, "long tokens must add chars")
   }
 
+  test("q174: incremental sessions ≡ full recompute; the continuation branch fires") {
+    // sf0.001: every incremental session must match the full recompute
+    val small = run("q174_incremental_sessionize").collect()
+    assert(small.nonEmpty)
+    assert(small.forall(_.getAs[Boolean]("matches_full")))
+    // sf0.01 (the driver's gate scale): sessions provably CONTINUE across
+    // the batch boundary — the branch the state-carry exists for — and
+    // still match the full recompute row-for-row
+    val big = SparkEntry.queries("q174_incremental_sessionize")(spark, "/root/testdata/sf0.01")
+      .collect()
+    assert(big.count(_.getAs[Boolean]("continued")) > 0,
+      "no session crossed the batch boundary — the state-carry is untested")
+    assert(big.forall(_.getAs[Boolean]("matches_full")))
+  }
+
+  test("q175: vocabulary overlap is a valid Jaccard with consistent set algebra") {
+    val rows = run("q175_lang_vocab_overlap").collect()
+    assert(rows.length === 10) // C(5,2) language pairs
+    rows.foreach { r =>
+      val (na, nb, common) = (r.getAs[Long]("n_a"), r.getAs[Long]("n_b"),
+        r.getAs[Long]("n_common"))
+      assert(common <= math.min(na, nb))
+      val j = r.getAs[Double]("jaccard")
+      assert(j > 0 && j <= 1.0)
+      assert(math.abs(j - common.toDouble / (na + nb - common)) < 1e-9)
+      assert(r.getAs[String]("lang_a") < r.getAs[String]("lang_b"))
+    }
+  }
+
   test("q124: verbatim copies lose every block; sole-occurrence docs survive intact") {
     val out = run("q124_block_dedup").cache()
     // +20000 rows are byte-identical copies scanned after their originals —
