@@ -5,6 +5,9 @@ import org.apache.spark.sql.SparkSession
 /** Plan auditor: prints the formatted physical plan of named registered
   * queries plus a one-line summary of exchanges / pushed filters.
   * Usage: runMain graft.tools.PlanAudit <sfDir> <q> [q...]
+  *        runMain graft.tools.PlanAudit <sfDir> --all   (markdown table of
+  *        every registered query — the committed PLANS artifact; set
+  *        PLANS_OUT to also write it to a file)
   */
 object PlanAudit {
   def main(args: Array[String]): Unit = {
@@ -19,6 +22,7 @@ object PlanAudit {
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    if (args.tail.sameElements(Array("--all"))) { auditAll(spark, sfDir); spark.stop(); return }
     args.tail.foreach { name =>
       val df = graft.SparkEntry.queries(name)(spark, sfDir)
       val plan = df.queryExecution.executedPlan.toString
@@ -30,5 +34,46 @@ object PlanAudit {
       if (sys.env.contains("AUDIT_FULL")) df.explain("formatted")
     }
     spark.stop()
+  }
+
+  /** Markdown plan-shape inventory of EVERY registered query: exchange
+    * and broadcast counts plus whether any scan-level pushed filter is
+    * present — the one-glance plan-hygiene artifact (committed per round
+    * as PLANS_r{N}.md). Counts are the same regexes PlanBudgetSpec
+    * budgets, so the artifact and the regression guards can't drift. */
+  private def auditAll(spark: SparkSession, sfDir: String): Unit = {
+    // the label-consumer family eagerly materializes the shared closure
+    // at construction; build it once so per-query timing stays flat
+    try graft.queries.ClusterLabels(spark, sfDir)
+    catch { case e: Throwable => System.err.println(s"[plans] labels: $e") }
+    val sb = new StringBuilder
+    sb.append(s"# PLANS — per-query physical-plan shape (sf: $sfDir)\n\n")
+    sb.append("Counts from the INITIAL executed plan (AQE can only improve\n")
+    sb.append("them); `shuffles` counts hash/range exchanges — repeated\n")
+    sb.append("subtrees in multi-branch plans count each occurrence although\n")
+    sb.append("identical ones reuse at execution. `pushed` = a parquet scan\n")
+    sb.append("with a non-trivial PushedFilters entry exists.\n\n")
+    sb.append("| query | shuffles | broadcasts | pushed filters |\n|---|---|---|---|\n")
+    var totS = 0; var totB = 0
+    graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      try {
+        val df = fn(spark, sfDir)
+        val plan = df.queryExecution.executedPlan.toString
+        val nS = graft.ops.Bucketing.shuffleCount(df)
+        val nB = "BroadcastExchange".r.findAllIn(plan).length
+        val pushed = "PushedFilters: \\[[^\\]]+\\]".r.findFirstIn(plan).isDefined
+        totS += nS; totB += nB
+        sb.append(s"| $name | $nS | $nB | ${if (pushed) "yes" else "—"} |\n")
+      } catch { case e: Throwable =>
+        sb.append(s"| $name | ERROR | | ${e.getClass.getSimpleName} |\n")
+      }
+    }
+    sb.append(s"\nTotals: $totS hash/range exchanges, $totB broadcasts across ")
+    sb.append(s"${graft.SparkEntry.queries.size} queries.\n")
+    print(sb)
+    sys.env.get("PLANS_OUT").foreach { p =>
+      java.nio.file.Files.write(java.nio.file.Paths.get(p),
+        sb.toString.getBytes("UTF-8"))
+    }
   }
 }
