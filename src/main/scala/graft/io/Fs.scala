@@ -202,7 +202,6 @@ object Fs {
   def overwriteVersioned(df: org.apache.spark.sql.DataFrame, path: String,
                          keep: Int = 3): Long = {
     val spark = df.sparkSession
-    val conf = spark.sessionState.newHadoopConf()
     val next = stageVersioned(df, path)
     commitVersioned(spark, path, keep)
     next
@@ -240,13 +239,29 @@ object Fs {
   /** Time-travel read: the snapshot as of version `v` (the current one or
     * any retained historical version). Fails fast with the retained set
     * when `v` has been pruned — silently serving the wrong version is the
-    * one unacceptable behavior for a reproducibility primitive. */
+    * one unacceptable behavior for a reproducibility primitive.
+    *
+    * Concurrency contract: this layer assumes a SINGLE WRITER per table
+    * path (the nightly-batch model every writer in this repo follows).
+    * Readers racing a writer are handled best-effort: after resolving
+    * `v == cur` to the live path, the `_VERSION` marker is re-read and,
+    * if a concurrent commit moved the current version, the read falls
+    * back to the freshly demoted `__v<v>` slot — so the marker-read →
+    * parquet-read window cannot silently serve version cur+1 labeled as
+    * v. A reader racing the PRUNE of a historical slot can still lose
+    * the require/read race; under multiple writers use a real table
+    * format's manifest commit instead. */
   def readVersion(spark: org.apache.spark.sql.SparkSession, path: String,
                   v: Long): org.apache.spark.sql.DataFrame = {
     val conf = spark.sessionState.newHadoopConf()
     val cur = snapshotVersion(path, conf)
-    if (v == cur) spark.read.parquet(path)
-    else {
+    if (v == cur) {
+      val df = spark.read.parquet(path)
+      // TOCTOU guard: a concurrent commitVersioned between the marker read
+      // and the parquet read would have demoted v into its slot
+      if (snapshotVersion(path, conf) == v) df
+      else spark.read.parquet(versionDirOf(path, v))
+    } else {
       val retained = retainedVersions(path, conf)
       require(retained.contains(v),
         s"version $v of $path not available: current=$cur retained=${retained.mkString(",")}")

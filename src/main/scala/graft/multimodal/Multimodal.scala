@@ -15,11 +15,16 @@ import org.apache.spark.sql.functions._
   * too: `decodeAudioMeta` parses any format the JDK's
   * `javax.sound.sampled` providers accept (WAV/AIFF/AU PCM) — sample
   * rate, channels, bit depth, frame count, duration are measured from
-  * the actual stream, flagged `real_decode = true`. Compressed-audio and
-  * video codec work remains STUBBED (this container ships no media
-  * libraries): `fakeDecode` derives deterministic pseudo-metadata from
-  * an md5 of the payload, and also backstops image/audio payloads no
-  * installed provider accepts, so a corrupt blob degrades to labeled
+  * the actual stream, flagged `real_decode = true`. The VIDEO container
+  * branch is REAL as well: [[decodeVideoMeta]] parses MP4/QuickTime box
+  * structure (`moov`→`mvhd` timescale+duration, `trak`→`tkhd` 16.16
+  * fixed-point width/height, `stbl`→`stts` sample counts) and RIFF/AVI
+  * (`hdrl`→`avih` main header) DIRECTLY from bytes — dimensions,
+  * duration, and frame count need no codec, only the container layout.
+  * Only pixel/sample DECODE of compressed streams remains stubbed (this
+  * container ships no codecs): `fakeDecode` derives deterministic
+  * pseudo-metadata from an md5 of the payload and backstops any payload
+  * no parser/provider accepts, so a corrupt blob degrades to labeled
   * fake metadata instead of failing the job. Everything around the
   * stub is the real production shape —
   * binary-safe schemas, per-partition batch processing (one decoder init
@@ -44,10 +49,14 @@ object Multimodal {
                              bits_per_sample: Int, n_frames: Long,
                              duration_ms: Long, real_decode: Boolean)
   final case class MediaVec(doc_id: Long, embedding: Array[Float])
+  final case class VideoMeta(doc_id: Long, media_type: String, n_bytes: Long,
+                             container: String, width: Int, height: Int,
+                             duration_ms: Long, n_frames: Long,
+                             real_decode: Boolean)
 
   /** ======= STUB ======= deterministic fake decoder: md5(payload) →
-    * pseudo (width, height, channels). Covers audio/video (no codecs in
-    * this container) and image payloads no ImageIO reader accepts. */
+    * pseudo (width, height, channels). Covers compressed payloads no
+    * container parser / ImageIO reader / sampled-audio provider accepts. */
   private def fakeDecode(payload: Array[Byte]): (Int, Int, Int) = {
     val d = MessageDigest.getInstance("MD5").digest(payload)
     def u16(i: Int) = ((d(i) & 0xff) << 8 | (d(i + 1) & 0xff))
@@ -176,6 +185,160 @@ object Multimodal {
         }
       }
     }
+  }
+
+  // ===== Real video container parsing (pure JVM, no codec needed) =====
+
+  private def be32(b: Array[Byte], o: Int): Long =
+    ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+      ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+  private def be64(b: Array[Byte], o: Int): Long =
+    (be32(b, o) << 32) | be32(b, o + 4)
+  private def le32(b: Array[Byte], o: Int): Long =
+    ((b(o + 3) & 0xffL) << 24) | ((b(o + 2) & 0xffL) << 16) |
+      ((b(o + 1) & 0xffL) << 8) | (b(o) & 0xffL)
+  private def fourcc(b: Array[Byte], o: Int): String =
+    new String(b, o, 4, "ISO-8859-1")
+
+  /** ISO-BMFF box walk over `[from, to)`: (type, payloadFrom, payloadTo)
+    * per box. Tolerates 64-bit `largesize` and size-0 (to-end) boxes;
+    * stops cleanly at the first torn/overflowing box. */
+  private def mp4Children(b: Array[Byte], from: Int, to: Int): Seq[(String, Int, Int)] = {
+    val out = scala.collection.mutable.ListBuffer[(String, Int, Int)]()
+    var o = from
+    var ok = true
+    while (ok && o + 8 <= to) {
+      var size = be32(b, o)
+      val typ = fourcc(b, o + 4)
+      var hdr = 8
+      if (size == 1 && o + 16 <= to) { size = be64(b, o + 8); hdr = 16 }
+      else if (size == 0) size = (to - o).toLong
+      if (size < hdr || size > to - o) ok = false // torn box: stop, keep prefix
+      else {
+        out += ((typ, o + hdr, o + size.toInt))
+        o += size.toInt
+      }
+    }
+    out.toSeq
+  }
+
+  /** MP4/QuickTime metadata straight from box structure: `mvhd` gives
+    * duration (in movie-timescale units), the first visual `trak`'s
+    * `tkhd` gives 16.16 fixed-point width/height, and that trak's
+    * `stts` (time-to-sample) entry counts sum to the frame count.
+    * None unless the payload leads with `ftyp`/`moov` and carries a
+    * positive-dimension track — a text blob can never satisfy this. */
+  private def parseMp4(b: Array[Byte]): Option[(Int, Int, Long, Long)] = {
+    val top = mp4Children(b, 0, b.length)
+    if (!top.exists(t => t._1 == "ftyp" || t._1 == "moov")) return None
+    top.find(_._1 == "moov").flatMap { case (_, mf, mt) =>
+      val kids = mp4Children(b, mf, mt)
+      val durMs = kids.find(_._1 == "mvhd").flatMap { case (_, f, t) =>
+        if (t - f < 4) None
+        else (b(f) & 0xff) match {
+          case 1 if t - f >= 32 => // v1: 8-byte ctime/mtime/duration
+            val ts = be32(b, f + 20); val du = be64(b, f + 24)
+            if (ts > 0) Some(du * 1000L / ts) else None
+          case 0 if t - f >= 24 =>
+            val ts = be32(b, f + 12); val du = be32(b, f + 16)
+            if (ts > 0) Some(du * 1000L / ts) else None
+          case _ => None
+        }
+      }
+      // first trak whose tkhd carries non-zero dims (audio tracks are 0×0);
+      // width/height are the LAST 8 bytes of tkhd for both versions
+      val visual = kids.filter(_._1 == "trak").flatMap { case (_, f, t) =>
+        val tk = mp4Children(b, f, t)
+        tk.find(_._1 == "tkhd").flatMap { case (_, hf, ht) =>
+          if (ht - hf < 8) None
+          else {
+            val w = (be32(b, ht - 8) >> 16).toInt
+            val h = (be32(b, ht - 4) >> 16).toInt
+            if (w > 0 && h > 0) Some((w, h, tk)) else None
+          }
+        }
+      }.headOption
+      visual.flatMap { case (w, h, tk) =>
+        // trak → mdia → minf → stbl → stts: Σ sample_count = frame count
+        def child(kids: Seq[(String, Int, Int)], name: String) =
+          kids.find(_._1 == name).map { case (_, f, t) => mp4Children(b, f, t) }
+        val stts = child(tk, "mdia").flatMap(child(_, "minf"))
+          .flatMap(child(_, "stbl"))
+          .flatMap(_.find(_._1 == "stts"))
+        val frames = stts.map { case (_, f, t) =>
+          if (t - f < 8) 0L
+          else {
+            val n = be32(b, f + 4).toInt
+            (0 until n).takeWhile(i => f + 8 + i * 8 + 8 <= t)
+              .map(i => be32(b, f + 8 + i * 8)).sum
+          }
+        }.getOrElse(0L)
+        durMs.map(d => (w, h, d, frames))
+      }
+    }
+  }
+
+  /** RIFF/AVI metadata from the `hdrl` LIST's `avih` main header
+    * (little-endian): µs-per-frame, total frames, width, height. */
+  private def parseAvi(b: Array[Byte]): Option[(Int, Int, Long, Long)] = {
+    if (b.length < 12 || fourcc(b, 0) != "RIFF" || fourcc(b, 8) != "AVI ")
+      return None
+    val limit = math.min(b.length.toLong, 8L + le32(b, 4)).toInt
+    def findAvih(from: Int, to: Int): Option[Int] = {
+      var o = from
+      while (o + 8 <= to) {
+        val id = fourcc(b, o)
+        val sz = le32(b, o + 4)
+        if (sz > to - o - 8) return None // torn chunk
+        if (id == "avih") return Some(o + 8)
+        if (id == "LIST") {
+          val r = findAvih(o + 12, o + 8 + sz.toInt)
+          if (r.isDefined) return r
+        }
+        o += 8 + sz.toInt + (sz.toInt & 1) // chunks pad to even size
+      }
+      None
+    }
+    findAvih(12, limit).flatMap { o =>
+      if (o + 40 > b.length) None
+      else {
+        val usPerFrame = le32(b, o)
+        val frames = le32(b, o + 16)
+        val w = le32(b, o + 32).toInt
+        val h = le32(b, o + 36).toInt
+        if (w > 0 && h > 0) Some((w, h, usPerFrame * frames / 1000L, frames))
+        else None
+      }
+    }
+  }
+
+  /** Video metadata per payload: REAL container parse (MP4 box walk or
+    * RIFF/AVI header — `real_decode = true`, `container` names which)
+    * for any structurally valid payload; md5-derived stub metadata
+    * otherwise (`container = "unknown"`, frame count = the same
+    * payload-size heuristic [[sampleFrames]] uses, 25 fps pseudo
+    * duration). Same narrow per-partition shape as [[decodeMeta]]. */
+  def decodeVideoMeta(media: Dataset[Media])
+                     (implicit spark: SparkSession): Dataset[VideoMeta] = {
+    import spark.implicits._
+    media.mapPartitions(_.map { m =>
+      val real =
+        if (m.media_type == "video")
+          parseMp4(m.payload).map(r => ("mp4", r))
+            .orElse(parseAvi(m.payload).map(r => ("avi", r)))
+        else None
+      real match {
+        case Some((container, (w, h, durMs, frames))) =>
+          VideoMeta(m.doc_id, m.media_type, m.payload.length.toLong,
+            container, w, h, durMs, frames, real_decode = true)
+        case None =>
+          // ======= STUB ======= no parseable container: labeled fake
+          val (w, h, _) = fakeDecode(m.payload)
+          val frames = math.max(1, m.payload.length / 64).toLong
+          VideoMeta(m.doc_id, m.media_type, m.payload.length.toLong,
+            "unknown", w, h, frames * 40L, frames, real_decode = false)
+      }
+    })
   }
 
   /** Frame sampling for video payloads: emits `everyNth`-stride frames as

@@ -49,11 +49,8 @@ object Components {
 
   private def propagate(vertices: DataFrame, edges: DataFrame,
                         maxIter: Int): (DataFrame, Int, Boolean) = {
-    // reliable checkpoint when a checkpoint dir is configured (survives
-    // executor loss on a cluster); executor-local otherwise (local mode)
-    def cut(df: DataFrame): DataFrame =
-      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
-      else df.localCheckpoint()
+    // shared lineage cut: reliable checkpoint on a cluster, local otherwise
+    def cut(df: DataFrame): DataFrame = Fixpoint.cut(df)
 
     // symmetrize once: propagation below only follows src -> dst
     val sym = cut(edges.select(col("src"), col("dst"))

@@ -1,0 +1,46 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+
+/** Lineage-safe iteration for fixpoint-style operators (PageRank, label
+  * propagation, iterative refinement). Two hazards exist when a loop
+  * rebinds a DataFrame var:
+  *
+  *   1. referencing the prior frame MORE than once per round doubles the
+  *      subtree each iteration (2^n plan copies) — the caller must keep
+  *      the recurrence LINEAR (see q131's nodesNN anchor);
+  *   2. even a linear recurrence grows the plan by one join/aggregate
+  *      layer per round — fine at 8 rounds, but at 25+ the analyzer/
+  *      optimizer cost and codegen depth dominate, and on a cluster the
+  *      lineage must be truncated for fault re-computation to stay
+  *      bounded.
+  *
+  * [[iterate]] addresses (2): it runs `step` n times and truncates the
+  * lineage every `checkpointEvery` rounds via [[cut]]. The LAST round is
+  * never cut (the caller's downstream plan continues from the live
+  * frame), so a loop with n <= checkpointEvery produces the exact same
+  * plan — and therefore the same result hash — as the bare loop.
+  */
+object Fixpoint {
+
+  /** Truncate lineage: reliable `checkpoint` when a checkpoint dir is
+    * configured (survives executor loss on a cluster); executor-local
+    * otherwise (local mode). Shared by Components.propagate and every
+    * iterative query. */
+  def cut(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
+    else df.localCheckpoint()
+
+  /** Apply `step` to `init` n times, cutting lineage every
+    * `checkpointEvery` rounds (never after the final round). */
+  def iterate(init: DataFrame, n: Int, checkpointEvery: Int = 8)
+             (step: DataFrame => DataFrame): DataFrame = {
+    require(checkpointEvery >= 1, s"checkpointEvery must be >= 1, got $checkpointEvery")
+    var cur = init
+    for (i <- 1 to n) {
+      cur = step(cur)
+      if (i % checkpointEvery == 0 && i < n) cur = cut(cur)
+    }
+    cur
+  }
+}

@@ -417,16 +417,20 @@ object QCurate {
         // the static (node, nn) frame anchors every iteration so the prior
         // ranks frame is referenced exactly ONCE per round — the lineage
         // stays LINEAR (a ranks-join-ranks formulation doubles the subtree
-        // per iteration: 2^8 copies of the base plan by round 8)
+        // per iteration: 2^8 copies of the base plan by round 8). The
+        // Fixpoint.iterate wrapper additionally cuts lineage every 8
+        // rounds, so raising the iteration count cannot deepen the plan
+        // unboundedly; at exactly 8 rounds no cut fires and the plan (and
+        // hash) are identical to the bare loop.
         val nodesNN = nodes.crossJoin(broadcast(nn)).cache()
-        var ranks = nodesNN.select(col("node"), col("nn"),
+        val ranks0 = nodesNN.select(col("node"), col("nn"),
           expr(s"${SCALE}L div nn").as("r"))
-        for (_ <- 1 to 8) {
+        val ranks = graft.ops.Fixpoint.iterate(ranks0, 8) { prev =>
           val contrib = ew
-            .join(ranks.select(col("node").as("src"), col("r")), Seq("src"))
+            .join(prev.select(col("node").as("src"), col("r")), Seq("src"))
             .select(col("dst"), expr("(r * w) div ow").as("c"))
             .groupBy("dst").agg(sum("c").as("in_sum"))
-          ranks = nodesNN
+          nodesNN
             .join(contrib, nodesNN("node") === contrib("dst"), "left_outer")
             .select(col("node"), col("nn"),
               (expr(s"(15 * ${SCALE}L) div (100 * nn)") +
@@ -963,7 +967,7 @@ object QCurate {
     // robust (median/IQR) per-group feature scaling — the outlier-safe
     // normalization (mean/std moves with the outliers it should flag;
     // q98 is the moment-based sibling). The group quantiles come from
-    // the bounded histogram-partition operator — never a per-group value
+    // the two-exchange value-histogram operator — never a per-group value
     // buffer — and ride back over a broadcast (one row per group); the
     // fact side stays a narrow pipeline. The outlier flag is decided on
     // the ROUNDED score so the boolean can't straddle an engine-rounding
@@ -974,7 +978,7 @@ object QCurate {
           .select(col("o_orderkey"), col("o_orderpriority").as("prio"),
             round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
           .cache()
-        val q = graft.ops.Quantiles.exactQuantiles(o, Seq("prio"), "cents",
+        val q = graft.ops.Quantiles.valueHistogramQuantiles(o, Seq("prio"), "cents",
           Seq("p25" -> 0.25, "p50" -> 0.5, "p75" -> 0.75))
         o.join(broadcast(q), Seq("prio"))
           .withColumn("robust_z",

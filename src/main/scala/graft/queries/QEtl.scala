@@ -704,23 +704,20 @@ object QEtl {
         |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
         |FROM orders GROUP BY ROLLUP(yr, prio)""".stripMargin)),
 
-    // exact interpolated quantiles per group via the BOUNDED-memory
-    // histogram-partition operator ([[graft.ops.Quantiles]]) — the naive
+    // exact interpolated quantiles per group via the TWO-exchange
+    // value-histogram operator ([[graft.ops.Quantiles]]) — the naive
     // `percentile(cents, q)` buffers every group value in one aggregation
     // buffer, an executor OOM for large groups at 100 TB; this computes
     // the identical interpolated value (same Percentile arithmetic, same
-    // quantile_cont oracle) with ≤ nBuckets counters of state per group
+    // quantile_cont oracle) from a groupBy(value).count histogram plus
+    // one cumulative pass over the distinct-cents grain — every
+    // requested quantile falls out of the same two exchanges
     Qry("q64_quantiles",
       (s, dir) => {
-        // cache the slim 2-column projection: the histogram-partition
-        // quantile makes three passes (stats, histogram, boundary) plus
-        // the count — at any scale the cached frame is two integer-ish
-        // columns, never the table
         val o = t(s, dir, "orders")
           .select(col("o_orderpriority").as("prio"),
             round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
-          .cache()
-        graft.ops.Quantiles.exactQuantiles(o, Seq("prio"), "cents",
+        graft.ops.Quantiles.valueHistogramQuantiles(o, Seq("prio"), "cents",
             Seq("p50" -> 0.5, "p95" -> 0.95), countCol = Some("n"))
           .select(col("prio"), col("p50"), col("p95"), col("n"))
       },
@@ -1508,20 +1505,20 @@ object QEtl {
 
     // winsorization: clip the value column at the (rounded-cent) p01/p99 —
     // outlier taming before any float-sensitive model sees the data. The
-    // cut points come from the bounded-memory histogram-partition
-    // quantile ([[graft.ops.Quantiles]]; a global exact `percentile`
-    // would buffer the whole table in ONE aggregation buffer), collapse
-    // to a 1-row broadcast back onto the scan; clipping is integer
-    // arithmetic after rounding the cut points, so clipped sums stay exact
+    // cut points come from the two-exchange value-histogram quantile
+    // ([[graft.ops.Quantiles]]; a global exact `percentile` would buffer
+    // the whole table in ONE aggregation buffer), collapse to a 1-row
+    // broadcast back onto the scan; clipping is integer arithmetic after
+    // rounding the cut points, so clipped sums stay exact
     Qry("q106_winsorize",
       (s, dir) => {
-        // slim 2-column cache: feeds the quantile's three passes + the
-        // final clip scan (see q64's rationale)
+        // slim 2-column cache: feeds the quantile pass + the final clip
+        // scan (two consumers of the same projection)
         val li = t(s, dir, "lineitem")
           .select(col("l_returnflag"),
             round(col("l_extendedprice") * 100, 0).cast("long").as("cents"))
           .cache()
-        val cuts = graft.ops.Quantiles.exactQuantiles(li, Nil, "cents",
+        val cuts = graft.ops.Quantiles.valueHistogramQuantiles(li, Nil, "cents",
             Seq("p01r" -> 0.01, "p99r" -> 0.99))
           .select(round(col("p01r"), 0).cast("long").as("p01"),
             round(col("p99r"), 0).cast("long").as("p99"))

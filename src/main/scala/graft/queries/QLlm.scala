@@ -1251,8 +1251,8 @@ object QLlm {
           .withColumn("cents", round(col("value") * 100, 0).cast("long"))
           .select("event_type", "user_id", "cents")
           .cache()
-        // the exact p50 twin comes from the bounded histogram-partition
-        // operator (graft.ops.Quantiles) — the built-in `percentile`
+        // the exact p50 twin comes from the two-exchange value-histogram
+        // quantile (graft.ops.Quantiles) — the built-in `percentile`
         // would buffer every group value, the exact failure mode the
         // sketches exist to avoid. The exact distinct is a two-stage
         // aggregate (dedup on (type, user), then count) joined with the
@@ -1265,7 +1265,7 @@ object QLlm {
           .agg(approx_count_distinct(col("user_id"), rsd = 0.02).as("n_users_approx"),
             expr("approx_percentile(cents, 0.5, 10000)").as("p50_approx"))
           .join(exact, Seq("event_type"))
-          .join(graft.ops.Quantiles.exactQuantiles(
+          .join(graft.ops.Quantiles.valueHistogramQuantiles(
             ev, Seq("event_type"), "cents", Seq("p50_exact" -> 0.5)),
             Seq("event_type"))
       }

@@ -114,9 +114,9 @@ object QScale {
 
     // GLOBAL equi-depth (quartile) binning — the scale-safe replacement
     // for `ntile(4) OVER (ORDER BY cents)`, which moves every row to ONE
-    // task. The cuts come from the bounded histogram-partition operator
-    // (graft.ops.Quantiles — state ≤ nBuckets counters, never the
-    // values) and ride back over a 1-row broadcast; bin assignment is a
+    // task. The cuts come from the two-exchange value-histogram quantile
+    // (graft.ops.Quantiles — a counter per distinct cent value, never
+    // the rows) and ride back over a 1-row broadcast; bin assignment is a
     // narrow compare pipeline, so the only row-count-shaped cost is the
     // scan itself. Bin populations differ from exact NTILE only at cut
     // ties — deterministically, which is what the oracle hash-checks.
@@ -125,7 +125,7 @@ object QScale {
         val o = t(s, dir, "orders")
           .select(col("o_orderkey"),
             round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
-        val cuts = graft.ops.Quantiles.exactQuantiles(o, Seq.empty, "cents",
+        val cuts = graft.ops.Quantiles.valueHistogramQuantiles(o, Seq.empty, "cents",
             Seq("p25" -> 0.25, "p50" -> 0.5, "p75" -> 0.75))
           .select("p25", "p50", "p75")
         o.crossJoin(broadcast(cuts))
@@ -1003,6 +1003,7 @@ object QScale {
         |       / (sqrt(list_sum(list_transform(qf.qv, x -> x * x)))
         |          * sqrt(list_sum(list_transform(e.v, x -> x * x))))) AS cos
         |    FROM short s JOIN qf USING (query_id) JOIN e ON e.id = s.neighbor_id)
+        |  WHERE cos IS NOT NULL
         |  QUALIFY row_number() OVER (PARTITION BY query_id
         |    ORDER BY cos DESC, neighbor_id) <= 5),
         |q2 AS (SELECT id AS query_id, v AS qv FROM e WHERE id < 10),
@@ -1367,7 +1368,10 @@ object QScale {
     // batch boundaries (start, last-event time, count of the user's last
     // session), then sessionize ONLY today's events seeded by that state
     // — the state rides as a weighted pseudo-event, so the same gap rule
-    // (30 min) decides continuation and the merged session inherits the
+    // (6 h — deliberately wider than the 30-min rule elsewhere, so that
+    // sessions provably straddle the mid-day cut at test scale; both
+    // engines use the same 21600000000 µs constant) decides continuation
+    // and the merged session inherits the
     // carried start and count. The CONTRACT rides in the result:
     // `matches_full` re-derives the sessions from full history and
     // asserts the incremental result row-for-row (q118's

@@ -56,7 +56,12 @@ object ScaleBench {
     "q167_pq_recall",          // brute force + ADC + rerank, all 10×
     "q168_ols_trend",          // fact-side join + month-grain aggregate
     "q169_corr_profile",       // one-pass power sums over 10× lineitem
-    "q172_bpe_merges")         // vocabulary-bounded merge rounds
+    "q172_bpe_merges",         // vocabulary-bounded merge rounds
+    // r6-final additions (the r6 sf1 artifacts stopped at 172 — these
+    // close the gap so the committed scale record covers the registry)
+    "q173_linear_probe",       // closed-form normal equations over 10× rows
+    "q174_incremental_sessionize", // state carry + full-recompute proof, 10× events
+    "q175_lang_vocab_overlap") // per-lang token vocab join
 
   def main(args: Array[String]): Unit = {
     val baseDir = sys.env.getOrElse("SPARK_GRAFT_BASE_DIR", "/root/testdata/sf0.1")

@@ -331,7 +331,13 @@ object VectorOps {
     * ranked `cid`. (Sampled codebooks, not Lloyd-refined ones, keep the
     * construction engine-reproducible — same rationale as IVF; at scale
     * a PQ codebook is trained on a sample anyway.) Returns
-    * (sub, cid, cvec): m × ks tiny rows — always a broadcast. */
+    * (sub, cid, cvec): m × ks tiny rows — always a broadcast. The result
+    * is `.cache()`d: the sampled-codebook subtree is a global sort+limit
+    * over the corpus, and one PQ query typically builds it 2–3× (LUT,
+    * encode, re-rank shortlist) — CacheManager plan-matching makes every
+    * identical rebuild a cache read of m × ks rows instead. Callers that
+    * sweep parameters should `clearCache()` between sweeps (Verify/Bench
+    * already do). */
   def pqCodebook(vecs: DataFrame, m: Int, subDim: Int, ks: Int,
                  seed: Int = 7): DataFrame = {
     val w = Window.orderBy(col("__r"), col("id")) // ks rows: single-task OK
@@ -343,6 +349,7 @@ object VectorOps {
         .withColumn("cid", (row_number().over(w) - 1).cast("int")),
       col("cid"), col("vec"), m, subDim)
       .select(col("sub"), col("id").as("cid"), col("sv").as("cvec"))
+      .cache()
   }
 
   /** PQ encode: each vector compressed to `m` byte-ish codes — the
@@ -355,8 +362,14 @@ object VectorOps {
     * sort. Returns (id, codes: array<int>) with codes in subspace order.
     */
   def pqEncode(vecs: DataFrame, m: Int, subDim: Int, ks: Int,
-               seed: Int = 7): DataFrame = {
-    val cb = pqCodebook(vecs, m, subDim, ks, seed)
+               seed: Int = 7): DataFrame =
+    pqEncodeWith(vecs, pqCodebook(vecs, m, subDim, ks, seed), m, subDim)
+
+  /** [[pqEncode]] against a PRE-BUILT codebook — lets one query thread a
+    * single sampled codebook through encode + LUT + re-rank instead of
+    * re-deriving the sample subtree per call. */
+  private def pqEncodeWith(vecs: DataFrame, cb: DataFrame, m: Int,
+                           subDim: Int): DataFrame = {
     subVectors(vecs, col("id"), col("vec"), m, subDim)
       .join(broadcast(cb), Seq("sub"))
       .select(col("id"), col("sub"),
@@ -380,13 +393,14 @@ object VectorOps {
     * bit-deterministic across engines. */
   def pqAdcTopK(queries: DataFrame, corpus: DataFrame, m: Int, subDim: Int,
                 ks: Int, k: Int, seed: Int = 7): DataFrame = {
-    val cb = pqCodebook(corpus, m, subDim, ks, seed)
+    val cb = pqCodebook(corpus, m, subDim, ks, seed) // built once (cached):
+    // the LUT below and the encode share the same sampled codebook frame
     val lut = subVectors(queries, col("id"), col("vec"), m, subDim)
       .withColumnRenamed("id", "query_id").withColumnRenamed("sv", "qsv")
       .join(broadcast(cb), Seq("sub"))
       .select(col("query_id"), col("sub"), col("cid"),
         l2sq(col("qsv"), col("cvec")).as("pd"))
-    val cand = pqEncode(corpus, m, subDim, ks, seed)
+    val cand = pqEncodeWith(corpus, cb, m, subDim)
       .select(col("id").as("neighbor_id"), posexplode(col("codes")).as(Seq("sub", "cid")))
       .join(broadcast(lut), Seq("sub", "cid"))
       .filter(col("query_id") =!= col("neighbor_id"))

@@ -101,6 +101,85 @@ class MultimodalSpec extends SparkSpec {
     assert(img.forall(!_.real_decode))
   }
 
+  // ---- hand-built video containers (byte-exact per ISO-BMFF / RIFF) ----
+
+  private def be32b(v: Long): Array[Byte] = Array(
+    ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+    ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+  private def le32b(v: Long): Array[Byte] = be32b(v).reverse
+  private def mp4box(typ: String, parts: Array[Byte]*): Array[Byte] = {
+    val body = parts.flatten.toArray
+    be32b(body.length + 8L) ++ typ.getBytes("ISO-8859-1") ++ body
+  }
+
+  /** A structurally valid MP4: ftyp + moov(mvhd 600ts/3000dur,
+    * trak(tkhd 640×360 16.16, mdia(minf(stbl(stts 100+25 samples))))). */
+  private def buildMp4(): Array[Byte] = {
+    val ftyp = mp4box("ftyp", "isom".getBytes, be32b(512), "isom".getBytes)
+    val mvhd = mp4box("mvhd", new Array[Byte](4), // v0 + flags
+      be32b(0), be32b(0),      // ctime, mtime
+      be32b(600), be32b(3000), // timescale, duration -> 5000 ms
+      new Array[Byte](80))     // rate/volume/matrix/predefines/next-track
+    val tkhd = mp4box("tkhd", new Array[Byte](4),
+      be32b(0), be32b(0), be32b(1), be32b(0), be32b(3000),
+      new Array[Byte](8),      // reserved
+      new Array[Byte](8),      // layer/alt-group/volume/reserved
+      new Array[Byte](36),     // identity matrix slots (content unread)
+      be32b(640L << 16), be32b(360L << 16))
+    val stts = mp4box("stts", new Array[Byte](4), be32b(2),
+      be32b(100), be32b(40), be32b(25), be32b(40)) // 125 frames total
+    val trak = mp4box("trak", tkhd,
+      mp4box("mdia", mp4box("minf", mp4box("stbl", stts))))
+    ftyp ++ mp4box("moov", mvhd, trak)
+  }
+
+  /** A structurally valid AVI: RIFF(AVI ) > LIST(hdrl) > avih with
+    * 40000 µs/frame, 250 frames, 320×240. */
+  private def buildAvi(): Array[Byte] = {
+    val avih = "avih".getBytes("ISO-8859-1") ++ le32b(56) ++
+      le32b(40000) ++ le32b(0) ++ le32b(0) ++ le32b(0) ++
+      le32b(250) ++ le32b(0) ++ le32b(1) ++ le32b(0) ++
+      le32b(320) ++ le32b(240) ++ new Array[Byte](16)
+    val hdrl = "LIST".getBytes("ISO-8859-1") ++ le32b(4 + avih.length) ++
+      "hdrl".getBytes("ISO-8859-1") ++ avih
+    "RIFF".getBytes("ISO-8859-1") ++ le32b(4 + hdrl.length) ++
+      "AVI ".getBytes("ISO-8859-1") ++ hdrl
+  }
+
+  test("REAL video branch: MP4 box walk yields exact dims/duration/frames") {
+    val vids = Seq(
+      Media(30L, "video", buildMp4()),
+      Media(31L, "video", buildAvi()),
+      Media(32L, "video", Array.fill(300)(7.toByte)),    // no container: stub
+      Media(33L, "image", buildMp4())                    // wrong media_type: stub
+    ).toDS()
+    val m = Multimodal.decodeVideoMeta(vids).collect().map(v => v.doc_id -> v).toMap
+    assert(m(30L).real_decode)
+    assert((m(30L).container, m(30L).width, m(30L).height,
+      m(30L).duration_ms, m(30L).n_frames) === (("mp4", 640, 360, 5000L, 125L)))
+    assert(m(31L).real_decode)
+    assert((m(31L).container, m(31L).width, m(31L).height,
+      m(31L).duration_ms, m(31L).n_frames) === (("avi", 320, 240, 10000L, 250L)))
+    assert(!m(32L).real_decode && m(32L).container === "unknown")
+    assert(m(32L).n_frames === 300L / 64) // same heuristic as sampleFrames
+    assert(!m(33L).real_decode) // media_type gates the parser
+    // determinism of the stub path
+    val again = Multimodal.decodeVideoMeta(vids).collect().map(v => v.doc_id -> v).toMap
+    assert(again(32L) === m(32L))
+  }
+
+  test("video parser rejects torn/corrupt containers instead of misreading") {
+    val mp4 = buildMp4()
+    val torn = Seq(
+      Media(40L, "video", mp4.take(20)),            // truncated mid-box
+      Media(41L, "video", mp4.take(mp4.length - 4)),// truncated tail box
+      Media(42L, "video", "RIFF1234AVI ".getBytes), // AVI magic, no avih
+      Media(43L, "video", Array[Byte]())            // empty payload
+    ).toDS()
+    val m = Multimodal.decodeVideoMeta(torn).collect()
+    assert(m.forall(!_.real_decode), "corrupt payloads must fall to the labeled stub")
+  }
+
   test("sampleFrames explodes only video payloads with stride") {
     val frames = Multimodal.sampleFrames(media, everyNth = 2).collect()
     assert(frames.nonEmpty)

@@ -154,12 +154,11 @@ class PlanBudgetSpec extends SparkSpec {
   }
 
   test("winsorize/CDC/sampling hold their shapes") {
-    // winsorize: the p01/p99 cuts come from the bounded histogram-
-    // partition quantile — its stats/hist aggregates plus rank-location
-    // and boundary-refinement exchanges are all slim (≤ nBuckets rows per
-    // group) except the histogram pass itself; the former single
-    // `percentile` buffered the whole table in one aggregation buffer
-    assert(shuffles("q106_winsorize") <= 16)
+    // winsorize: the p01/p99 cuts come from the TWO-exchange value-
+    // histogram quantile (value-grain groupBy + one cumulative window);
+    // the rest is the 1-row cuts broadcast + the final clip rollup — the
+    // former histogram-partition path spent 15+ slim exchanges here
+    assert(shuffles("q106_winsorize") <= 4)
     assert(planOf("q106_winsorize").contains("BroadcastExchange"))
     // snapshot diff: one full-outer hash join on the business key
     assert(shuffles("q107_snapshot_diff") <= 3)
@@ -171,9 +170,10 @@ class PlanBudgetSpec extends SparkSpec {
     assert(shuffles("q110_weighted_sample") <= 1)
     // native session windows: one keyed exchange + the session sort
     assert(shuffles("q111_session_window") <= 2)
-    // sketches + their exact twins; the exact p50 rides the bounded
-    // histogram-partition quantile (same slim-exchange profile as q106)
-    assert(shuffles("q112_approx_aggregates") <= 18)
+    // sketches + their exact twins; the exact p50 rides the two-exchange
+    // value-histogram quantile, the exact distinct its two-stage
+    // aggregate, plus the sketch agg and the type-keyed joins
+    assert(shuffles("q112_approx_aggregates") <= 8)
     // as-of with tolerance: asOfUnion's single union-window exchange
     assert(shuffles("q113_asof_tolerance") <= 2)
     // gaps-and-islands / mode: distinct+window / agg+window per group
@@ -281,17 +281,17 @@ class PlanBudgetSpec extends SparkSpec {
     // cached token frame; the cumulative window rides the 28-row
     // day-grain join (28-row side broadcast)
     assert(shuffles("q147_vocab_growth") <= 5)
-    // robust scaling: q64's quantile machinery (all exchanges slim/
-    // group-keyed, same ceiling) + the broadcast join back to the facts
-    assert(shuffles("q148_robust_scaling") <= 18)
+    // robust scaling: q64's two-exchange quantile + the broadcast join
+    // back to the facts (per-group cut rows, never the table)
+    assert(shuffles("q148_robust_scaling") <= 4)
   }
 
   test("scale-layout additions stay within their shuffle budgets") {
     spark.catalog.clearCache()
-    // equi-depth bins: global quantile machinery (q64-ceiling) + the
-    // 1-row cuts broadcast + the 4-group bin rollup — the fact side
-    // never sorts globally (the whole point vs window NTILE)
-    assert(shuffles("q149_equidepth_bins") <= 18)
+    // equi-depth bins: the two-exchange global quantile + the 1-row cuts
+    // broadcast + the 4-group bin rollup — the fact side never sorts
+    // globally (the whole point vs window NTILE)
+    assert(shuffles("q149_equidepth_bins") <= 4)
     // EWMA: day-grain agg, the bounded-horizon self-join of the
     // AGGREGATE-grain series, the final per-(type,day) fold
     assert(shuffles("q150_ewma_daily") <= 4)
@@ -395,10 +395,12 @@ class PlanBudgetSpec extends SparkSpec {
     assert(shuffles("q172_bpe_merges") <= 14)
   }
 
-  test("per-group exact quantiles hold the bounded histogram shape") {
-    // all exchanges are group-keyed or ≤ nBuckets-per-group slim frames;
-    // no single buffer ever holds a group's values
-    assert(shuffles("q64_quantiles") <= 18)
+  test("per-group exact quantiles hold the two-exchange value-histogram shape") {
+    // exchange 1: the (group, cents) histogram; exchange 2: the group-
+    // keyed cumulative window — the flanking-value aggregate reuses that
+    // partitioning and interpolation is a projection. No single buffer
+    // ever holds a group's values.
+    assert(shuffles("q64_quantiles") <= 2)
   }
 
   test("global windows (no partitionBy) only sit above bounded-grain inputs") {
