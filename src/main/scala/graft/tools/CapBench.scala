@@ -98,20 +98,32 @@ object CapBench {
                     pairsPre: Long, pairsPost: Long)
     def telemetry(site: Site, dir: String, nDocs: Long): Tele = {
       val cap = site.capOf(nDocs)
-      // pairs from the size histogram only: n·(n−1)/2 per key, never a join
+      // pairs from the size histogram only: n·(n−1)/2 per key, never a
+      // join (n·(n−1) is even, so the sums stay exact long arithmetic)
       val row = site.sizes(spark, dir)
         .agg(count(lit(1)).as("keys"),
           sum(when(col("n") > cap, 1L).otherwise(0L)).as("over"),
-          sum(col("n") * (col("n") - 1) / 2).as("pre"),
-          sum(when(col("n") <= cap, col("n") * (col("n") - 1) / 2)
-            .otherwise(0L)).as("post"))
+          sum(col("n") * (col("n") - 1)).as("pre2"),
+          sum(when(col("n") <= cap, col("n") * (col("n") - 1))
+            .otherwise(0L)).as("post2"))
         .head()
       spark.catalog.clearCache()
-      Tele(cap, row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3))
+      Tele(cap, row.getLong(0), row.getLong(1), row.getLong(2) / 2, row.getLong(3) / 2)
     }
 
     val timedQueries = Seq("q119_lsh_banded_cap", "q121_embed_dedup_clusters",
       "q153_prefix_filter_join", "q166_pq_adc_topk")
+
+    // Pairwise-similarity queries EMIT pairs, so their output (not just
+    // their join) grows quadratically in near-dup cluster width; on a
+    // corpus whose post-cap candidate count exceeds this bound the timed
+    // run is skipped WITH the telemetry as the recorded reason — the
+    // telemetry row is the point (it shows exactly the growth that makes
+    // label propagation, not pairwise output, the corpus-scale tool).
+    val PairBudget = 50000000L
+    val pairwiseOf = Map("q153_prefix_filter_join" -> "prefix_tokens_scale_cap",
+      "q119_lsh_banded_cap" -> "lsh_bands_cap2",
+      "q121_embed_dedup_clusters" -> "srp_buckets_cap12")
 
     // codegen warmup (same rationale as Bench/ScaleBench)
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
@@ -122,10 +134,10 @@ object CapBench {
       finally spark.catalog.clearCache()
     }
 
-    def timeAt(dir: String): Map[String, Double] = {
+    def timeAt(dir: String, skip: Set[String]): Map[String, Double] = {
       val acc = scala.collection.mutable.LinkedHashMap[String, Double]()
       for (run <- 1 to nRuns) {
-        timedQueries.foreach { name =>
+        timedQueries.filterNot(skip).foreach { name =>
           val t0 = System.nanoTime()
           graft.SparkEntry.queries(name)(spark, dir)
             .write.format("noop").mode("overwrite").save()
@@ -153,7 +165,11 @@ object CapBench {
     def sideJson(dir: String): String = {
       val nDocs = nDocsAt(dir)
       val tele = sites.map(s => s -> telemetry(s, dir, nDocs))
-      val times = timeAt(dir)
+      val byName = tele.map { case (s, t) => s.name -> t }.toMap
+      val skip = pairwiseOf.collect {
+        case (q, siteName) if byName(siteName).pairsPost > PairBudget => q
+      }.toSet
+      val times = timeAt(dir, skip)
       val tJson = tele.map { case (s, t) =>
         s""""${s.name}":{"query":"${s.query}","cap":${t.cap},""" +
           s""""keys":${t.keys},"keys_over_cap":${t.keysOver},""" +
@@ -162,7 +178,11 @@ object CapBench {
       }.mkString("{", ",", "}")
       val qJson = times.toSeq.sortBy(_._1)
         .map { case (k, v) => s""""$k":${f(v)}""" }.mkString("{", ",", "}")
-      s"""{"dir":"$dir","n_docs":$nDocs,"caps":$tJson,"timed_s":$qJson}"""
+      val skipJson = skip.toSeq.sorted.map(q =>
+        s""""$q":"pairwise output exceeds $PairBudget post-cap pairs"""")
+        .mkString("{", ",", "}")
+      s"""{"dir":"$dir","n_docs":$nDocs,"caps":$tJson,"timed_s":$qJson,""" +
+        s""""skipped":$skipJson}"""
     }
 
     val line = s"""{"metric":"cap_bench","unit":"sec","runs":$nRuns,""" +
