@@ -52,11 +52,20 @@ object Components {
     // shared lineage cut: reliable checkpoint on a cluster, local otherwise
     def cut(df: DataFrame): DataFrame = Fixpoint.cut(df)
 
-    // symmetrize once: propagation below only follows src -> dst
+    // symmetrize once: propagation below only follows src -> dst.
+    // PRE-PARTITIONED on src, and checkpointing preserves the physical
+    // partitioning (LogicalRDD carries it): every round's edge⋈labels
+    // join then finds BOTH sides already clustered on the join key —
+    // labels come out of the previous round's id-keyed aggregate — so
+    // the per-iteration plan pays ONE exchange (the union's re-group),
+    // not three. Measured at sf0.1: the components stage of the labels
+    // build dropped ~25% (tools.ProfLabels, 5.9 -> 4.5 s).
     val sym = cut(edges.select(col("src"), col("dst"))
-      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst"))))
+      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .repartition(col("src")))
 
-    var labels = cut(vertices.select(col("id"), col("id").as("lbl")))
+    var labels = cut(vertices.select(col("id"), col("id").as("lbl"))
+      .repartition(col("id")))
     // convergence probe WITHOUT a join: each round takes the min of a
     // vertex's own and neighbors' labels, so every label is monotonically
     // non-increasing — the exact decimal SUM of labels is unchanged iff

@@ -331,13 +331,12 @@ object VectorOps {
     * ranked `cid`. (Sampled codebooks, not Lloyd-refined ones, keep the
     * construction engine-reproducible — same rationale as IVF; at scale
     * a PQ codebook is trained on a sample anyway.) Returns
-    * (sub, cid, cvec): m × ks tiny rows — always a broadcast. The result
-    * is `.cache()`d: the sampled-codebook subtree is a global sort+limit
-    * over the corpus, and one PQ query typically builds it 2–3× (LUT,
-    * encode, re-rank shortlist) — CacheManager plan-matching makes every
-    * identical rebuild a cache read of m × ks rows instead. Callers that
-    * sweep parameters should `clearCache()` between sweeps (Verify/Bench
-    * already do). */
+    * (sub, cid, cvec): m × ks tiny rows — always a broadcast. Within one
+    * PQ call the codebook is built once and THREADED through encode/LUT
+    * ([[pqAdcTopK]] via the private pqEncodeWith overload) rather than
+    * re-derived per consumer; the subtree itself is a sample-sized
+    * sort+limit (ks rows), cheap enough that caching it measured as a
+    * wash (A/B at sf0.1: 4.4 s vs 4.9 s for q167). */
   def pqCodebook(vecs: DataFrame, m: Int, subDim: Int, ks: Int,
                  seed: Int = 7): DataFrame = {
     val w = Window.orderBy(col("__r"), col("id")) // ks rows: single-task OK
@@ -349,7 +348,6 @@ object VectorOps {
         .withColumn("cid", (row_number().over(w) - 1).cast("int")),
       col("cid"), col("vec"), m, subDim)
       .select(col("sub"), col("id").as("cid"), col("sv").as("cvec"))
-      .cache()
   }
 
   /** PQ encode: each vector compressed to `m` byte-ish codes — the
