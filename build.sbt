@@ -11,6 +11,16 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Machine-readable `runMain graft.Bench` output (VERDICT r7 #3): forked
+// run stdout passes through RAW (no `[info] ` logger prefix) and the
+// trailing `[success] Total time ...` banner is suppressed, so the
+// bench's compact JSON is the LITERAL last stdout line of
+// `sbt "runMain graft.Bench"` — parseable by a tail scrape. The raw
+// JSON is also always written to SPARK_GRAFT_OUT (default
+// /tmp/bench.json) by Bench itself.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+ThisBuild / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -149,7 +149,7 @@ object Bench {
     val total = times.values.sum
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""failed":$fails,"runs":$nRuns,"agg":"min","n_timed":${times.size},""" +
-      s""""labels_build_s":$labelsBuildS,"sf":"$sfDir"}"""
+      s""""labels_build_s":$labelsBuildS,"sf":${jstr(sfDir)}}"""
     println(line)
     // stdout goes through sbt's logger (prefixing/truncation can mangle
     // the line for machine consumers) — also write the raw JSON to a file
@@ -166,7 +166,7 @@ object Bench {
     val compact = s"""{"metric":"total","value":$total,"unit":"sec",""" +
       s""""queries":{},"failed":$fails,"runs":$nRuns,"agg":"min",""" +
       s""""n_timed":${times.size},"labels_build_s":$labelsBuildS,""" +
-      s""""sf":"$sfDir","detail":"$outPath"}"""
+      s""""sf":${jstr(sfDir)},"detail":${jstr(outPath)}}"""
     println(compact)
     spark.stop()
   }

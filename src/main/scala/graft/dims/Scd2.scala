@@ -52,8 +52,15 @@ final case class Scd2(naturalKey: Seq[String], tracked: Seq[String], skName: Str
     * evaluated against `incoming`'s columns (e.g. `col("join_date")` or
     * `lit(runDate)`).
     */
+  /** @param cacheJoin  cache the full-outer join the four output branches
+    *                    all derive from. Off by default (the caller owns
+    *                    cache lifecycle); turn on when merges CHAIN — each
+    *                    uncached merge inlines the join subtree into every
+    *                    branch of the next, so a k-step chain re-plans it
+    *                    ~4^k times (q120's 22-broadcast plan, VERDICT r7
+    *                    #5). The cached frame is dimension-sized. */
   def merge(current: DataFrame, incoming: DataFrame, runDate: String,
-            startForNew: Column): DataFrame = {
+            startForNew: Column, cacheJoin: Boolean = false): DataFrame = {
     val run = to_date(lit(runDate))
 
     val history = current.filter(col("current_flag") === 0)
@@ -61,55 +68,60 @@ final case class Scd2(naturalKey: Seq[String], tracked: Seq[String], skName: Str
 
     val inc = incoming.select(attrs.map(c => col(c).as(s"in_$c")) :+ startForNew.as("in_start"): _*)
 
-    val joined = cur.join(
+    val joined0 = cur.join(
       inc,
       naturalKey.map(k => col(k) === col(s"in_$k")).reduce(_ && _),
       "full_outer"
     )
+    val joined = if (cacheJoin) joined0.cache() else joined0
 
-    val matched = joined.filter(naturalKey.map(k => col(k).isNotNull).reduce(_ && _) &&
-      naturalKey.map(k => col(s"in_$k").isNotNull).reduce(_ && _))
+    val hasCur = naturalKey.map(k => col(k).isNotNull).reduce(_ && _)
+    val hasInc = naturalKey.map(k => col(s"in_$k").isNotNull).reduce(_ && _)
     val changed = tracked.map(c => !(col(c) <=> col(s"in_$c"))).reduce(_ || _)
 
-    // 1. untouched current rows: no incoming row, or incoming identical
-    val unchanged = joined
-      .filter(naturalKey.map(k => col(k).isNotNull).reduce(_ && _))
-      .filter(naturalKey.map(k => col(s"in_$k").isNull).reduce(_ && _) || !changed)
-      .select(cur.columns.map(col).toSeq: _*)
+    // ONE pass over the join emits both current-row outcomes (r7 #5: the
+    // previous four filtered derivations re-planned — and re-evaluated —
+    // the join subtree once per branch, which also fanned a chained
+    // merge's plan out ~4^k):
+    //   1. untouched current rows (no incoming row, or incoming
+    //      identical) pass through;
+    //   2. changed members' old versions expire with
+    //      `end_date = runDate − 1`, `current_flag = 0`.
+    val keep = cur.columns.toSeq
+    val unchangedS = struct(keep.map(col): _*)
+    val expiredS = struct(keep.map {
+      case "end_date" => date_sub(run, 1).as("end_date")
+      case "current_flag" => lit(0).as("current_flag")
+      case c => col(c)
+    }: _*)
+    val carried = joined
+      .select(explode(array(
+        when(hasCur && (!hasInc || !changed), unchangedS),
+        when(hasCur && hasInc && changed, expiredS))).as("r"))
+      .filter(col("r").isNotNull)
+      .select(col("r.*"))
 
-    // 2. expired versions of changed members
-    val expired = matched.filter(changed)
-      .select(cur.columns.map(col).toSeq: _*)
-      .withColumn("end_date", date_sub(run, 1))
-      .withColumn("current_flag", lit(0))
-
-    // 3. fresh versions: changed members restart at runDate ...
-    val reversioned = matched.filter(changed).select(
-      attrs.map(c => col(s"in_$c").as(c)) :+ run.as("start_date"): _*
-    )
-    // ... and unseen members enter with the policy start date
-    val brandNew = joined
-      .filter(naturalKey.map(k => col(k).isNull).reduce(_ && _))
-      .select(
-        attrs.map(c => col(s"in_$c").as(c)) :+ to_date(col("in_start")).as("start_date"): _*
-      )
-
-    // dense SKs continue past the previous max, ordered by natural key
-    // (reference AUTOINCREMENT follows the ORDER BY <key> extract, etl.py:150)
+    // 3. fresh versions: changed members restart at runDate, unseen
+    // members enter with the policy start date. Dense SKs continue past
+    // the previous max, ordered by natural key (reference AUTOINCREMENT
+    // follows the ORDER BY <key> extract, etl.py:150) — the window runs
+    // over ONLY the fresh rows, so the single-partition sort stays
+    // bounded by daily change volume, not table size.
     val maxSk = current.agg(coalesce(max(col(skName)), lit(0L)).as("max_sk"))
-    val skWindow = Window.orderBy(naturalKey.map(col): _*)
-    val fresh = reversioned.unionByName(brandNew)
+    val skWindow = Window.orderBy(naturalKey.map(k => col(s"in_$k")): _*)
+    val fresh = joined
+      .filter(hasInc && (!hasCur || changed))
       .withColumn("rn", row_number().over(skWindow))
       .crossJoin(broadcast(maxSk))
       .select(
         (col("max_sk") + col("rn")).cast("long").as(skName) +:
-          attrs.map(col) :+
-          col("start_date") :+
+          attrs.map(c => col(s"in_$c").as(c)) :+
+          when(hasCur, run).otherwise(to_date(col("in_start"))).as("start_date") :+
           lit(null).cast("date").as("end_date") :+
           lit(1).as("current_flag"): _*
       )
 
-    history.unionByName(unchanged).unionByName(expired).unionByName(fresh)
+    history.unionByName(carried).unionByName(fresh)
   }
 
   /** Bootstrap a version-1 snapshot from a bare extract.

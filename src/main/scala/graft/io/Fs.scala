@@ -258,9 +258,19 @@ object Fs {
     if (v == cur) {
       val df = spark.read.parquet(path)
       // TOCTOU guard: a concurrent commitVersioned between the marker read
-      // and the parquet read would have demoted v into its slot
+      // and the parquet read would have demoted v into its slot. The slot
+      // itself can ALSO already be pruned (keep=0, or a commit+prune race)
+      // — re-check retention so a lost race fails with the documented
+      // "not available: retained=..." contract error, not an opaque
+      // path-not-found from the parquet reader.
       if (snapshotVersion(path, conf) == v) df
-      else spark.read.parquet(versionDirOf(path, v))
+      else {
+        val retained = retainedVersions(path, conf)
+        require(retained.contains(v),
+          s"version $v of $path not available: " +
+            s"current=${snapshotVersion(path, conf)} retained=${retained.mkString(",")}")
+        spark.read.parquet(versionDirOf(path, v))
+      }
     } else {
       val retained = retainedVersions(path, conf)
       require(retained.contains(v),

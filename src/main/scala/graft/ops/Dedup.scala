@@ -80,10 +80,29 @@ object Dedup {
     * vector cap, band keys are an unbounded domain, so the broadcast
     * carries the EXCLUDED keys (few by construction — only pathological
     * bands cross the cap), never the keep-list.
+    *
+    * Sorted-neighborhood guard (`neighborWidth`, VERDICT r7 #1): the
+    * band cap bounds the WORST band but leaves per-band work quadratic —
+    * a dup-dense corpus (every base doc replicated K×) grows candidate
+    * pairs K² with NO band crossing a production-sized cap (measured:
+    * 378.8M pairs at 100× rows, cap 5000 never engaging). When callers
+    * need CONNECTIVITY rather than every pairwise edge — label
+    * propagation, dedup drop-lists — a finite `neighborWidth = J` emits
+    * only rank-adjacent pairs inside each band (each member linked to
+    * its J successors in doc_id order): ≤ J·m candidates per m-member
+    * band instead of m²/2, a STRUCTURAL per-doc bound (≤ J·bands
+    * candidates per doc per side) that needs no cap to engage. A
+    * near-dup cluster sharing a band stays connected through its chain
+    * links, so the transitive closure recovers the cluster; only the
+    * redundant intra-cluster edges are dropped. Classic sorted-
+    * neighborhood blocking (Hernández & Stolfo, SIGMOD '95), keyed here
+    * by LSH band instead of a global sort key. The plan is ONE window
+    * (`lead` over band_key/doc_id — no self-join at all) + the distinct.
     */
   def lshBandCandidates(docs: DataFrame, k: Int = 16, bands: Int = 8,
                         rowsPerBand: Int = 2,
-                        maxBandSize: Int = Int.MaxValue): DataFrame = {
+                        maxBandSize: Int = Int.MaxValue,
+                        neighborWidth: Int = Int.MaxValue): DataFrame = {
     val t = graft.text.TextOps
     // the fused native expression: one JVM call per row for the whole
     // shingle→minhash→band pipeline (bit-identical to the HOF chain —
@@ -95,9 +114,23 @@ object Dedup {
         .filter(col("band_n") > maxBandSize).select("band_key")
       allKeys.join(broadcast(hot), Seq("band_key"), "left_anti")
     }
-    keys.select(col("band_key"), col("doc_id").as("id_a"))
-      .join(keys.select(col("band_key"), col("doc_id").as("id_b")), Seq("band_key"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct() // a pair can collide in many bands
+    if (neighborWidth == Int.MaxValue)
+      keys.select(col("band_key"), col("doc_id").as("id_a"))
+        .join(keys.select(col("band_key"), col("doc_id").as("id_b")), Seq("band_key"))
+        .filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b").distinct() // a pair can collide in many bands
+    else {
+      // (band_key, doc_id) is unique (the band index is baked into the
+      // key), so the lead order is total and the chain deterministic;
+      // id_a < id_b holds by construction (leads ascend in doc_id)
+      val w = Window.partitionBy("band_key").orderBy("doc_id")
+      keys
+        .select(col("doc_id").as("id_a"),
+          array((1 to neighborWidth).map(j => lead(col("doc_id"), j).over(w)): _*)
+            .as("nxt"))
+        .select(col("id_a"), explode(col("nxt")).as("id_b"))
+        .filter(col("id_b").isNotNull)
+        .distinct() // a pair can be chain-adjacent in many bands
+    }
   }
 }

@@ -36,7 +36,8 @@ final class CorpusRun(spark: SparkSession, warehouse: String,
                       maxDupRatio: Double = 0.3,
                       jaccard: Double = 0.5,
                       binTokens: Long = 4096L,
-                      maxBandSize: Int = 5000) {
+                      maxBandSize: Int = 5000,
+                      neighborWidth: Int = 3) {
 
   private def path(t: String) = s"$warehouse/$t"
 
@@ -81,7 +82,10 @@ final class CorpusRun(spark: SparkSession, warehouse: String,
       // ---- near dedup: banded MinHash candidates, Jaccard-verified ------
       val sh = cache(exact.select(col("doc_id"), TextOps.shingles(col("tk"), 3).as("sh"))
         .filter(size(col("sh")) > 0))
-      val drop = graft.ops.Dedup.lshBandCandidates(sh, maxBandSize = maxBandSize)
+      // candidates are chain-bounded (sorted-neighborhood, linear per
+      // band) with the band cap kept as a second, independent guard
+      val drop = graft.ops.Dedup.lshBandCandidates(sh,
+          maxBandSize = maxBandSize, neighborWidth = neighborWidth)
         .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sha")), Seq("id_a"))
         .join(sh.select(col("doc_id").as("id_b"), col("sh").as("shb")), Seq("id_b"))
         .filter(TextOps.jaccard(col("sha"), col("shb")) >= jaccard)

@@ -98,16 +98,23 @@ object ClusterLabels {
     s.read.parquet(path)
   }
 
-  /** The q72 pipeline: 3-shingles → capped LSH band candidates → Jaccard
-    * verify → min-label propagation closure → per-cluster member counts.
-    * (Same production band cap as q57 — a no-op on testdata, so the
-    * recursive-CTE oracle computes the identical fixpoint.) */
+  /** The q72 pipeline: 3-shingles → chain-bounded LSH band candidates →
+    * Jaccard verify → min-label propagation closure → per-cluster member
+    * counts. Candidates use `neighborWidth = 3` (sorted-neighborhood
+    * chains inside each band, [[Dedup.lshBandCandidates]]) instead of a
+    * band-size cap: r7's 100×-rows telemetry showed a dup-dense corpus
+    * growing to 378.8M all-pairs candidates with NO band crossing the
+    * 5000 cap — the chain makes per-band candidates LINEAR by
+    * construction (≤ 3·members), which is the bound the closure needs,
+    * since connectivity (not every pairwise edge) is this artifact's
+    * contract. The oracle's recursive CTE computes the fixpoint over the
+    * same chain edges. */
   private def build(s: SparkSession, dir: String, out: String): Unit = {
     val docs = QLlm.docsWithDups(s, dir)
       .select(col("doc_id"), TextOps.shingles(TextOps.tokens(col("text")), 3).as("sh"))
       .filter(size(col("sh")) > 0)
       .cache()
-    val edges = Dedup.lshBandCandidates(docs, maxBandSize = 5000)
+    val edges = Dedup.lshBandCandidates(docs, neighborWidth = 3)
       .join(docs.select(col("doc_id").as("id_a"), col("sh").as("sha")), Seq("id_a"))
       .join(docs.select(col("doc_id").as("id_b"), col("sh").as("shb")), Seq("id_b"))
       .filter(TextOps.jaccard(col("sha"), col("shb")) >= 0.5)

@@ -546,10 +546,12 @@ object QLlm {
         val kept = d.select("doc_id", "n_tokens", "sh")
           .join(keepIds, Seq("doc_id"), "left_semi")
           .cache()
-        // production hot-band cap: never bites at test scale (max band
-        // size here is 3), so the exact-truth oracle below stays valid —
-        // at corpus scale it bounds the band self-join (see q119)
-        val drop = Dedup.lshBandCandidates(kept, maxBandSize = 5000)
+        // sorted-neighborhood chain (neighborWidth = 3): per-band
+        // candidates are LINEAR by construction — the structural bound a
+        // drop-list needs at corpus scale, where r7's telemetry showed
+        // band caps never engaging on dup-dense growth (VERDICT r7 #1).
+        // The oracle's cand CTE computes the same chain.
+        val drop = Dedup.lshBandCandidates(kept, neighborWidth = 3)
           .join(kept.select(col("doc_id").as("id_a"), col("sh").as("sha")), Seq("id_a"))
           .join(kept.select(col("doc_id").as("id_b"), col("sh").as("shb")), Seq("id_b"))
           .filter(TextOps.jaccard(col("sha"), col("shb")) >= 0.5)
@@ -589,8 +591,13 @@ object QLlm {
         |    b -> CAST(b AS VARCHAR) || ':' || md5(array_to_string(
         |           sig[b * 2 + 1 : b * 2 + 2], ',')))) AS band_key
         |  FROM sigs),
-        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-        |  FROM keys a JOIN keys b ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+        |c0 AS (SELECT doc_id,
+        |    [lead(doc_id, 1) OVER wd, lead(doc_id, 2) OVER wd,
+        |     lead(doc_id, 3) OVER wd] AS nxt
+        |  FROM keys WINDOW wd AS (PARTITION BY band_key ORDER BY doc_id)),
+        |cand AS (SELECT DISTINCT id_a, id_b FROM (
+        |    SELECT doc_id AS id_a, unnest(nxt) AS id_b FROM c0)
+        |  WHERE id_b IS NOT NULL),
         |drop0 AS (SELECT DISTINCT id_b FROM cand
         |  JOIN kept da ON da.doc_id = id_a JOIN kept db ON db.doc_id = id_b
         |  WHERE (CASE WHEN len(list_distinct(da.sh || db.sh)) = 0 THEN 0.0
@@ -696,8 +703,13 @@ object QLlm {
         |    b -> CAST(b AS VARCHAR) || ':' || md5(array_to_string(
         |           sig[b * 2 + 1 : b * 2 + 2], ',')))) AS band_key
         |  FROM sigs),
-        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-        |  FROM keys a JOIN keys b ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+        |c0 AS (SELECT doc_id,
+        |    [lead(doc_id, 1) OVER wd, lead(doc_id, 2) OVER wd,
+        |     lead(doc_id, 3) OVER wd] AS nxt
+        |  FROM keys WINDOW wd AS (PARTITION BY band_key ORDER BY doc_id)),
+        |cand AS (SELECT DISTINCT id_a, id_b FROM (
+        |    SELECT doc_id AS id_a, unnest(nxt) AS id_b FROM c0)
+        |  WHERE id_b IS NOT NULL),
         |pairs AS (SELECT id_a, id_b
         |  FROM cand JOIN docs da ON da.doc_id = id_a JOIN docs db ON db.doc_id = id_b
         |  WHERE (CASE WHEN len(list_distinct(da.sh || db.sh)) = 0 THEN 0.0

@@ -4,47 +4,60 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.text.TextOps
 
-/** Cap-engagement evidence at 100× rows (VERDICT r6 next-round #3).
+/** Cap/chain-engagement evidence at 100× rows (VERDICT r6 #3, r7 #1/#2).
   *
   * The pair-growth families (banded LSH q119/labels-build, SRP buckets
   * q121/q54, prefix-filter tokens q153) grow with CANDIDATE-PAIR count —
-  * the exact term their band/bucket/token caps exist to bound — and sf1
-  * (10×) is too small to show most caps biting. This tool measures, at
-  * each supplied scale, the thing itself:
+  * the exact term their guards exist to bound — and sf1 (10×) is too
+  * small to show most guards biting. This tool measures, at each
+  * supplied scale, the thing itself:
   *
-  *   - per cap site: total keys (bands/buckets/tokens), keys over the
-  *     cap, and Σ n·(n−1)/2 candidate pairs BEFORE vs AFTER the cap —
-  *     computed from the key-size histogram (slim aggregates; no pair is
-  *     ever materialized), so the telemetry is cheap even where the
-  *     uncapped join would be quadratic;
-  *   - timed runs (min of SPARK_GRAFT_RUNS) of the cap-carrying queries
-  *     that stay tractable at 100×: q119 (band cap 2), q121 (bucket cap
-  *     12), q153 (scale-aware token cap), q166 (PQ — linear by
-  *     construction, the no-cap control). The q134 labels build
-  *     (band cap 5000, sized for production boilerplate, NOT for the
-  *     replica corpus's deliberate 100-member clusters) is timed only
-  *     when SPARK_GRAFT_TIME_LABELS=1 — its telemetry row is always
-  *     present and is the evidence that matters: pre-cap pair count vs
-  *     what the cap admits.
+  *   - per guard site: total keys (bands/buckets/tokens), keys over the
+  *     cap, and candidate pairs BEFORE vs AFTER the guard — computed
+  *     from the key-size histogram (slim aggregates; no pair is ever
+  *     materialized), so the telemetry is cheap even where an uncapped
+  *     join would be quadratic. Two guard kinds, mirroring the
+  *     operators exactly:
+  *       · cap sites (q119 band cap 2, q121 bucket cap 12): keys whose
+  *         size crosses the cap are EXCLUDED — post = Σ_{kept} n(n−1)/2;
+  *       · chain sites (labels build, q153): candidates are each row's
+  *         J successors in sort order within its key group
+  *         ([[graft.ops.Dedup.lshBandCandidates]] neighborWidth) —
+  *         post = Σ_{kept} (n ≤ J ? n(n−1)/2 : J·n − J(J+1)/2), a
+  *         STRUCTURAL linear bound that needs no cap to engage. This is
+  *         the r8 fix for r7's finding that dup-dense growth kept every
+  *         band under a production cap while pairs grew ~K²;
+  *   - timed runs (min of SPARK_GRAFT_RUNS) of the labels build plus
+  *     the heavy-family queries (VERDICT r7 #2): the bounded near-dup
+  *     operators (q119 capped bands, q121 capped buckets, q153 chained
+  *     prefix groups, q134 label consumers), the iterative/composed
+  *     shapes (q57, q124, q151, q130), the lexical/fact anchors (q94,
+  *     q19), and the linear no-guard control (q166 PQ).
   *
-  * Sub-quadratic proof shape: rows grow K×, pairs_pre grows ~K²×, and
-  * pairs_post (what the engine actually joins) grows ≪ pairs_pre — the
-  * cap converts quadratic candidate growth back to near-linear work.
+  * Pairwise-output queries whose post-guard candidate count STILL
+  * exceeds PairBudget are skipped with the telemetry as the recorded
+  * reason — after r8's chain rework that is only q29, whose contract
+  * (ALL verified pairs, uncapped) is the exact-truth small-corpus tool;
+  * its corpus-scale replacements are exactly the chained/capped
+  * operators timed above.
   *
   * Usage: runMain graft.tools.CapBench
   *   env: SPARK_GRAFT_BASE_DIR    (default /root/testdata/sf0.1)
   *        SPARK_GRAFT_SCALED_DIR  (default /root/repo/scratch/sf10)
   *        SPARK_GRAFT_RUNS        (default 2, per-query MIN)
   *        SPARK_GRAFT_OUT         (default /root/repo/BENCH_sf10_caps.json)
-  *        SPARK_GRAFT_TIME_LABELS (default 0)
+  *        SPARK_GRAFT_TIME_LABELS (default 1; 0 skips the labels timing)
   */
 object CapBench {
 
-  /** One cap site: the key-size frame (key, n) and the cap to apply.
-    * `capOf` receives n_docs so scale-aware caps (q153) stay faithful. */
+  /** One guard site. `sizes` returns one row per key: (n = group size
+    * the candidates derive from, cv = the value the cap tests — group
+    * size for band/bucket caps, corpus df for q153's token cap).
+    * `chain` = Some(J) for sorted-neighborhood sites. */
   private case class Site(name: String, query: String,
                           sizes: (SparkSession, String) => DataFrame,
-                          capOf: Long => Long)
+                          capOf: Long => Long,
+                          chain: Option[Int])
 
   def main(args: Array[String]): Unit = {
     val baseDir = sys.env.getOrElse("SPARK_GRAFT_BASE_DIR", "/root/testdata/sf0.1")
@@ -52,7 +65,7 @@ object CapBench {
     val outPath = sys.env.getOrElse("SPARK_GRAFT_OUT", "/root/repo/BENCH_sf10_caps.json")
     val nRuns = scala.util.Try(sys.env.getOrElse("SPARK_GRAFT_RUNS", "2").trim.toInt)
       .getOrElse(2).max(1)
-    val timeLabels = sys.env.getOrElse("SPARK_GRAFT_TIME_LABELS", "0") == "1"
+    val timeLabels = sys.env.getOrElse("SPARK_GRAFT_TIME_LABELS", "1") == "1"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -63,7 +76,7 @@ object CapBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // --- cap sites (key-size frames mirror the operators exactly) ---
+    // --- guard sites (key-size frames mirror the operators exactly) ---
     def bandSizes(s: SparkSession, dir: String): DataFrame =
       graft.queries.QLlm.docsWithDups(s, dir)
         .select(col("doc_id"), TextOps.shingles(TextOps.tokens(col("text")), 3).as("sh"))
@@ -71,58 +84,93 @@ object CapBench {
         .select(col("doc_id"),
           explode(TextOps.minhashBandKeys(col("sh"), 16, 8, 2)).as("k"))
         .groupBy("k").agg(count(lit(1)).as("n"))
+        .withColumn("cv", col("n"))
     def bucketSizes(s: SparkSession, dir: String): DataFrame =
       s.read.parquet(s"$dir/embeddings.parquet")
         .select(col("vec_id").as("id"), col("embedding").as("vec"))
         .select(graft.vector.VectorOps.srpBucket(col("vec"), 6).as("k"))
         .groupBy("k").agg(count(lit(1)).as("n"))
-    def tokenSizes(s: SparkSession, dir: String): DataFrame =
-      graft.queries.QLlm.docsWithDups(s, dir)
+        .withColumn("cv", col("n"))
+    // q153's index: PREFIX rows only (rn ≤ n − ⌈0.9n⌉ + 1), sized per
+    // token, cap tested against the token's full-corpus df — exactly the
+    // operator's filter (the r7 site over-counted by using the full
+    // token histogram; ADVICE r7)
+    def prefixSizes(s: SparkSession, dir: String): DataFrame = {
+      import org.apache.spark.sql.expressions.Window
+      val d = graft.queries.QLlm.docsWithDups(s, dir)
         .select(col("doc_id"), array_distinct(TextOps.tokens(col("text"))).as("tk"))
         .filter(size(col("tk")) > 0)
-        .select(col("doc_id"), explode(col("tk")).as("k"))
-        .groupBy("k").agg(count(lit(1)).as("n"))
+      val dfreq = d.select(col("doc_id"), explode(col("tk")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("df"))
+      d.select(col("doc_id"), size(col("tk")).as("n"), explode(col("tk")).as("w"))
+        .join(dfreq, Seq("w"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("doc_id").orderBy("df", "w")))
+        .filter(col("rn") <= col("n") - ceil(col("n") * 0.9) + 1)
+        .groupBy(col("w").as("k")).agg(count(lit(1)).as("n"), first("df").as("cv"))
+    }
 
     val sites = Seq(
-      Site("lsh_bands_cap2", "q119_lsh_banded_cap", bandSizes, _ => 2L),
-      Site("lsh_bands_cap5000_labels", "q134_labels_build", bandSizes, _ => 5000L),
-      Site("srp_buckets_cap12", "q121_embed_dedup_clusters", bucketSizes, _ => 12L),
-      Site("prefix_tokens_scale_cap", "q153_prefix_filter_join", tokenSizes,
-        nDocs => math.min(math.max(64L, math.ceil(nDocs * 0.01).toLong), 8192L)))
+      Site("lsh_bands_cap2", "q119_lsh_banded_cap", bandSizes, _ => 2L, None),
+      Site("lsh_bands_chain3_labels", "q134_labels_build", bandSizes,
+        _ => Long.MaxValue, Some(3)),
+      Site("lsh_bands_uncapped_q29", "q29_minhash_lsh_dedup", bandSizes,
+        _ => Long.MaxValue, None),
+      Site("srp_buckets_cap12", "q121_embed_dedup_clusters", bucketSizes,
+        _ => 12L, None),
+      Site("prefix_tokens_chain3", "q153_prefix_filter_join", prefixSizes,
+        nDocs => math.min(math.max(64L, math.ceil(nDocs * 0.01).toLong), 8192L),
+        Some(3)))
 
     def nDocsAt(dir: String): Long =
       graft.queries.QLlm.docsWithDups(spark, dir)
         .filter(size(array_distinct(TextOps.tokens(col("text")))) > 0).count()
 
-    case class Tele(cap: Long, keys: Long, keysOver: Long,
+    case class Tele(cap: Long, chain: Option[Int], keys: Long, keysOver: Long,
                     pairsPre: Long, pairsPost: Long)
     def telemetry(site: Site, dir: String, nDocs: Long): Tele = {
       val cap = site.capOf(nDocs)
       // pairs from the size histogram only: n·(n−1)/2 per key, never a
-      // join (n·(n−1) is even, so the sums stay exact long arithmetic)
+      // join (n·(n−1) is even, so the sums stay exact long arithmetic);
+      // chain sites bound kept keys to J·n − J(J+1)/2 (n > J)
+      val allPairs2 = col("n") * (col("n") - 1)
+      val keptPairs2 = site.chain match {
+        case Some(j) =>
+          when(col("n") <= j, allPairs2)
+            .otherwise(lit(2L * j) * col("n") - lit(j.toLong * (j + 1)))
+        case None => allPairs2
+      }
       val row = site.sizes(spark, dir)
         .agg(count(lit(1)).as("keys"),
-          sum(when(col("n") > cap, 1L).otherwise(0L)).as("over"),
-          sum(col("n") * (col("n") - 1)).as("pre2"),
-          sum(when(col("n") <= cap, col("n") * (col("n") - 1))
-            .otherwise(0L)).as("post2"))
+          coalesce(sum(when(col("cv") > cap, 1L).otherwise(0L)), lit(0L)).as("over"),
+          coalesce(sum(allPairs2), lit(0L)).as("pre2"),
+          coalesce(sum(when(col("cv") <= cap, keptPairs2).otherwise(0L)),
+            lit(0L)).as("post2"))
         .head()
       spark.catalog.clearCache()
-      Tele(cap, row.getLong(0), row.getLong(1), row.getLong(2) / 2, row.getLong(3) / 2)
+      Tele(cap, site.chain, row.getLong(0), row.getLong(1),
+        row.getLong(2) / 2, row.getLong(3) / 2)
     }
 
+    // the r7 trio + the sf1 heavy family (VERDICT r7 #2); q134 reads the
+    // labels artifact built in the labels-timing step, so its number is
+    // the CONSUMER cost — labels_build carries the closure itself
     val timedQueries = Seq("q119_lsh_banded_cap", "q121_embed_dedup_clusters",
-      "q153_prefix_filter_join", "q166_pq_adc_topk")
+      "q153_prefix_filter_join", "q166_pq_adc_topk", "q134_leakage_free_split",
+      "q29_minhash_lsh_dedup", "q57_corpus_curation", "q124_block_dedup",
+      "q151_triangle_count", "q130_bigram_lm", "q88_bm25_search",
+      "q94_tfidf_terms", "q19_fact_tx_load")
 
     // Pairwise-similarity queries EMIT pairs, so their output (not just
     // their join) grows quadratically in near-dup cluster width; on a
-    // corpus whose post-cap candidate count exceeds this bound the timed
-    // run is skipped WITH the telemetry as the recorded reason — the
-    // telemetry row is the point (it shows exactly the growth that makes
-    // label propagation, not pairwise output, the corpus-scale tool).
+    // corpus whose post-guard candidate count exceeds this bound the
+    // timed run is skipped WITH the telemetry as the recorded reason.
+    // After the r8 chain rework only q29 (contractually uncapped — the
+    // exact-truth small-corpus tool) can cross it.
     val PairBudget = 50000000L
-    val pairwiseOf = Map("q153_prefix_filter_join" -> "prefix_tokens_scale_cap",
+    val pairwiseOf = Map("q153_prefix_filter_join" -> "prefix_tokens_chain3",
       "q119_lsh_banded_cap" -> "lsh_bands_cap2",
+      "q29_minhash_lsh_dedup" -> "lsh_bands_uncapped_q29",
       "q121_embed_dedup_clusters" -> "srp_buckets_cap12")
 
     // codegen warmup (same rationale as Bench/ScaleBench)
@@ -133,19 +181,13 @@ object CapBench {
       catch { case e: Throwable => System.err.println(s"[capbench] warm $name: $e") }
       finally spark.catalog.clearCache()
     }
+    graft.queries.ClusterLabels.reset()
 
     def timeAt(dir: String, skip: Set[String]): Map[String, Double] = {
       val acc = scala.collection.mutable.LinkedHashMap[String, Double]()
       for (run <- 1 to nRuns) {
-        timedQueries.filterNot(skip).foreach { name =>
-          val t0 = System.nanoTime()
-          graft.SparkEntry.queries(name)(spark, dir)
-            .write.format("noop").mode("overwrite").save()
-          val dt = (System.nanoTime() - t0) / 1e9
-          System.err.println(f"[capbench] $dir%-28s $name%-28s $dt%8.2f s (run $run)")
-          acc.update(name, math.min(acc.getOrElse(name, Double.MaxValue), dt))
-          spark.catalog.clearCache()
-        }
+        // labels FIRST: q134's timing then reads the memoized artifact
+        // (consumer cost), and labels_build carries the closure
         if (timeLabels) {
           graft.queries.ClusterLabels.reset()
           val t0 = System.nanoTime()
@@ -155,9 +197,18 @@ object CapBench {
           System.err.println(f"[capbench] $dir%-28s labels_build $dt%8.2f s (run $run)")
           acc.update("labels_build", math.min(
             acc.getOrElse("labels_build", Double.MaxValue), dt))
-          graft.queries.ClusterLabels.reset()
+        }
+        timedQueries.filterNot(skip).foreach { name =>
+          val t0 = System.nanoTime()
+          graft.SparkEntry.queries(name)(spark, dir)
+            .write.format("noop").mode("overwrite").save()
+          val dt = (System.nanoTime() - t0) / 1e9
+          System.err.println(f"[capbench] $dir%-28s $name%-28s $dt%8.2f s (run $run)")
+          acc.update(name, math.min(acc.getOrElse(name, Double.MaxValue), dt))
+          spark.catalog.clearCache()
         }
       }
+      graft.queries.ClusterLabels.reset()
       acc.toMap
     }
 
@@ -171,17 +222,20 @@ object CapBench {
       }.toSet
       val times = timeAt(dir, skip)
       val tJson = tele.map { case (s, t) =>
-        s""""${s.name}":{"query":"${s.query}","cap":${t.cap},""" +
+        val capStr = if (t.cap == Long.MaxValue) "null" else t.cap.toString
+        val chainStr = t.chain.map(_.toString).getOrElse("null")
+        s""""${s.name}":{"query":"${s.query}","cap":$capStr,""" +
+          s""""chain_width":$chainStr,""" +
           s""""keys":${t.keys},"keys_over_cap":${t.keysOver},""" +
           s""""pairs_pre_cap":${t.pairsPre},"pairs_post_cap":${t.pairsPost},""" +
-          s""""cap_engaged":${t.keysOver > 0}}"""
+          s""""cap_engaged":${t.keysOver > 0 || t.pairsPost < t.pairsPre}}"""
       }.mkString("{", ",", "}")
       val qJson = times.toSeq.sortBy(_._1)
         .map { case (k, v) => s""""$k":${f(v)}""" }.mkString("{", ",", "}")
       val skipJson = skip.toSeq.sorted.map(q =>
         s""""$q":"pairwise output exceeds $PairBudget post-cap pairs"""")
         .mkString("{", ",", "}")
-      s"""{"dir":"$dir","n_docs":$nDocs,"caps":$tJson,"timed_s":$qJson,""" +
+      s"""{"dir":${jstr(dir)},"n_docs":$nDocs,"caps":$tJson,"timed_s":$qJson,""" +
         s""""skipped":$skipJson}"""
     }
 
@@ -192,4 +246,12 @@ object CapBench {
     val w = new java.io.PrintWriter(outPath); try w.println(line) finally w.close()
     spark.stop()
   }
+
+  private def jstr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
 }

@@ -31,7 +31,7 @@ object ProfLabels {
         .filter(size(col("sh")) > 0)
         .cache()
       t("shingle cache")(docs.write.format("noop").mode("overwrite").save())
-      val cand = Dedup.lshBandCandidates(docs, maxBandSize = 5000)
+      val cand = Dedup.lshBandCandidates(docs, neighborWidth = 3)
       t("band candidates")(cand.write.format("noop").mode("overwrite").save())
       val edges = cand
         .join(docs.select(col("doc_id").as("id_a"), col("sh").as("sha")), Seq("id_a"))

@@ -185,6 +185,46 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.nonEmpty)
     assert(frames.forall(_.doc_id === 3L))
     assert(frames.map(_.frame_idx).toSeq === (0 until 300 / 64 by 2).toSeq)
+    // no container behind these payloads: the heuristic path, flagged so
+    assert(frames.forall(!_.real_frame_count))
+  }
+
+  test("sampleFrames uses the REAL container frame count when parseable (r7 #4)") {
+    val vids = Seq(
+      Media(50L, "video", buildMp4()),                 // stts: 100+25 = 125
+      Media(51L, "video", Array.fill(300)(7.toByte))   // no container
+    ).toDS()
+    val byDoc = Multimodal.sampleFrames(vids, everyNth = 25).collect()
+      .groupBy(_.doc_id)
+    // frame indices follow the stts sample-count SUM, not payload/64
+    assert(byDoc(50L).map(_.frame_idx).sorted.toSeq === Seq(0, 25, 50, 75, 100))
+    assert(byDoc(50L).forall(_.real_frame_count))
+    // un-parseable payload: payload/64 heuristic, flagged
+    assert(byDoc(51L).map(_.frame_idx).sorted.toSeq === (0 until 300 / 64 by 25).toSeq)
+    assert(byDoc(51L).forall(!_.real_frame_count))
+  }
+
+  test("hostile headers cannot overflow duration or explode frame output") {
+    // avih claiming u32-max µs/frame × u32-max frames would overflow
+    // usPerFrame·frames; the parser must reject it (labeled stub), not
+    // emit garbage flagged real_decode
+    val hostileAvih = "avih".getBytes("ISO-8859-1") ++ le32b(56) ++
+      le32b(0xFFFFFFFFL) ++ le32b(0) ++ le32b(0) ++ le32b(0) ++
+      le32b(0xFFFFFFFFL) ++ le32b(0) ++ le32b(1) ++ le32b(0) ++
+      le32b(320) ++ le32b(240) ++ new Array[Byte](16)
+    val hdrl = "LIST".getBytes("ISO-8859-1") ++ le32b(4 + hostileAvih.length) ++
+      "hdrl".getBytes("ISO-8859-1") ++ hostileAvih
+    val hostile = "RIFF".getBytes("ISO-8859-1") ++ le32b(4 + hdrl.length) ++
+      "AVI ".getBytes("ISO-8859-1") ++ hdrl
+    val m = Multimodal.decodeVideoMeta(Seq(Media(60L, "video", hostile)).toDS())
+      .collect().head
+    assert(!m.real_decode, "overflowing header must fall to the labeled stub")
+    // a parseable container claiming more frames than payload bytes is
+    // clamped — frame output stays bounded by payload size
+    val fr = Multimodal.sampleFrames(Seq(Media(61L, "video", buildAvi())).toDS(), 1)
+      .collect()
+    assert(fr.length === buildAvi().length) // 250 claimed, clamped to bytes
+    assert(fr.forall(_.real_frame_count))
   }
 
   test("extractFeatures yields fixed-width deterministic embeddings in range") {

@@ -73,6 +73,20 @@ class PlanBudgetSpec extends SparkSpec {
     assert(shuffles("q61_interval_join") <= 2)
   }
 
+  test("chained SCD2 merges stay collapsed (r7 #5: the 22-broadcast fanout)") {
+    // since r8's single-pass Scd2.merge (unchanged+expired emitted by ONE
+    // explode over the join instead of four filtered re-derivations) the
+    // two-merge chain plans each merge's join once — broadcasts must stay
+    // ≤ 8 (was 22) and shuffles bounded; a regression here means the
+    // branch fanout came back and a k-step chain re-plans ~4^k subtrees
+    val plan = planOf("q120_scd2_stream_twin")
+    val nBroadcast = "BroadcastExchange".r.findAllIn(plan).length
+    assert(nBroadcast <= 8, s"q120 broadcasts regressed: $nBroadcast")
+    assert(shuffles("q120_scd2_stream_twin") <= 14)
+    // the single merge keeps its two-exchange shape
+    assert(shuffles("q06_scd2_merge") <= 4)
+  }
+
   test("analytics/set-op additions stay within their shuffle budgets") {
     // q73: distinct per side + the set-op joins; the ts cut must reach the
     // scan as a bare-attribute compare in the column's native read type
