@@ -60,11 +60,11 @@ class PlanBudgetSpec extends SparkSpec {
 
   test("curation/decontamination/interval-join stay within their shuffle budgets") {
     // q57 composition: spread fan-out + exact-dedup agg + semi-join +
-    // band self-join + pair distinct + verify joins + final anti-join —
-    // each a keyed exchange, none quadratic. +2 over the uncapped shape:
-    // the hot-band guard's band-size aggregate (slim (band_key, count)
-    // rows), the price of bounding the band self-join at corpus scale
-    assert(shuffles("q57_corpus_curation") <= 12)
+    // chained band candidates (ONE lead window — r8 replaced the band
+    // self-join + band-size aggregate) + pair distinct + verify joins +
+    // final anti-join — each a keyed exchange, none quadratic; the chain
+    // rework dropped the budget 12 → 9
+    assert(shuffles("q57_corpus_curation") <= 9)
     // q59: one spread + the shard-local running-sum window
     assert(shuffles("q59_token_packing") <= 2)
     // q60: spread + shingle-hash join both sides + final per-doc aggregate
@@ -319,10 +319,11 @@ class PlanBudgetSpec extends SparkSpec {
     assert(shuffles("q151_triangle_count") <= 70)
     // z-order audit: pure narrow bit math into ONE 64-group aggregate
     assert(shuffles("q152_zorder_layout") <= 1)
-    // prefix-filter join: df agg + per-doc prefix window + slim (id,id)
-    // candidate self-join + the verify joins off the cached set frame;
-    // text count multiplies the cached subtree per consumer
-    assert(shuffles("q153_prefix_filter_join") <= 30)
+    // prefix-filter join: df agg + per-doc prefix window + per-token
+    // chain window (r8: replaced the candidate self-join) + the verify
+    // joins off the cached set frame + the top-20 emission window —
+    // the chain rework collapsed the budget 30 → 8
+    assert(shuffles("q153_prefix_filter_join") <= 8)
     // cluster representative: q72's CC (checkpointed lineage collapses
     // its iterations) + the length join + the per-cluster argmax window
     assert(shuffles("q154_cluster_representative") <= 8)
