@@ -200,6 +200,71 @@ object QLlm {
         |SELECT id_a, id_b, jacc FROM scored WHERE jacc >= 0.5""".stripMargin
       })),
 
+    // The BOUNDED-CONTRACT twin of q29 — what a user runs at corpus
+    // scale. q29's contract ("every verified pair, uncapped") has output
+    // quadratic in near-dup cluster width, which no cap can fix
+    // (BENCH_sf10_caps records its 100× skip at 378.8M candidates).
+    // This operator makes both terms linear by construction: candidates
+    // are sorted-neighborhood CHAINS inside each LSH band
+    // (neighborWidth=3 — ≤3·members per band, one lead window, no
+    // self-join) and emission is the top-10 verified matches per anchor
+    // doc (jacc DESC, id_b — deterministic). Runs AND is timed at 100×
+    // rows where q29 cannot start. Same minhash/shingle machinery, same
+    // 0.5 verify threshold; the oracle mirrors chain and rank exactly.
+    Qry("q177_lsh_chain_topk",
+      (s, dir) => {
+        val docs = docsWithDups(s, dir)
+          .select(col("doc_id"), TextOps.shingles(TextOps.tokens(col("text")), 3).as("sh"))
+          .filter(size(col("sh")) > 0)
+          .cache()
+        val cand = Dedup.lshBandCandidates(docs, neighborWidth = 3)
+        val scored = cand
+          .join(docs.select(col("doc_id").as("id_a"), col("sh").as("sha")), Seq("id_a"))
+          .join(docs.select(col("doc_id").as("id_b"), col("sh").as("shb")), Seq("id_b"))
+          .select(col("id_a"), col("id_b"),
+            round(TextOps.jaccard(col("sha"), col("shb")), 6).as("jacc"))
+          .filter(col("jacc") >= 0.5)
+        scored
+          .withColumn("rk", row_number().over(
+            Window.partitionBy("id_a").orderBy(col("jacc").desc, col("id_b"))))
+          .filter(col("rk") <= 10)
+          .select("id_a", "id_b", "jacc")
+      },
+      Some({
+        val (as, bs) = TextOps.minhashParams(16)
+        val aArr = as.mkString("[", ",", "]")
+        val bArr = bs.mkString("[", ",", "]")
+        s"""WITH d0 AS ($docsWithDupsSql),
+        |d AS (SELECT doc_id, ${shinglesSql(toksSql)} AS sh FROM d0),
+        |docs AS (SELECT doc_id, sh FROM d WHERE len(sh) > 0),
+        |bases AS (SELECT doc_id, sh,
+        |    list_transform(sh, s -> ${h64("s")} % ${TextOps.minhashM}) AS hs FROM docs),
+        |sigs AS (SELECT doc_id, sh,
+        |    list_transform(range(0, 16), i -> list_min(list_transform(hs,
+        |      h -> (h * ($aArr)[i + 1] + ($bArr)[i + 1]) % ${TextOps.minhashM}))) AS sig
+        |  FROM bases),
+        |keys AS (SELECT doc_id, unnest(list_transform(range(0, 8),
+        |    b -> CAST(b AS VARCHAR) || ':' || md5(array_to_string(
+        |           sig[b * 2 + 1 : b * 2 + 2], ',')))) AS band_key
+        |  FROM sigs),
+        |c0 AS (SELECT doc_id,
+        |    [lead(doc_id, 1) OVER wd, lead(doc_id, 2) OVER wd,
+        |     lead(doc_id, 3) OVER wd] AS nxt
+        |  FROM keys WINDOW wd AS (PARTITION BY band_key ORDER BY doc_id)),
+        |cand AS (SELECT DISTINCT id_a, id_b FROM (
+        |    SELECT doc_id AS id_a, unnest(nxt) AS id_b FROM c0)
+        |  WHERE id_b IS NOT NULL),
+        |scored AS (SELECT id_a, id_b,
+        |  round(CASE WHEN len(list_distinct(da.sh || db.sh)) = 0 THEN 0.0
+        |    ELSE CAST(len(list_intersect(list_distinct(da.sh), list_distinct(db.sh))) AS DOUBLE)
+        |         / len(list_distinct(da.sh || db.sh)) END, 6) AS jacc
+        |FROM cand JOIN docs da ON da.doc_id = id_a JOIN docs db ON db.doc_id = id_b),
+        |ranked AS (SELECT id_a, id_b, jacc, row_number() OVER (
+        |      PARTITION BY id_a ORDER BY jacc DESC, id_b) AS rk
+        |  FROM scored WHERE jacc >= 0.5)
+        |SELECT id_a, id_b, jacc FROM ranked WHERE rk <= 10""".stripMargin
+      })),
+
     // SimHash fingerprints (32-bit) — near-dups land at small Hamming dist
     Qry("q30_simhash",
       (s, dir) => spread(s, t(s, dir, "documents")).select(col("doc_id"),

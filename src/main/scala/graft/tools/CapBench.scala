@@ -157,9 +157,9 @@ object CapBench {
     // the CONSUMER cost — labels_build carries the closure itself
     val timedQueries = Seq("q119_lsh_banded_cap", "q121_embed_dedup_clusters",
       "q153_prefix_filter_join", "q166_pq_adc_topk", "q134_leakage_free_split",
-      "q29_minhash_lsh_dedup", "q57_corpus_curation", "q124_block_dedup",
-      "q151_triangle_count", "q130_bigram_lm", "q88_bm25_search",
-      "q94_tfidf_terms", "q19_fact_tx_load")
+      "q29_minhash_lsh_dedup", "q177_lsh_chain_topk", "q57_corpus_curation",
+      "q124_block_dedup", "q151_triangle_count", "q130_bigram_lm",
+      "q88_bm25_search", "q94_tfidf_terms", "q19_fact_tx_load")
 
     // Pairwise-similarity queries EMIT pairs, so their output (not just
     // their join) grows quadratically in near-dup cluster width; on a
@@ -171,6 +171,7 @@ object CapBench {
     val pairwiseOf = Map("q153_prefix_filter_join" -> "prefix_tokens_chain3",
       "q119_lsh_banded_cap" -> "lsh_bands_cap2",
       "q29_minhash_lsh_dedup" -> "lsh_bands_uncapped_q29",
+      "q177_lsh_chain_topk" -> "lsh_bands_chain3_labels",
       "q121_embed_dedup_clusters" -> "srp_buckets_cap12")
 
     // codegen warmup (same rationale as Bench/ScaleBench)
