@@ -10,14 +10,21 @@ import org.apache.spark.sql.functions._
   * closure or chained near-dups (A~B, B~C) survive dedup.
   *
   * Algorithm: every vertex starts labeled with itself; each round every
-  * vertex takes the min label among itself and its neighbors; converged
-  * when no label changes. Rounds needed = graph diameter (near-dup
-  * clusters are small stars/chains, so 2–4 in practice, `maxIter` is a
-  * safety bound). Each round is ONE shuffle (union + min-aggregate on
-  * vertex id); `localCheckpoint` truncates the lineage so the plan stays
-  * flat across iterations (on a cluster, prefer reliable `checkpoint`
-  * with a checkpoint dir — same call shape). The convergence probe is a
-  * `limit(1).count` on changed labels — an early-out, not a full scan.
+  * vertex takes the min label among itself and its neighbors, then
+  * FOLLOWS its label one hop through the label table (pointer jumping /
+  * path compression — `lbl := lbl(lbl)`, sound because labels are
+  * min-monotone: `lbl(v) ≤ v` always, so the jump only lowers labels
+  * toward the component min). Plain neighbor-min alone needs
+  * diameter-many rounds — fine for star/clique near-dup clusters, but
+  * the r8 sorted-neighborhood CHAIN candidates deliberately produce
+  * path-shaped clusters (a K-member dup family chains at step ≤3, so
+  * diameter ~K/3: measured at 100× rows, 488-member families did NOT
+  * converge in 60 neighbor-min rounds). With the jump each round
+  * roughly doubles the compressed path, so rounds ≈ log₂(diameter):
+  * the same 100× corpus converges in 9. `localCheckpoint` truncates
+  * the lineage so the plan stays flat across iterations (on a cluster,
+  * prefer reliable `checkpoint` — same call shape, [[Fixpoint.cut]]).
+  * The convergence probe is a slim monotone label-sum aggregate.
   */
 object Components {
 
@@ -80,8 +87,16 @@ object Components {
     while (!converged && iter < maxIter) {
       val prop = sym.join(labels, sym("src") === labels("id"))
         .select(sym("dst").as("id"), col("lbl"))
-      val next = cut(labels.unionByName(prop)
-        .groupBy("id").agg(min("lbl").as("lbl")))
+      val nm = labels.unionByName(prop)
+        .groupBy("id").agg(min("lbl").as("lbl"))
+      // pointer jump: lbl := lbl(lbl). Every label IS a vertex id, so
+      // the left join always matches (coalesce guards the invariant).
+      // Both join branches are the same aggregate subtree — the
+      // exchange is computed once and reused.
+      val next = cut(nm
+        .join(nm.select(col("id").as("lbl"), col("lbl").as("lbl2")),
+          Seq("lbl"), "left")
+        .select(col("id"), coalesce(col("lbl2"), col("lbl")).as("lbl")))
       val nextSum = labelSum(next)
       converged = nextSum.compareTo(prevSum) == 0
       prevSum = nextSum

@@ -83,6 +83,20 @@ class ComponentsSpec extends SparkSpec {
     assert(labels.filter(s"lbl = 1").count() === n)
   }
 
+  test("pointer jumping converges a 200-vertex path in O(log n) rounds (r8)") {
+    // the r8 chain candidates produce PATH-shaped clusters; plain
+    // neighbor-min needs diameter-many rounds (measured at 100x rows:
+    // 488-member families unconverged after 60). With the per-round
+    // label jump the compressed distance roughly doubles each round, so
+    // 200 vertices must close well inside 12 rounds.
+    val verts = (1L to 200L).toDF("id")
+    val edges = (1L until 200L).map(i => (i, i + 1)).toDF("src", "dst")
+    val (labels, report) = Components.connectedComponentsAudited(verts, edges, maxIter = 12)
+    assert(report.converged, s"200-path needed more than 12 rounds: $report")
+    assert(report.nComponents === 1)
+    assert(labels.filter("lbl = 1").count() === 200)
+  }
+
   test("audit flags non-convergence when the diameter exceeds maxIter") {
     // a 12-chain needs ~11 propagation rounds; maxIter=3 must report
     // converged=false instead of silently returning partial labels
