@@ -119,9 +119,16 @@ object ClusterLabels {
       .join(docs.select(col("doc_id").as("id_b"), col("sh").as("shb")), Seq("id_b"))
       .filter(TextOps.jaccard(col("sha"), col("shb")) >= 0.5)
       .select(col("id_a").as("src"), col("id_b").as("dst"))
-    graft.ops.Components.connectedComponents(
-        docs.select(col("doc_id").as("id")), edges)
-      .select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
+    // AUDITED propagation: a persisted labels artifact silently built
+    // from unconverged propagation is the worst failure mode this
+    // pipeline has (r8's CcProbe caught exactly that at 100× before
+    // pointer jumping landed — split clusters that LOOK fine). Refuse
+    // to materialize rather than persist wrong clusters.
+    val (cc, report) = graft.ops.Components.connectedComponentsAudited(
+      docs.select(col("doc_id").as("id")), edges)
+    require(report.converged,
+      s"cluster-labels propagation did not converge: $report")
+    cc.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
       .withColumn("n_members",
         count(lit(1)).over(Window.partitionBy("cluster_id")))
       .write.mode("overwrite").parquet(out)
