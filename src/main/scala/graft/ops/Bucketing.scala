@@ -42,5 +42,30 @@ object Bucketing {
     * bucketed join. Exposed for tests/plan audits. */
   def shuffleCount(df: DataFrame): Int =
     "Exchange (hash|range)partitioning".r
-      .findAllIn(df.queryExecution.executedPlan.toString).length
+      .findAllIn(finalPlanString(df)).length
+
+  /** The executed-plan tree string with every `== Initial Plan ==` section
+    * removed. A subtree that was materialized during frame CONSTRUCTION
+    * (a mid-loop lineage cut, a probed cache) renders as a finalized
+    * `AdaptiveSparkPlan` printing BOTH its final and its initial plan —
+    * counting the raw string then double-counts every exchange in that
+    * subtree. The final sections are exactly what executes, so plan
+    * metrics count only those. Never-executed plans carry no Initial
+    * sections and pass through unchanged. */
+  def finalPlanString(df: DataFrame): String = {
+    val out = new StringBuilder
+    var skip = -1 // tree-indent of the Initial marker while skipping
+    df.queryExecution.executedPlan.toString.split('\n').foreach { l =>
+      // tree indent = first char that isn't branch decoration; section
+      // bodies render strictly deeper than their `+- == ... ==` marker
+      val i = l.indexWhere(c => c != ' ' && c != ':')
+      val ind = if (i < 0) l.length else i
+      if (skip >= 0 && ind > skip) ()
+      else {
+        skip = if (l.contains("== Initial Plan ==")) ind else -1
+        if (skip < 0) out.append(l).append('\n')
+      }
+    }
+    out.toString
+  }
 }

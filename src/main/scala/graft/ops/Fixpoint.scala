@@ -25,11 +25,18 @@ object Fixpoint {
 
   /** Truncate lineage: reliable `checkpoint` when a checkpoint dir is
     * configured (survives executor loss on a cluster); executor-local
-    * otherwise (local mode). Shared by Components.propagate and every
-    * iterative query. */
+    * otherwise (local mode). LAZY in both modes: an eager cut would
+    * execute mid-loop jobs at PLAN-BUILD time (a query registry builds
+    * frames without running them), and the finalized AQE sections it
+    * leaves behind double-render every exchange in later plan audits.
+    * The checkpoint materializes with the caller's first action
+    * (Components' convergence probe, a query's write) — same
+    * fault-tolerance story on a cluster, no build-time side effects.
+    * Shared by Components.propagate and every iterative query. */
   def cut(df: DataFrame): DataFrame =
-    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
-    else df.localCheckpoint()
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+      df.checkpoint(eager = false)
+    else df.localCheckpoint(eager = false)
 
   /** Apply `step` to `init` n times, cutting lineage every
     * `checkpointEvery` rounds (never after the final round). */

@@ -418,14 +418,15 @@ object QCurate {
         // ranks frame is referenced exactly ONCE per round — the lineage
         // stays LINEAR (a ranks-join-ranks formulation doubles the subtree
         // per iteration: 2^8 copies of the base plan by round 8). The
-        // Fixpoint.iterate wrapper additionally cuts lineage every 8
-        // rounds, so raising the iteration count cannot deepen the plan
-        // unboundedly; at exactly 8 rounds no cut fires and the plan (and
-        // hash) are identical to the bare loop.
+        // Fixpoint.iterate wrapper additionally cuts lineage mid-loop
+        // (checkpointEvery=4: one value-neutral cut at round 4), halving
+        // the rendered plan depth — the cut changes no value, so the
+        // result hash is identical; raising the iteration count cannot
+        // deepen the plan unboundedly either way.
         val nodesNN = nodes.crossJoin(broadcast(nn)).cache()
         val ranks0 = nodesNN.select(col("node"), col("nn"),
           expr(s"${SCALE}L div nn").as("r"))
-        val ranks = graft.ops.Fixpoint.iterate(ranks0, 8) { prev =>
+        val ranks = graft.ops.Fixpoint.iterate(ranks0, 8, checkpointEvery = 4) { prev =>
           val contrib = ew
             .join(prev.select(col("node").as("src"), col("r")), Seq("src"))
             .select(col("dst"), expr("(r * w) div ow").as("c"))

@@ -25,7 +25,7 @@ object PlanAudit {
     if (args.tail.sameElements(Array("--all"))) { auditAll(spark, sfDir); spark.stop(); return }
     args.tail.foreach { name =>
       val df = graft.SparkEntry.queries(name)(spark, sfDir)
-      val plan = df.queryExecution.executedPlan.toString
+      val plan = graft.ops.Bucketing.finalPlanString(df)
       val nShuffle = graft.ops.Bucketing.shuffleCount(df)
       val nBroadcast = "BroadcastExchange".r.findAllIn(plan).length
       val pushed = "PushedFilters: \\[[^\\]]*\\]".r.findAllIn(plan).toSeq
@@ -58,7 +58,7 @@ object PlanAudit {
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
         val df = fn(spark, sfDir)
-        val plan = df.queryExecution.executedPlan.toString
+        val plan = graft.ops.Bucketing.finalPlanString(df)
         val nS = graft.ops.Bucketing.shuffleCount(df)
         val nB = "BroadcastExchange".r.findAllIn(plan).length
         val pushed = "PushedFilters: \\[[^\\]]+\\]".r.findFirstIn(plan).isDefined

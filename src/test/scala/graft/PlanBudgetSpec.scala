@@ -242,12 +242,13 @@ class PlanBudgetSpec extends SparkSpec {
     // corpus — never broadcast); unigram leg + 1-row total still broadcast
     assert(shuffles("q130_bigram_lm") <= 5)
     assert(planOf("q130_bigram_lm").contains("BroadcastExchange"))
-    // pagerank: the printed plan repeats the CACHED edge subtree under
-    // every iteration (InMemoryRelation children print in full), so the
-    // string count runs high — the guard is the ceiling (a return to the
-    // ranks-joins-ranks formulation doubles lineage per iteration and
-    // blows far past it) plus the cache actually being wired in
-    assert(shuffles("q131_domain_pagerank") <= 180)
+    // pagerank: Fixpoint.iterate's mid-loop lineage cut (round 4 of 8)
+    // puts rounds 1-4 behind a LogicalRDD, so the LIVE plan carries only
+    // rounds 5-8 (measured 25 exchanges; the cached edge subtree still
+    // prints under each round). The ceiling guards both the cut staying
+    // wired (losing it re-renders all 8 rounds, ~90+) and the linear
+    // formulation (ranks-joins-ranks doubles lineage per iteration)
+    assert(shuffles("q131_domain_pagerank") <= 60)
     assert(planOf("q131_domain_pagerank").contains("InMemoryTableScan"))
     // temperature mix: stratum count agg + the lang-keyed quota window +
     // final assembly; quota table rides a broadcast
