@@ -220,15 +220,18 @@ object QScale {
         val withDeg = e
           .join(deg.withColumnRenamed("n", "u").withColumnRenamed("d", "du"), Seq("u"))
           .join(deg.withColumnRenamed("n", "v").withColumnRenamed("d", "dv"), Seq("v"))
-        // orient low-(deg,id) → high-(deg,id)
+        // orient low-(deg,id) → high-(deg,id). The dst-side degree the
+        // wedge tie-break needs is just the LARGER endpoint's degree,
+        // already in hand — carrying it through the orientation struct
+        // saves a third deg join (one whole shuffle of the edge set).
         val oriented = withDeg.select(
             when(col("du") < col("dv") ||
                  (col("du") === col("dv") && col("u") < col("v")),
-              struct(col("u").as("src"), col("v").as("dst")))
-              .otherwise(struct(col("v").as("src"), col("u").as("dst")))
+              struct(col("u").as("src"), col("v").as("dst"), col("dv").as("dd")))
+              .otherwise(struct(col("v").as("src"), col("u").as("dst"), col("du").as("dd")))
               .as("e"))
-          .select(col("e.src").as("src"), col("e.dst").as("dst"))
-          .join(deg.withColumnRenamed("n", "dst").withColumnRenamed("d", "dd"), Seq("dst"))
+          .select(col("e.src").as("src"), col("e.dst").as("dst"), col("e.dd").as("dd"))
+          .repartition(col("src"))
           .cache()
         val wedges = oriented.as("e1").join(oriented.as("e2"),
             col("e1.src") === col("e2.src") &&

@@ -317,7 +317,7 @@ class PlanBudgetSpec extends SparkSpec {
     // consumed 3×, each copy printing the edge pipeline again); the
     // exchanges that actually RUN materialize each cached frame once
     // (~15 — e, deg, oriented, the wedge self-join, the final 1-row aggs)
-    assert(shuffles("q151_triangle_count") <= 70)
+    assert(shuffles("q151_triangle_count") <= 60)
     // z-order audit: pure narrow bit math into ONE 64-group aggregate
     assert(shuffles("q152_zorder_layout") <= 1)
     // prefix-filter join: df agg + per-doc prefix window + per-token
