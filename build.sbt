@@ -38,3 +38,20 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )
+// LocalClusterSpec gets its OWN forked JVM: it stops/starts SparkContexts
+// (a local reference session, then local-cluster with real executor
+// processes), which cannot coexist with the suite-wide shared session.
+// SPARK_SCALA_VERSION short-circuits the launcher's build-directory probe
+// when the standalone Worker spawns executor JVMs from $SPARK_HOME.
+Test / testGrouping := {
+  val tests = (Test / definedTests).value
+  val opts = (Test / javaOptions).value.toVector
+  val base = ForkOptions()
+    .withRunJVMOptions(opts)
+    .withEnvVars(Map("SPARK_SCALA_VERSION" -> "2.13"))
+  val (lc, rest) = tests.partition(_.name.endsWith("LocalClusterSpec"))
+  Seq(
+    Tests.Group("local-cluster", lc, Tests.SubProcess(base)),
+    Tests.Group("main", rest, Tests.SubProcess(base)),
+  ).filter(_.tests.nonEmpty)
+}

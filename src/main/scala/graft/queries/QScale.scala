@@ -231,8 +231,12 @@ object QScale {
               .otherwise(struct(col("v").as("src"), col("u").as("dst"), col("du").as("dd")))
               .as("e"))
           .select(col("e.src").as("src"), col("e.dst").as("dst"), col("e.dd").as("dd"))
-          .repartition(col("src"))
           .cache()
+        // NOTE: deliberately NOT pre-partitioned on src — a cached fixed
+        // layout reads co-located into the wedge self-join and AQE can
+        // then never skew-split it; hub-src partitions made the join
+        // 2.2× slower at sf1. Letting the join exchange both sides keeps
+        // the runtime skew handling.
         val wedges = oriented.as("e1").join(oriented.as("e2"),
             col("e1.src") === col("e2.src") &&
               (col("e1.dd") < col("e2.dd") ||
