@@ -133,4 +133,48 @@ object Dedup {
         .distinct() // a pair can be chain-adjacent in many bands
     }
   }
+
+  /** ARRIVAL-ordered scored near-dups — the batch twin of
+    * [[graft.streaming.StreamPipelines.nearDupStream]] and the exact
+    * contract a streaming corpus monitor keeps: each arriving doc is
+    * scored against the `perBand` MOST RECENT prior arrivals in each of
+    * its LSH bands (signature-agreement estimate, `matches/k`), and a
+    * matched doc reports the minimum earlier doc_id it duplicates.
+    * State/output are both structurally bounded — ≤ `perBand`·`bands`
+    * comparisons per doc regardless of corpus or cluster size (the
+    * [[lshBandCandidates]] chain discipline applied in TIME order
+    * instead of sort order; arrival rank here is doc_id, monotone in
+    * event time for the dup-injected corpus).
+    *
+    * @param docs (doc_id, sh) — shingle arrays, empty ones pre-filtered
+    * @return (doc_id, dup_of, est6): docs that matched at least one
+    *         recent band cohabitant at `est >= threshold`; `dup_of` the
+    *         min matched earlier id, `est6` that pair's estimate
+    */
+  def arrivalChainScoredDups(docs: DataFrame, k: Int = 16, bands: Int = 8,
+                             rowsPerBand: Int = 2, perBand: Int = 3,
+                             threshold: Double = 0.5): DataFrame = {
+    val t = graft.text.TextOps
+    val sigged = docs.select(col("doc_id"),
+      t.minhashFromBase(t.minhashBase(col("sh")), k).as("sig"),
+      explode(t.minhashBandKeys(col("sh"), k, bands, rowsPerBand)).as("band_key"))
+    // the same ONE-window no-self-join shape as the chain candidates,
+    // lag instead of lead: a doc only ever looks BACK at state that
+    // already existed when it arrived
+    val w = Window.partitionBy("band_key").orderBy("doc_id")
+    sigged
+      .select(col("doc_id"), col("sig"),
+        array((1 to perBand).map(j =>
+          lag(struct(col("doc_id").as("oid"), col("sig").as("osig")), j).over(w)): _*)
+          .as("prevs"))
+      .select(col("doc_id"), col("sig"), explode(col("prevs")).as("p"))
+      .filter(col("p").isNotNull)
+      .select(col("doc_id"), col("p.oid").as("other_id"),
+        (expr("size(filter(zip_with(sig, p.osig, (x, y) -> x = y), b -> b))")
+          / k.toDouble).as("est"))
+      .filter(col("est") >= threshold)
+      .groupBy("doc_id")
+      .agg(min("other_id").as("dup_of"),
+        round(expr("min_by(est, other_id)"), 6).as("est6"))
+  }
 }

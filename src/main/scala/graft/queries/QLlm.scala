@@ -265,6 +265,55 @@ object QLlm {
         |SELECT id_a, id_b, jacc FROM ranked WHERE rk <= 10""".stripMargin
       })),
 
+    // BATCH TWIN of [[graft.streaming.StreamPipelines.nearDupStream]]:
+    // arrival-ordered near-dup detection with bounded per-band state —
+    // each doc scored (signature agreement, matches/16) against the 3
+    // MOST RECENT prior arrivals in each of its LSH bands, reporting the
+    // min matched earlier id. The streaming form keeps exactly this ring
+    // as mapGroupsWithState state; StreamingSpec drives the real stream
+    // over the same rows and asserts stream == this == oracle. Arrival
+    // rank is doc_id (monotone in the ingest model's event time).
+    Qry("q178_stream_neardup_twin",
+      (s, dir) => {
+        val d = docsWithDups(s, dir)
+          .select(col("doc_id"),
+            TextOps.shingles(TextOps.tokens(col("text")), 3).as("sh"))
+          .filter(size(col("sh")) > 0)
+        graft.ops.Dedup.arrivalChainScoredDups(d)
+      },
+      Some({
+        val (as, bs) = TextOps.minhashParams(16)
+        val aArr = as.mkString("[", ",", "]")
+        val bArr = bs.mkString("[", ",", "]")
+        s"""WITH d0 AS ($docsWithDupsSql),
+        |d AS (SELECT doc_id, ${shinglesSql(toksSql)} AS sh FROM d0),
+        |docs AS (SELECT doc_id, sh FROM d WHERE len(sh) > 0),
+        |bases AS (SELECT doc_id,
+        |    list_transform(sh, s -> ${h64("s")} % ${TextOps.minhashM}) AS hs FROM docs),
+        |sigs AS (SELECT doc_id,
+        |    list_transform(range(0, 16), i -> list_min(list_transform(hs,
+        |      h -> (h * ($aArr)[i + 1] + ($bArr)[i + 1]) % ${TextOps.minhashM}))) AS sig
+        |  FROM bases),
+        |keys AS (SELECT doc_id, sig, unnest(list_transform(range(0, 8),
+        |    b -> CAST(b AS VARCHAR) || ':' || md5(array_to_string(
+        |           sig[b * 2 + 1 : b * 2 + 2], ',')))) AS band_key
+        |  FROM sigs),
+        |lagged AS (SELECT doc_id, sig,
+        |    [lag(doc_id, 1) OVER wd, lag(doc_id, 2) OVER wd,
+        |     lag(doc_id, 3) OVER wd] AS oids,
+        |    [lag(sig, 1) OVER wd, lag(sig, 2) OVER wd,
+        |     lag(sig, 3) OVER wd] AS osigs
+        |  FROM keys WINDOW wd AS (PARTITION BY band_key ORDER BY doc_id)),
+        |cand AS (SELECT doc_id, oids[j + 1] AS other_id,
+        |    len(list_filter(range(0, 16),
+        |      i -> sig[i + 1] = (osigs[j + 1])[i + 1])) / 16.0 AS est
+        |  FROM lagged, (SELECT unnest(range(0, 3)) AS j)
+        |  WHERE oids[j + 1] IS NOT NULL)
+        |SELECT doc_id, min(other_id) AS dup_of,
+        |  round(arg_min(est, other_id), 6) AS est6
+        |FROM cand WHERE est >= 0.5 GROUP BY 1""".stripMargin
+      })),
+
     // SimHash fingerprints (32-bit) — near-dups land at small Hamming dist
     Qry("q30_simhash",
       (s, dir) => spread(s, t(s, dir, "documents")).select(col("doc_id"),

@@ -283,4 +283,78 @@ object StreamPipelines {
     val clean = Seq("vu_user_id", "vp_product_id", "vp_price")
     (v.valid(ann).drop(clean: _*), v.errors(ann))
   }
+
+  // ---- streaming NEAR-dup detection -----------------------------------
+
+  /** One (band, doc) arrival: the exploded LSH band key plus the full
+    * 16-component signature the agreement estimate needs. */
+  final case class BandArrival(band_key: String, doc_id: Long, ts_us: Long,
+                               sig: Seq[Long])
+  /** Per-band ring state: the `perBand` most recent arrivals. Like
+    * [[SessionState]], this case class IS the state contract — adding
+    * fields must keep old checkpoints readable. */
+  final case class BandEntry(doc_id: Long, ts_us: Long, sig: Seq[Long])
+  final case class NearDupHit(doc_id: Long, other_id: Long, est: Double)
+
+  /** Streaming NEAR-duplicate detection — dedup against a corpus that
+    * never stops arriving. Each doc's LSH band keys are computed
+    * map-side (the same fused native expression every batch dedup
+    * uses); state is keyed by band and holds only the `perBand` MOST
+    * RECENT arrivals (signature + id, an O(perBand) ring per band) — the
+    * sorted-neighborhood chain discipline applied in TIME order, so
+    * state is bounded by (live bands × perBand), never corpus size, and
+    * per-doc work by bands × perBand comparisons. Emits one
+    * (doc_id, other_id, est) row per band match at `est >= threshold`
+    * (signature agreement, matches/k); consumers aggregate
+    * min(other_id) per doc — [[graft.ops.Dedup.arrivalChainScoredDups]]
+    * is the batch twin (StreamingSpec pins stream == batch == oracle).
+    *
+    * Determinism contract: arrivals are processed in (ts, doc_id) order
+    * WITHIN each micro-batch; cross-batch order is arrival order. Under
+    * in-order delivery (the monotone ts of the ingest model) this equals
+    * the batch twin exactly; late data instead scores against the state
+    * present on arrival — the honest streaming semantics.
+    * `GroupStateTimeout.NoTimeout` keeps bands alive for the run;
+    * a production deployment with churning band keys would add an
+    * event-time timeout to drop bands idle past the horizon.
+    *
+    * Expects (doc_id, ts, text).
+    */
+  def nearDupStream(docs: DataFrame, k: Int = 16, bands: Int = 8,
+                    rowsPerBand: Int = 2, perBand: Int = 3,
+                    threshold: Double = 0.5): Dataset[NearDupHit] = {
+    val t = graft.text.TextOps
+    import docs.sparkSession.implicits._
+    val arrivals = docs
+      .withColumn("sh", t.shingles(t.tokens(col("text")), 3))
+      .filter(size(col("sh")) > 0)
+      .select(
+        explode(t.minhashBandKeys(col("sh"), k, bands, rowsPerBand)).as("band_key"),
+        col("doc_id"), unix_micros(col("ts")).as("ts_us"),
+        t.minhashFromBase(t.minhashBase(col("sh")), k).as("sig"))
+      .as[BandArrival]
+    arrivals
+      .groupByKey(_.band_key)
+      .flatMapGroupsWithState[List[BandEntry], NearDupHit](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_, rows, state: GroupState[List[BandEntry]]) =>
+          var ring = state.getOption.getOrElse(Nil) // most recent first
+          val out = List.newBuilder[NearDupHit]
+          rows.toSeq.sortBy(r => (r.ts_us, r.doc_id)).foreach { r =>
+            ring.foreach { e =>
+              var m = 0
+              var i = 0
+              while (i < r.sig.length) {
+                if (r.sig(i) == e.sig(i)) m += 1
+                i += 1
+              }
+              val est = m.toDouble / r.sig.length
+              if (est >= threshold) out += NearDupHit(r.doc_id, e.doc_id, est)
+            }
+            ring = (BandEntry(r.doc_id, r.ts_us, r.sig) :: ring).take(perBand)
+          }
+          state.update(ring)
+          out.result().iterator
+      }
+  }
 }

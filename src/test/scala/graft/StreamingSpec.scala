@@ -309,4 +309,49 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.exceptAll(batch).count() === 0)
     assert(batch.exceptAll(streamed).count() === 0)
   }
+
+  test("streaming near-dup detection equals the batch twin (q178) across batches") {
+    val dir = Files.createTempDirectory("graft_stream_neardup").toString
+    val out = Files.createTempDirectory("graft_stream_out").toString
+    val epoch = 1704067200L
+    val rows = graft.queries.QLlm.docsWithDups(spark, sfDir)
+      .select(col("doc_id"),
+        timestamp_seconds(lit(epoch) + col("doc_id") * 60L).as("ts"),
+        col("text"))
+    // THREE arrival-ordered files → with maxFilesPerTrigger=1 the stream
+    // sees three micro-batches, so the per-band ring state must CARRY
+    // across batch boundaries for the duplicate copies (doc_id+10000/
+    // +20000, all in the last file) to match their originals
+    val cuts = Seq(col("doc_id") < 3000,
+      col("doc_id") >= 3000 && col("doc_id") < 10000, col("doc_id") >= 10000)
+    cuts.foreach { c =>
+      rows.filter(c).repartition(1).sortWithinPartitions("ts", "doc_id")
+        .write.mode("append").parquet(dir)
+      Thread.sleep(1100) // distinct mtimes: files picked up oldest-first
+    }
+    val stream = spark.readStream
+      .option("maxFilesPerTrigger", "1")
+      .schema("doc_id LONG, ts TIMESTAMP, text STRING").parquet(dir)
+    val q = StreamPipelines.nearDupStream(stream)
+      .writeStream.format("memory").queryName("neardup")
+      .outputMode("append").trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$out/ckpt").start()
+    q.awaitTermination(180000)
+
+    // per-band hits → the per-doc report the batch twin emits
+    val streamed = spark.table("neardup")
+      .groupBy("doc_id")
+      .agg(min("other_id").as("dup_of"),
+        round(expr("min_by(est, other_id)"), 6).as("est6"))
+    val batch = SparkEntry.queries("q178_stream_neardup_twin")(spark, sfDir)
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).count() === 0,
+      "stream emitted a (doc, dup_of, est) the batch twin does not have")
+    assert(batch.exceptAll(streamed).count() === 0,
+      "batch twin has matches the stream missed")
+    // the cross-batch carry genuinely fired: some matched doc arrived in
+    // a LATER file than its dup_of original
+    assert(streamed.filter(col("doc_id") >= 10000 && col("dup_of") < 3000)
+      .count() > 0, "no cross-batch match — the state-carry proof is vacuous")
+  }
 }
