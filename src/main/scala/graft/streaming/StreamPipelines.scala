@@ -288,8 +288,8 @@ object StreamPipelines {
 
   /** One (band, doc) arrival: the exploded LSH band key plus the full
     * 16-component signature the agreement estimate needs. */
-  final case class BandArrival(band_key: String, doc_id: Long, ts_us: Long,
-                               sig: Seq[Long])
+  final case class BandArrival(band_key: String, doc_id: Long,
+                               ts: java.sql.Timestamp, sig: Seq[Long])
   /** Per-band ring state: the `perBand` most recent arrivals. Like
     * [[SessionState]], this case class IS the state contract — adding
     * fields must keep old checkpoints readable. */
@@ -314,47 +314,70 @@ object StreamPipelines {
     * in-order delivery (the monotone ts of the ingest model) this equals
     * the batch twin exactly; late data instead scores against the state
     * present on arrival — the honest streaming semantics.
-    * `GroupStateTimeout.NoTimeout` keeps bands alive for the run;
-    * a production deployment with churning band keys would add an
-    * event-time timeout to drop bands idle past the horizon.
+    *
+    * `stateHorizon` bounds state across the OTHER axis: without it,
+    * every band key ever seen holds a ring forever (fine for a run,
+    * unbounded for a service). With a horizon the input is watermarked
+    * and each band arms an EVENT-TIME timeout `horizon` past its latest
+    * arrival — bands idle past the horizon are evicted once the
+    * watermark passes, so live state is bounded by (bands active inside
+    * the horizon × perBand). Eviction is per-band idle time: a band that
+    * keeps receiving docs keeps its ring (the recent-arrivals semantics
+    * is unchanged); only dormant bands are dropped, and a doc arriving
+    * after its family's band went dormant simply starts a fresh ring —
+    * StreamingSpec pins both sides (evicted → no match, control without
+    * horizon → match).
     *
     * Expects (doc_id, ts, text).
     */
   def nearDupStream(docs: DataFrame, k: Int = 16, bands: Int = 8,
                     rowsPerBand: Int = 2, perBand: Int = 3,
-                    threshold: Double = 0.5): Dataset[NearDupHit] = {
+                    threshold: Double = 0.5,
+                    stateHorizon: Option[String] = None): Dataset[NearDupHit] = {
     val t = graft.text.TextOps
     import docs.sparkSession.implicits._
-    val arrivals = docs
+    val arrivals = stateHorizon.fold(docs)(h => docs.withWatermark("ts", h))
       .withColumn("sh", t.shingles(t.tokens(col("text")), 3))
       .filter(size(col("sh")) > 0)
       .select(
         explode(t.minhashBandKeys(col("sh"), k, bands, rowsPerBand)).as("band_key"),
-        col("doc_id"), unix_micros(col("ts")).as("ts_us"),
+        col("doc_id"), col("ts"),
         t.minhashFromBase(t.minhashBase(col("sh")), k).as("sig"))
       .as[BandArrival]
+    val timeout =
+      if (stateHorizon.isDefined) GroupStateTimeout.EventTimeTimeout
+      else GroupStateTimeout.NoTimeout
     arrivals
       .groupByKey(_.band_key)
       .flatMapGroupsWithState[List[BandEntry], NearDupHit](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, timeout) {
         (_, rows, state: GroupState[List[BandEntry]]) =>
-          var ring = state.getOption.getOrElse(Nil) // most recent first
-          val out = List.newBuilder[NearDupHit]
-          rows.toSeq.sortBy(r => (r.ts_us, r.doc_id)).foreach { r =>
-            ring.foreach { e =>
-              var m = 0
-              var i = 0
-              while (i < r.sig.length) {
-                if (r.sig(i) == e.sig(i)) m += 1
-                i += 1
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var ring = state.getOption.getOrElse(Nil) // most recent first
+            val out = List.newBuilder[NearDupHit]
+            val sorted = rows.toSeq.sortBy(r => (r.ts.getTime, r.doc_id))
+            sorted.foreach { r =>
+              ring.foreach { e =>
+                var m = 0
+                var i = 0
+                while (i < r.sig.length) {
+                  if (r.sig(i) == e.sig(i)) m += 1
+                  i += 1
+                }
+                val est = m.toDouble / r.sig.length
+                if (est >= threshold) out += NearDupHit(r.doc_id, e.doc_id, est)
               }
-              val est = m.toDouble / r.sig.length
-              if (est >= threshold) out += NearDupHit(r.doc_id, e.doc_id, est)
+              ring = (BandEntry(r.doc_id, r.ts.getTime * 1000L, r.sig) :: ring)
+                .take(perBand)
             }
-            ring = (BandEntry(r.doc_id, r.ts_us, r.sig) :: ring).take(perBand)
+            state.update(ring)
+            // re-arm: horizon past this band's LATEST arrival (in-order
+            // input keeps this above the watermark, as the API requires)
+            stateHorizon.foreach(h =>
+              state.setTimeoutTimestamp(sorted.last.ts.getTime, h))
+            out.result().iterator
           }
-          state.update(ring)
-          out.result().iterator
       }
   }
 }

@@ -354,4 +354,72 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.filter(col("doc_id") >= 10000 && col("dup_of") < 3000)
       .count() > 0, "no cross-batch match — the state-carry proof is vacuous")
   }
+
+  test("near-dup state horizon evicts dormant bands (and only dormant bands)") {
+    val epoch = 1704067200L
+    def docsAt(minOffset: Long, df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"),
+        timestamp_seconds(lit(epoch) + (lit(minOffset) + col("doc_id")) * 60L).as("ts"),
+        col("text"))
+    val base = graft.queries.QLlm.docsWithDups(spark, sfDir)
+    // f1: originals (minutes 0..~10k). f2: unrelated filler far in the
+    // future — its only job is advancing the WATERMARK past every
+    // original band's timeout so eviction fires at the end of its batch.
+    // f3: the verbatim +20000 copies, later still.
+    def filler(ids: Range, minOffset: Long) = docsAt(minOffset,
+      spark.range(ids.start, ids.end).select(col("id").as("doc_id"),
+        concat(lit("watermark advancing filler document number "),
+          col("id").cast("string"), lit(" with enough unique tokens")).as("text")))
+    // f1: originals, minutes 0..9999. f2: filler A at ~minute 12000 —
+    // advances the watermark read by the NEXT batch past every original
+    // band's timeout (last arrival + 1 h ≤ minute 10059). f3: filler B at
+    // ~minute 13000 — the batch in which the original bands hold NO data,
+    // so their hasTimedOut path actually fires and removes the rings
+    // (a band receiving data is served the data instead of the timeout).
+    // f4: the verbatim +20000 copies at minutes 20000+ — they land in the
+    // SAME band keys as their originals, and must find them empty.
+    val f1 = docsAt(0, base.filter(col("doc_id") < 10000))
+    val f2 = filler(50000 until 50010, -38000) // minutes 12000..12009
+    val f3 = filler(60000 until 60010, -47000) // minutes 13000..13009
+    val f4 = docsAt(0, base.filter(col("doc_id") >= 20000))
+
+    def run(horizon: Option[String], name: String): org.apache.spark.sql.DataFrame = {
+      val dir = Files.createTempDirectory(s"graft_evict_$name").toString
+      val out = Files.createTempDirectory("graft_stream_out").toString
+      Seq(f1, f2, f3, f4).foreach { f =>
+        f.repartition(1).sortWithinPartitions("ts", "doc_id")
+          .write.mode("append").parquet(dir)
+        Thread.sleep(1100)
+      }
+      val stream = spark.readStream
+        .option("maxFilesPerTrigger", "1")
+        .schema("doc_id LONG, ts TIMESTAMP, text STRING").parquet(dir)
+      val q = StreamPipelines.nearDupStream(stream, stateHorizon = horizon)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", s"$out/ckpt").start()
+      q.awaitTermination(180000)
+      spark.table(name)
+    }
+
+    // CONTROL (no horizon): the +20000 verbatim copies match their
+    // originals across both filler batches — state carried
+    val control = run(None, "evict_control")
+    assert(control.filter(col("doc_id") >= 20000 && col("other_id") < 10000)
+      .count() > 0, "control found no cross-batch match — eviction test vacuous")
+
+    // HORIZON 1h: the original bands sit dormant through filler B's
+    // batch with the watermark past their timeouts → rings removed; the
+    // copies then arrive to empty state and must NOT match, while
+    // matches WITHIN the original window are untouched (set-equal to
+    // the control's)
+    val evicted = run(Some("1 hour"), "evict_1h")
+    assert(evicted.filter(col("doc_id") >= 20000 && col("other_id") < 10000)
+      .count() === 0, "dormant band state survived past the horizon")
+    val evOrig = evicted.filter(col("doc_id") < 10000)
+    val ctOrig = control.filter(col("doc_id") < 10000)
+    assert(evOrig.exceptAll(ctOrig).count() === 0 &&
+      ctOrig.exceptAll(evOrig).count() === 0,
+      "eviction changed matches inside the horizon window")
+  }
 }
