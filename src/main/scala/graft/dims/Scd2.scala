@@ -52,15 +52,20 @@ final case class Scd2(naturalKey: Seq[String], tracked: Seq[String], skName: Str
     * evaluated against `incoming`'s columns (e.g. `col("join_date")` or
     * `lit(runDate)`).
     */
-  /** @param cacheJoin  cache the full-outer join the four output branches
-    *                    all derive from. Off by default (the caller owns
-    *                    cache lifecycle); turn on when merges CHAIN — each
-    *                    uncached merge inlines the join subtree into every
-    *                    branch of the next, so a k-step chain re-plans it
-    *                    ~4^k times (q120's 22-broadcast plan, VERDICT r7
-    *                    #5). The cached frame is dimension-sized. */
+  /** @param cutJoin  lazily lineage-cut ([[graft.ops.Fixpoint.cut]]) the
+    *                  full-outer join the output branches all derive
+    *                  from. Off by default; turn on when merges CHAIN —
+    *                  each uncut merge inlines the join subtree into
+    *                  every branch of the next, so a k-step chain
+    *                  re-plans it ~4^k times (q120's 22-broadcast plan,
+    *                  VERDICT r7 #5). A cut, unlike a cache (ADVICE r8:
+    *                  a k-step cached chain pinned k dimension-sized
+    *                  frames for the session, with no unpersist path),
+    *                  is freed by the ContextCleaner as soon as the
+    *                  merged frame is no longer referenced, and stops
+    *                  the chained plan growing at all. */
   def merge(current: DataFrame, incoming: DataFrame, runDate: String,
-            startForNew: Column, cacheJoin: Boolean = false): DataFrame = {
+            startForNew: Column, cutJoin: Boolean = false): DataFrame = {
     val run = to_date(lit(runDate))
 
     val history = current.filter(col("current_flag") === 0)
@@ -73,7 +78,7 @@ final case class Scd2(naturalKey: Seq[String], tracked: Seq[String], skName: Str
       naturalKey.map(k => col(k) === col(s"in_$k")).reduce(_ && _),
       "full_outer"
     )
-    val joined = if (cacheJoin) joined0.cache() else joined0
+    val joined = if (cutJoin) graft.ops.Fixpoint.cut(joined0) else joined0
 
     val hasCur = naturalKey.map(k => col(k).isNotNull).reduce(_ && _)
     val hasInc = naturalKey.map(k => col(s"in_$k").isNotNull).reduce(_ && _)

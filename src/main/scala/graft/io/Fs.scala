@@ -264,18 +264,33 @@ object Fs {
       // "not available: retained=..." contract error, not an opaque
       // path-not-found from the parquet reader.
       if (snapshotVersion(path, conf) == v) df
-      else {
-        val retained = retainedVersions(path, conf)
-        require(retained.contains(v),
-          s"version $v of $path not available: " +
-            s"current=${snapshotVersion(path, conf)} retained=${retained.mkString(",")}")
-        spark.read.parquet(versionDirOf(path, v))
-      }
-    } else {
-      val retained = retainedVersions(path, conf)
-      require(retained.contains(v),
-        s"version $v of $path not available: current=$cur retained=${retained.mkString(",")}")
-      spark.read.parquet(versionDirOf(path, v))
+      else readVersionSlot(spark, path, v, conf)
+    } else readVersionSlot(spark, path, v, conf)
+  }
+
+  /** Read the `__v<v>` historical slot, translating EVERY losing race
+    * into the documented contract error: the retention `require` narrows
+    * but cannot close the check → parquet-read window (ADVICE r8 — a
+    * prune landing in between still surfaced as an opaque
+    * path-not-found), so the read itself is also wrapped and a vanished
+    * slot re-reports with the post-race retained set. */
+  private def readVersionSlot(spark: org.apache.spark.sql.SparkSession,
+                              path: String, v: Long,
+                              conf: Configuration): org.apache.spark.sql.DataFrame = {
+    def unavailable(cause: Throwable): Nothing =
+      throw new IllegalArgumentException(
+        s"requirement failed: version $v of $path not available: " +
+          s"current=${snapshotVersion(path, conf)} " +
+          s"retained=${retainedVersions(path, conf).mkString(",")}", cause)
+    require(retainedVersions(path, conf).contains(v),
+      s"version $v of $path not available: " +
+        s"current=${snapshotVersion(path, conf)} " +
+        s"retained=${retainedVersions(path, conf).mkString(",")}")
+    try spark.read.parquet(versionDirOf(path, v))
+    catch {
+      case e: org.apache.spark.sql.AnalysisException
+          if "PATH_NOT_FOUND".equals(e.getCondition) => unavailable(e)
+      case e: java.io.FileNotFoundException => unavailable(e)
     }
   }
 }

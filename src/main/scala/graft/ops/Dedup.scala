@@ -93,8 +93,16 @@ object Dedup {
     * band instead of m²/2, a STRUCTURAL per-doc bound (≤ J·bands
     * candidates per doc per side) that needs no cap to engage. A
     * near-dup cluster sharing a band stays connected through its chain
-    * links, so the transitive closure recovers the cluster; only the
-    * redundant intra-cluster edges are dropped. Classic sorted-
+    * links PROVIDED the docs interleaved between cluster members in
+    * doc_id order within the band verify against their neighbors (they
+    * do when band cohabitation comes from the signature agreement LSH
+    * is built on); a band-key HASH COLLISION interleaving > J
+    * non-verifying strangers between two true dups can break that
+    * pair's chain link — a recall trade the closure oracles (which
+    * mirror the same chain) cannot see, so ChainRecallSpec MEASURES
+    * chain-closure components against the full-pair closure instead of
+    * assuming them equal (ADVICE r8). Intended drop: only redundant
+    * intra-cluster edges. Classic sorted-
     * neighborhood blocking (Hernández & Stolfo, SIGMOD '95), keyed here
     * by LSH band instead of a global sort key. The plan is ONE window
     * (`lead` over band_key/doc_id — no self-join at all) + the distinct.

@@ -151,27 +151,37 @@ object QLlm {
         |         / len(list_distinct(a.s || b.s)) END, 6) AS jacc
         |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1""".stripMargin)),
 
-    // MinHash → LSH bands → candidate pairs → Jaccard-verified near-dups.
-    // One md5 per shingle (affine universal-hash family for the k
-    // permutations), with cache barriers so the shingle/md5 pipeline is
-    // computed once, not re-inlined into every band and join branch.
+    // MinHash → LSH bands → chain candidates → Jaccard-verified per-doc
+    // DROP-LIST: each doc that near-duplicates an earlier doc reports the
+    // minimum such `dup_of` plus that pair's verified similarity. One md5
+    // per shingle (affine universal-hash family for the k permutations),
+    // with a cache barrier so the shingle pipeline is computed once.
+    //
+    // Contract note (VERDICT r8 #1): through r8 this query emitted EVERY
+    // verified pair, a contract quadratic in near-dup cluster width that
+    // could not run at 100× rows (378.8M candidates — no cap can fix an
+    // output bound). The dedup DELIVERABLE — which docs to drop, and for
+    // which earlier doc — is linear (≤ 1 row per doc), so the query now
+    // emits exactly that, over sorted-neighborhood chain candidates
+    // ([[graft.ops.Dedup.lshBandCandidates]] neighborWidth=3 — the same
+    // structural per-doc bound the labels build and q153 use). Pair-level
+    // outputs live in the bounded twin q177 (top-k per anchor); cluster
+    // recovery in q72/ClusterLabels. The oracle mirrors chain, verify and
+    // min aggregation exactly.
     Qry("q29_minhash_lsh_dedup",
       (s, dir) => {
         val docs = docsWithDups(s, dir)
           .select(col("doc_id"), TextOps.shingles(TextOps.tokens(col("text")), 3).as("sh"))
           .filter(size(col("sh")) > 0)
           .cache()
-        // bands derive from the cached shingles in one narrow expression —
-        // letOnce (inside lshBandCandidates) makes the 16-way minhash
-        // evaluate once per row, so a second cache materialization costs
-        // more than recomputing the (integer-only) band pipeline on the
-        // self-join's two branches
-        val cand = Dedup.lshBandCandidates(docs)
+        val cand = Dedup.lshBandCandidates(docs, neighborWidth = 3)
         cand.join(docs.select(col("doc_id").as("id_a"), col("sh").as("sha")), Seq("id_a"))
           .join(docs.select(col("doc_id").as("id_b"), col("sh").as("shb")), Seq("id_b"))
           .select(col("id_a"), col("id_b"),
             round(TextOps.jaccard(col("sha"), col("shb")), 6).as("jacc"))
           .filter(col("jacc") >= 0.5)
+          .groupBy(col("id_b").as("doc_id"))
+          .agg(min("id_a").as("dup_of"), expr("min_by(jacc, id_a)").as("jacc"))
       },
       Some({
         val (as, bs) = TextOps.minhashParams(16)
@@ -190,14 +200,20 @@ object QLlm {
         |    b -> CAST(b AS VARCHAR) || ':' || md5(array_to_string(
         |           sig[b * 2 + 1 : b * 2 + 2], ',')))) AS band_key
         |  FROM sigs),
-        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-        |  FROM keys a JOIN keys b ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+        |c0 AS (SELECT doc_id,
+        |    [lead(doc_id, 1) OVER wd, lead(doc_id, 2) OVER wd,
+        |     lead(doc_id, 3) OVER wd] AS nxt
+        |  FROM keys WINDOW wd AS (PARTITION BY band_key ORDER BY doc_id)),
+        |cand AS (SELECT DISTINCT id_a, id_b FROM (
+        |    SELECT doc_id AS id_a, unnest(nxt) AS id_b FROM c0)
+        |  WHERE id_b IS NOT NULL),
         |scored AS (SELECT id_a, id_b,
         |  round(CASE WHEN len(list_distinct(da.sh || db.sh)) = 0 THEN 0.0
         |    ELSE CAST(len(list_intersect(list_distinct(da.sh), list_distinct(db.sh))) AS DOUBLE)
         |         / len(list_distinct(da.sh || db.sh)) END, 6) AS jacc
         |FROM cand JOIN docs da ON da.doc_id = id_a JOIN docs db ON db.doc_id = id_b)
-        |SELECT id_a, id_b, jacc FROM scored WHERE jacc >= 0.5""".stripMargin
+        |SELECT id_b AS doc_id, min(id_a) AS dup_of, arg_min(jacc, id_a) AS jacc
+        |FROM scored WHERE jacc >= 0.5 GROUP BY 1""".stripMargin
       })),
 
     // The BOUNDED-CONTRACT twin of q29 — what a user runs at corpus

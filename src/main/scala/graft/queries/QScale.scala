@@ -214,7 +214,13 @@ object QScale {
           .select(col("a.p").as("u"), col("b.p").as("v"))
           .groupBy("u", "v").agg(count(lit(1)).as("support"))
           .filter(col("support") >= 2)
-          .select("u", "v").cache()
+          // lazy lineage cut, not cache: e feeds THREE branches (deg,
+          // the orientation joins, n_edges) and oriented feeds three
+          // more — a cached subtree re-renders its full plan under
+          // every consumer (50 exchanges rendered at r8), while the
+          // cut scans one materialized RDD (VERDICT r8 #2). Same
+          // values, same hash; materializes with the query's action.
+          .select("u", "v").transform(graft.ops.Fixpoint.cut)
         val deg = e.select(explode(array(col("u"), col("v"))).as("n"))
           .groupBy("n").agg(count(lit(1)).as("d"))
         val withDeg = e
@@ -231,7 +237,7 @@ object QScale {
               .otherwise(struct(col("v").as("src"), col("u").as("dst"), col("du").as("dd")))
               .as("e"))
           .select(col("e.src").as("src"), col("e.dst").as("dst"), col("e.dd").as("dd"))
-          .cache()
+          .transform(graft.ops.Fixpoint.cut)
         // NOTE: deliberately NOT pre-partitioned on src — a cached fixed
         // layout reads co-located into the wedge self-join and AQE can
         // then never skew-split it; hub-src partitions made the join

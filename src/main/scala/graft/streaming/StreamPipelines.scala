@@ -292,8 +292,11 @@ object StreamPipelines {
                                ts: java.sql.Timestamp, sig: Seq[Long])
   /** Per-band ring state: the `perBand` most recent arrivals. Like
     * [[SessionState]], this case class IS the state contract — adding
-    * fields must keep old checkpoints readable. */
-  final case class BandEntry(doc_id: Long, ts_us: Long, sig: Seq[Long])
+    * fields must keep old checkpoints readable, so it carries ONLY what
+    * the match loop reads (an unread `ts_us` was dropped pre-release,
+    * ADVICE r8 — recency is already encoded by ring position, and
+    * eviction runs on the band's timeout timestamp, not per-entry time). */
+  final case class BandEntry(doc_id: Long, sig: Seq[Long])
   final case class NearDupHit(doc_id: Long, other_id: Long, est: Double)
 
   /** Streaming NEAR-duplicate detection — dedup against a corpus that
@@ -368,8 +371,7 @@ object StreamPipelines {
                 val est = m.toDouble / r.sig.length
                 if (est >= threshold) out += NearDupHit(r.doc_id, e.doc_id, est)
               }
-              ring = (BandEntry(r.doc_id, r.ts.getTime * 1000L, r.sig) :: ring)
-                .take(perBand)
+              ring = (BandEntry(r.doc_id, r.sig) :: ring).take(perBand)
             }
             state.update(ring)
             // re-arm: horizon past this band's LATEST arrival (in-order

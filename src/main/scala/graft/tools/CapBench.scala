@@ -36,10 +36,10 @@ import graft.text.TextOps
   *
   * Pairwise-output queries whose post-guard candidate count STILL
   * exceeds PairBudget are skipped with the telemetry as the recorded
-  * reason — after r8's chain rework that is only q29, whose contract
-  * (ALL verified pairs, uncapped) is the exact-truth small-corpus tool;
-  * its corpus-scale replacements are exactly the chained/capped
-  * operators timed above.
+  * reason. After r9's q29 re-contract (per-doc drop-list over chain
+  * candidates — VERDICT r8 #1) every registry query is cap- or
+  * chain-bounded, so at production scales `skipped` should be empty at
+  * every side; the budget stays as the tripwire it was built to be.
   *
   * Usage: runMain graft.tools.CapBench
   *   env: SPARK_GRAFT_BASE_DIR    (default /root/testdata/sf0.1)
@@ -114,8 +114,6 @@ object CapBench {
       Site("lsh_bands_cap2", "q119_lsh_banded_cap", bandSizes, _ => 2L, None),
       Site("lsh_bands_chain3_labels", "q134_labels_build", bandSizes,
         _ => Long.MaxValue, Some(3)),
-      Site("lsh_bands_uncapped_q29", "q29_minhash_lsh_dedup", bandSizes,
-        _ => Long.MaxValue, None),
       Site("srp_buckets_cap12", "q121_embed_dedup_clusters", bucketSizes,
         _ => 12L, None),
       Site("prefix_tokens_chain3", "q153_prefix_filter_join", prefixSizes,
@@ -165,12 +163,12 @@ object CapBench {
     // their join) grows quadratically in near-dup cluster width; on a
     // corpus whose post-guard candidate count exceeds this bound the
     // timed run is skipped WITH the telemetry as the recorded reason.
-    // After the r8 chain rework only q29 (contractually uncapped — the
-    // exact-truth small-corpus tool) can cross it.
+    // After r9's q29 re-contract every entry is chain- or cap-bounded —
+    // the budget is a tripwire that should never fire.
     val PairBudget = 50000000L
     val pairwiseOf = Map("q153_prefix_filter_join" -> "prefix_tokens_chain3",
       "q119_lsh_banded_cap" -> "lsh_bands_cap2",
-      "q29_minhash_lsh_dedup" -> "lsh_bands_uncapped_q29",
+      "q29_minhash_lsh_dedup" -> "lsh_bands_chain3_labels",
       "q177_lsh_chain_topk" -> "lsh_bands_chain3_labels",
       "q121_embed_dedup_clusters" -> "srp_buckets_cap12")
 

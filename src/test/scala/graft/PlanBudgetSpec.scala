@@ -310,14 +310,13 @@ class PlanBudgetSpec extends SparkSpec {
     // EWMA: day-grain agg, the bounded-horizon self-join of the
     // AGGREGATE-grain series, the final per-(type,day) fold
     assert(shuffles("q150_ewma_daily") <= 4)
-    // triangles: pair-gen + edge distinct + degree agg + orientation
-    // joins + the wedge self-join — every frame past the first distinct
-    // is a slim (int,int[,deg]) edge list. The TEXT count multiplies the
-    // cached edge/orientation subtrees per DAG reference (oriented is
-    // consumed 3×, each copy printing the edge pipeline again); the
-    // exchanges that actually RUN materialize each cached frame once
-    // (~15 — e, deg, oriented, the wedge self-join, the final 1-row aggs)
-    assert(shuffles("q151_triangle_count") <= 60)
+    // triangles: e and oriented are LAZY LINEAGE CUTS (r9, VERDICT r8
+    // #2 — the cached subtrees previously re-rendered under every
+    // consumer: 50 exchanges/13 broadcasts at r8, now 5/2): the rendered
+    // plan is the wedge self-join + semi-join + the 1-row aggs over the
+    // two materialized edge RDDs; each cut's own derivation (pair-gen,
+    // edge distinct, degree agg, orientation joins) runs exactly once
+    assert(shuffles("q151_triangle_count") <= 7)
     // z-order audit: pure narrow bit math into ONE 64-group aggregate
     assert(shuffles("q152_zorder_layout") <= 1)
     // prefix-filter join: df agg + per-doc prefix window + per-token

@@ -294,15 +294,28 @@ class QCurateSpec extends SparkSpec {
   }
 
   test("q138: the incremental path loses nothing vs full recompute") {
+    // the all-pairs recompute (q29's pre-r9 body — q29 itself is now the
+    // linear drop-list, so the exact-truth pair frame is built inline)
+    val docs = graft.queries.QLlm.docsWithDups(spark, sfDir)
+      .select(col("doc_id"),
+        graft.text.TextOps.shingles(graft.text.TextOps.tokens(col("text")), 3).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .cache()
+    val allPairs = graft.ops.Dedup.lshBandCandidates(docs)
+      .join(docs.select(col("doc_id").as("id_a"), col("sh").as("sha")), Seq("id_a"))
+      .join(docs.select(col("doc_id").as("id_b"), col("sh").as("shb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(graft.text.TextOps.jaccard(col("sha"), col("shb")), 6).as("jacc"))
+      .filter(col("jacc") >= 0.5)
+      .cache()
     val inc = run("q138_incremental_dedup")
-    val full = SparkEntry.queries("q29_minhash_lsh_dedup")(spark, sfDir)
-      .filter(col("id_a") % 10 === 9 || col("id_b") % 10 === 9)
+    val full = allPairs.filter(col("id_a") % 10 === 9 || col("id_b") % 10 === 9)
     assert(inc.exceptAll(full).count() === 0)
     assert(full.exceptAll(inc).count() === 0)
-    // and it genuinely prunes: settled old-x-old pairs exist in q29
-    val oldOld = SparkEntry.queries("q29_minhash_lsh_dedup")(spark, sfDir)
-      .filter(col("id_a") % 10 =!= 9 && col("id_b") % 10 =!= 9)
+    // and it genuinely prunes: settled old-x-old pairs exist in the full set
+    val oldOld = allPairs.filter(col("id_a") % 10 =!= 9 && col("id_b") % 10 =!= 9)
     assert(oldOld.count() > 0)
+    allPairs.unpersist(); docs.unpersist()
   }
 
   test("q140: batches are exact 8-item runs per media type with faithful byte accounting") {

@@ -164,11 +164,22 @@ class QuantilesSpec extends SparkSpec {
     assert(got.getAs[Double]("p25") === want.getDouble(0))
     assert(got.getAs[Double]("p50") === want.getDouble(1))
     assert(got.getAs[Double]("p999") === want.getDouble(2))
-    // the histogram state really is bounded: the bucket-count grain holds
-    // ≤ nBuckets rows per group no matter how many distinct values
-    val hist = df.select(lit(1).as("g"), col("v"))
-      .groupBy("g").agg(min("v").as("mn"), max("v").as("mx"))
-    assert(hist.count() === 1L) // sanity: one stats row for the group
+    // the histogram state really is bounded: rebuild the operator's
+    // bucket grain (same fixed-width bucket expression) and assert the
+    // aggregate really collapses 10^6 distinct values into ≤ nBuckets
+    // rows for the group — the actual state bound, not a proxy (the
+    // previous check counted a 1-row min/max aggregate, which could not
+    // fail — ADVICE r8)
+    val nBuckets = 4096 // exactQuantiles' default
+    val stats = df.agg(min("v").as("mn"), max("v").as("mx")).collect().head
+    val (mn, mx) = (stats.getDouble(0), stats.getDouble(1))
+    val histRows = df
+      .select(least(floor((col("v") - mn) * nBuckets / (mx - mn)),
+        lit(nBuckets - 1L)).as("b"))
+      .groupBy("b").count().count()
+    assert(histRows <= nBuckets.toLong,
+      s"bucket grain must hold <= $nBuckets rows per group, got $histRows")
+    assert(histRows > 1000L, "sanity: the histogram is actually populated")
   }
 
   test("value-histogram path stays correct (if not cheap) past its intended cardinality") {
