@@ -127,19 +127,70 @@ object Dedup {
         .join(keys.select(col("band_key"), col("doc_id").as("id_b")), Seq("band_key"))
         .filter(col("id_a") < col("id_b"))
         .select("id_a", "id_b").distinct() // a pair can collide in many bands
-    else {
-      // (band_key, doc_id) is unique (the band index is baked into the
-      // key), so the lead order is total and the chain deterministic;
-      // id_a < id_b holds by construction (leads ascend in doc_id)
-      val w = Window.partitionBy("band_key").orderBy("doc_id")
-      keys
-        .select(col("doc_id").as("id_a"),
-          array((1 to neighborWidth).map(j => lead(col("doc_id"), j).over(w)): _*)
-            .as("nxt"))
-        .select(col("id_a"), explode(col("nxt")).as("id_b"))
-        .filter(col("id_b").isNotNull)
-        .distinct() // a pair can be chain-adjacent in many bands
+    else chainCandidatesFromKeys(keys, neighborWidth)
+  }
+
+  /** The sorted-neighborhood chain step of [[lshBandCandidates]] over an
+    * already-built `(band_key, doc_id)` frame — exposed so callers that
+    * precompute band keys (e.g. to cache hashed-shingle verify arrays
+    * alongside them, q29/q177) share the exact same window.
+    * (band_key, doc_id) must be unique (the band index is baked into
+    * the key), so the lead order is total and the chain deterministic;
+    * id_a < id_b holds by construction (leads ascend in doc_id). */
+  def chainCandidatesFromKeys(keys: DataFrame, neighborWidth: Int): DataFrame = {
+    val w = Window.partitionBy("band_key").orderBy("doc_id")
+    keys
+      .select(col("doc_id").as("id_a"),
+        array((1 to neighborWidth).map(j => lead(col("doc_id"), j).over(w)): _*)
+          .as("nxt"))
+      .select(col("id_a"), explode(col("nxt")).as("id_b"))
+      .filter(col("id_b").isNotNull)
+      .distinct() // a pair can be chain-adjacent in many bands
+  }
+
+  /** Chain-bounded, hash-verified near-dup EDGES over a `(doc_id, sh)`
+    * shingle frame — the shared verify stage of the closure family
+    * (ClusterLabels/q72 clustering, q57/CorpusRun greedy removal). Band
+    * keys (native fused minhash) and each doc's DISTINCT 60-bit md5
+    * shingle-hash set are computed ONCE and cached together, so the
+    * chain window and both verify joins move 8 key strings + a slim
+    * `array<long>` instead of the shingle strings (measured −25% wall
+    * at 100× rows on the q177 shape). An edge survives when hashed-set
+    * Jaccard ≥ `threshold`. Hashed-set Jaccard equals string-set
+    * Jaccard unless two distinct shingles of the SAME pair collide in
+    * 60 bits (p ≈ 5e−15 per pair), so callers whose oracles verify with
+    * string sets stay value-identical — the verify is a filter here,
+    * never an emitted value.
+    *
+    * @return (src, dst) with src < dst (chain order)
+    */
+  def chainVerifiedEdges(docsSh: DataFrame, neighborWidth: Int = 3,
+                         threshold: Double = 0.5,
+                         maxBandSize: Int = Int.MaxValue): DataFrame = {
+    require(neighborWidth > 0 && neighborWidth < 64,
+      s"chainVerifiedEdges needs a finite chain width, got $neighborWidth")
+    val t = graft.text.TextOps
+    val hashed = docsSh.select(col("doc_id"),
+        t.minhashBandKeys(col("sh"), 16, 8, 2).as("bks"),
+        array_distinct(transform(col("sh"), s => t.hash64(s))).as("hs"))
+      .cache()
+    val allKeys = hashed.select(col("doc_id"), explode(col("bks")).as("band_key"))
+    val keys = if (maxBandSize == Int.MaxValue) allKeys else {
+      // hot-band exclusion, same shape as lshBandCandidates: broadcast
+      // the FEW keys over the cap, anti-join the rest through
+      val hot = allKeys.groupBy("band_key").agg(count(lit(1)).as("band_n"))
+        .filter(col("band_n") > maxBandSize).select("band_key")
+      allKeys.join(broadcast(hot), Seq("band_key"), "left_anti")
     }
+    val cand = chainCandidatesFromKeys(keys, neighborWidth)
+    val inter = size(array_intersect(col("ha"), col("hb"))).cast("double")
+    val uni = (size(col("ha")) + size(col("hb"))).cast("double") - inter
+    val jac = when(uni === 0.0, 0.0).otherwise(inter / uni)
+    cand
+      .join(hashed.select(col("doc_id").as("id_a"), col("hs").as("ha")), Seq("id_a"))
+      .join(hashed.select(col("doc_id").as("id_b"), col("hs").as("hb")), Seq("id_b"))
+      .filter(jac >= threshold)
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
   }
 
   /** ARRIVAL-ordered scored near-dups — the batch twin of

@@ -83,13 +83,13 @@ final class CorpusRun(spark: SparkSession, warehouse: String,
       val sh = cache(exact.select(col("doc_id"), TextOps.shingles(col("tk"), 3).as("sh"))
         .filter(size(col("sh")) > 0))
       // candidates are chain-bounded (sorted-neighborhood, linear per
-      // band) with the band cap kept as a second, independent guard
-      val drop = graft.ops.Dedup.lshBandCandidates(sh,
-          maxBandSize = maxBandSize, neighborWidth = neighborWidth)
-        .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sha")), Seq("id_a"))
-        .join(sh.select(col("doc_id").as("id_b"), col("sh").as("shb")), Seq("id_b"))
-        .filter(TextOps.jaccard(col("sha"), col("shb")) >= jaccard)
-        .select(col("id_b").as("doc_id")).distinct()
+      // band) with the band cap kept as a second, independent guard;
+      // verify is the hashed-set gate (Dedup.chainVerifiedEdges — equal
+      // to string-set Jaccard, and a filter only)
+      val drop = graft.ops.Dedup.chainVerifiedEdges(sh,
+          neighborWidth = neighborWidth, threshold = jaccard,
+          maxBandSize = maxBandSize)
+        .select(col("dst").as("doc_id")).distinct()
       val kept = exact.join(drop, Seq("doc_id"), "left_anti")
         .select("doc_id", "text", "n_tokens", "lang")
 

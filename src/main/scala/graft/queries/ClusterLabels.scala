@@ -114,11 +114,10 @@ object ClusterLabels {
       .select(col("doc_id"), TextOps.shingles(TextOps.tokens(col("text")), 3).as("sh"))
       .filter(size(col("sh")) > 0)
       .cache()
-    val edges = Dedup.lshBandCandidates(docs, neighborWidth = 3)
-      .join(docs.select(col("doc_id").as("id_a"), col("sh").as("sha")), Seq("id_a"))
-      .join(docs.select(col("doc_id").as("id_b"), col("sh").as("shb")), Seq("id_b"))
-      .filter(TextOps.jaccard(col("sha"), col("shb")) >= 0.5)
-      .select(col("id_a").as("src"), col("id_b").as("dst"))
+    // hashed-set verify (Dedup.chainVerifiedEdges): the same chain and
+    // the same ≥0.5 gate the oracle's string-set CTE computes — equal
+    // unless a 60-bit md5 collision lands inside one pair's shingles
+    val edges = Dedup.chainVerifiedEdges(docs, neighborWidth = 3)
     // AUDITED propagation: a persisted labels artifact silently built
     // from unconverged propagation is the worst failure mode this
     // pipeline has (r8's CcProbe caught exactly that at 100× before

@@ -200,10 +200,11 @@ object QScale {
     // densification guard — it cuts the edge set before any graph work.
     // The distributed-safe shape is degree ORIENTATION: each undirected
     // edge points from its (degree, id)-smaller endpoint, so out-degree
-    // is O(sqrt(m)) even on power-law graphs and the wedge self-join's
-    // fan-out is bounded — the naive adjacency join explodes on hub
-    // nodes. Wedges then semi-join the oriented edge set: each triangle
-    // counted exactly once. All joins are slim (int, int) frames.
+    // is O(sqrt(m)) even on power-law graphs — the naive adjacency join
+    // explodes on hub nodes. Counting is per-edge out-neighbor-array
+    // intersection (each triangle once, on its base edge), which never
+    // materializes the Σd⁺² wedge set. All frames are slim (int, int)
+    // edges or √m-bounded arrays.
     Qry("q151_triangle_count",
       (s, dir) => {
         val po = t(s, dir, "lineitem")
@@ -226,32 +227,37 @@ object QScale {
         val withDeg = e
           .join(deg.withColumnRenamed("n", "u").withColumnRenamed("d", "du"), Seq("u"))
           .join(deg.withColumnRenamed("n", "v").withColumnRenamed("d", "dv"), Seq("v"))
-        // orient low-(deg,id) → high-(deg,id). The dst-side degree the
-        // wedge tie-break needs is just the LARGER endpoint's degree,
-        // already in hand — carrying it through the orientation struct
-        // saves a third deg join (one whole shuffle of the edge set).
+        // orient low-(deg,id) → high-(deg,id): out-degrees are bounded
+        // by ~√m, which bounds BOTH the adjacency arrays below and the
+        // per-edge intersect work.
         val oriented = withDeg.select(
             when(col("du") < col("dv") ||
                  (col("du") === col("dv") && col("u") < col("v")),
-              struct(col("u").as("src"), col("v").as("dst"), col("dv").as("dd")))
-              .otherwise(struct(col("v").as("src"), col("u").as("dst"), col("du").as("dd")))
+              struct(col("u").as("src"), col("v").as("dst")))
+              .otherwise(struct(col("v").as("src"), col("u").as("dst")))
               .as("e"))
-          .select(col("e.src").as("src"), col("e.dst").as("dst"), col("e.dd").as("dd"))
+          .select(col("e.src").as("src"), col("e.dst").as("dst"))
           .transform(graft.ops.Fixpoint.cut)
-        // NOTE: deliberately NOT pre-partitioned on src — a cached fixed
-        // layout reads co-located into the wedge self-join and AQE can
-        // then never skew-split it; hub-src partitions made the join
-        // 2.2× slower at sf1. Letting the join exchange both sides keeps
-        // the runtime skew handling.
-        val wedges = oriented.as("e1").join(oriented.as("e2"),
-            col("e1.src") === col("e2.src") &&
-              (col("e1.dd") < col("e2.dd") ||
-               (col("e1.dd") === col("e2.dd") && col("e1.dst") < col("e2.dst"))))
-          .select(col("e1.dst").as("src"), col("e2.dst").as("dst"))
-        val tri = wedges.join(oriented.select("src", "dst"), Seq("src", "dst"), "left_semi")
+        // ADJACENCY-INTERSECT counting (r9, VERDICT r8 #2 runtime half):
+        // each triangle {a→b, a→c, b→c} is counted exactly once on its
+        // base edge (a,b) as |N⁺(a) ∩ N⁺(b)|. The previous wedge-
+        // generate + existence-semi-join materialized AND shuffled
+        // Σ d⁺² wedge rows (41M at 100× rows for 1.9M triangles,
+        // 9.8 s); joining each edge to the two out-neighbor arrays does
+        // the same Σ (d⁺ᵤ+d⁺ᵥ) intersect work CPU-side with no wide
+        // intermediate (1.5–2.9 s at 100×, identical count). The
+        // degree orientation caps out-degrees — and so the collect_list
+        // arrays and the per-edge intersect — at ~√m.
+        val adj = oriented.groupBy("src")
+          .agg(collect_list(col("dst")).as("nbrs"))
+        val tri = oriented
+          .join(adj.select(col("src"), col("nbrs").as("nu")), Seq("src"))
+          .join(adj.select(col("src").as("dst"), col("nbrs").as("nv")), Seq("dst"))
+          .select(size(array_intersect(col("nu"), col("nv"))).cast("long").as("c"))
+          .agg(coalesce(sum("c"), lit(0L)).as("n_triangles"))
         val nodes = deg.agg(count(lit(1)).as("n_nodes"), max("d").as("max_degree"))
         e.agg(count(lit(1)).as("n_edges")).crossJoin(broadcast(nodes))
-          .crossJoin(broadcast(tri.agg(count(lit(1)).as("n_triangles"))))
+          .crossJoin(broadcast(tri))
           .select(col("n_nodes"), col("n_edges"), col("max_degree"), col("n_triangles"))
       },
       Some("""WITH po AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),

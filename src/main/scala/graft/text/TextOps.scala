@@ -25,8 +25,18 @@ object TextOps {
   def normText(c: Column): Column =
     regexp_replace(lower(trim(c)), "\\s+", " ")
 
-  /** whitespace tokens of the normalized text. */
-  def tokens(c: Column): Column = split(normText(c), " ")
+  /** whitespace tokens of the normalized text. Native single-call
+    * evaluation ([[graft.functions.NormTokensExpr]] — no regex engine);
+    * [[tokensHof]] is the executable specification NativeExprSpec pins
+    * it against. */
+  def tokens(c: Column): Column = {
+    val br = org.apache.spark.sql.graft.bridge
+    br.column(graft.functions.NormTokensExpr(br.expression(c)))
+  }
+
+  /** The regex formulation of [[tokens]] (parity oracle — exactly the
+    * DuckDB oracle's `string_split(regexp_replace(...), ' ')`). */
+  def tokensHof(c: Column): Column = split(normText(c), " ")
 
   /** Deterministic 60-bit non-negative hash from md5 (cross-engine stable). */
   def hash64(c: Column): Column =

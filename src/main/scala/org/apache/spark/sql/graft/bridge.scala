@@ -19,6 +19,9 @@ object bridge {
   /** input-type spec for array<string> unary expressions */
   val stringArrayInput: Seq[AbstractDataType] =
     Seq(ArrayType(org.apache.spark.sql.types.StringType))
+  /** input-type spec for string unary expressions */
+  val stringInput: Seq[AbstractDataType] =
+    Seq(org.apache.spark.sql.types.StringType)
   /** input-type spec for (binary, long) binary expressions (sketch probes) */
   val binaryLongInputs: Seq[AbstractDataType] =
     Seq(org.apache.spark.sql.types.BinaryType, org.apache.spark.sql.types.LongType)

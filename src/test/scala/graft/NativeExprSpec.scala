@@ -98,6 +98,33 @@ class NativeExprSpec extends SparkSpec {
     assert(odd.filter(not(col("native") <=> col("hof"))).count() === 0)
   }
 
+  test("native norm-tokens are bit-identical to the regex formulation") {
+    import graft.text.TextOps
+    // adversarial whitespace/unicode corners + the real corpus: leading
+    // tab (trim strips only 0x20 -> leading empty token), trailing run
+    // (split keeps trailing empties), interior mixed-\s runs as ONE
+    // separator, empty / all-space input -> [""], multibyte lowercase
+    val edge = Seq("", " ", "   ", "one", " one ", "\tone", "one\t",
+      "one\t\ttwo", "a \t\n b", "\n\nx\r\n", "MIXED Case TEXT",
+      "naïve CAFÉ 中文tokens", "Straße  GROSS", "\f",
+      "a b", "Iİi").zipWithIndex
+      .map { case (t, i) => (90000L + i, t) }.toDF("doc_id", "text")
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .unionByName(edge)
+      .repartition(4)
+    val out = docs.select(
+      TextOps.tokens(col("text")).as("native"),
+      TextOps.tokensHof(col("text")).as("hof"))
+    assert(out.filter(not(col("native") <=> col("hof"))).count() === 0)
+    // null input -> null, like split(regexp_replace(...))
+    val n = Seq((1L, Option.empty[String])).toDF("doc_id", "text")
+      .select(TextOps.tokens(col("text")).as("native"),
+        TextOps.tokensHof(col("text")).as("hof"))
+    assert(n.filter(not(col("native") <=> col("hof"))).count() === 0)
+    assert(n.filter(col("native").isNull).count() === 1)
+  }
+
   test("native shingles are bit-identical to the HOF formulation") {
     import graft.text.TextOps
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
