@@ -144,18 +144,58 @@ object Multimodal {
     }
   }
 
+  /** The `javax.sound.sampled` file readers, resolved ONCE per JVM.
+    * `AudioSystem.getAudioInputStream` re-runs a SYNCHRONIZED classpath
+    * provider scan (`JDK13Services.getProviders` → jar walking) on every
+    * call — measured here serializing 31 of 32 executor threads on that
+    * one lock (~180 µs/row, 126 s for 671k rows at 100× scale). The SPI
+    * type is public API; resolving the same provider set once via
+    * `ServiceLoader` and probing readers directly keeps AudioSystem's
+    * semantics (first reader that accepts wins) minus the global lock. */
+  private lazy val audioReaders: List[javax.sound.sampled.spi.AudioFileReader] = {
+    import scala.jdk.CollectionConverters._
+    java.util.ServiceLoader
+      .load(classOf[javax.sound.sampled.spi.AudioFileReader])
+      .iterator().asScala.toList
+  }
+
+  /** Readers whose probe itself re-enters the synchronized provider
+    * registry: the JDK's MIDI-as-audio bridge calls
+    * `MidiSystem.getSequence` → `JDK13Services.getProviders` on EVERY
+    * probe, re-taking the same global lock the reader cache exists to
+    * avoid (thread dumps showed 31/32 executor threads parked there even
+    * with cached readers). Only probe these when the payload actually
+    * carries the MIDI magic, so they can't serialize non-MIDI rows. */
+  private def midiGated(r: javax.sound.sampled.spi.AudioFileReader): Boolean =
+    r.getClass.getName.contains("Midi")
+
+  private def looksMidi(payload: Array[Byte]): Boolean =
+    payload.length >= 4 && payload(0) == 'M' && payload(1) == 'T' &&
+      payload(2) == 'h' && payload(3) == 'd'
+
+  /** Probe each cached reader with a fresh in-memory stream (readers are
+    * spec-required to reset a stream they reject; a fresh wrapper over the
+    * same byte array is cheaper than trusting that). None = no provider
+    * accepts the payload. */
+  private def openAudioStream(payload: Array[Byte])
+      : Option[javax.sound.sampled.AudioInputStream] =
+    audioReaders.iterator.flatMap { r =>
+      if (midiGated(r) && !looksMidi(payload)) None
+      else
+        try Option(r.getAudioInputStream(new java.io.ByteArrayInputStream(payload)))
+        catch { case _: Exception => None }
+    }.nextOption()
+
   /** REAL audio container parse via the JDK's bundled `javax.sound.sampled`
     * providers (WAV/AIFF/AU PCM). None when no installed provider accepts
     * the payload (caller falls back to the stub). */
   private def decodeAudio(payload: Array[Byte])
       : Option[(javax.sound.sampled.AudioFormat, Long)] =
-    try {
-      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
-        new java.io.ByteArrayInputStream(payload)) // supports mark/reset
+    openAudioStream(payload).map { in =>
       val out = (in.getFormat, in.getFrameLength)
       in.close()
-      Some(out)
-    } catch { case _: Exception => None }
+      out
+    }
 
   /** Audio metadata per payload: real sample rate / channels / bit depth /
     * frame count / duration for any `javax.sound.sampled`-readable stream
@@ -559,9 +599,9 @@ object Multimodal {
         val decoded: Option[Array[Int]] =
           if (m.media_type != "audio") None
           else try {
-            val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
-              new java.io.ByteArrayInputStream(m.payload))
-            try {
+            openAudioStream(m.payload) match {
+              case None => None
+              case Some(in) => try {
               val f = in.getFormat
               val ok = f.getEncoding ==
                 javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
@@ -587,7 +627,8 @@ object Multimodal {
                   if (s >= 32768) s - 65536 else s
                 })
               }
-            } finally in.close()
+              } finally in.close()
+            }
           } catch { case _: Exception => None }
         decoded match {
           case Some(s) =>
