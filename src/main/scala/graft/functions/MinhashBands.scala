@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression,
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graft.bridge
-import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Fused native MinHash→LSH band-key pipeline over a shingle array —
@@ -60,6 +60,42 @@ case class MinhashBands(child: Expression, k: Int, bands: Int, rowsPerBand: Int)
     copy(child = newChild)
 }
 
+/** Fused native MinHash SIGNATURE over a shingle array — semantically
+  * identical to `TextOps.minhashFromBase(TextOps.minhashBase(sh), k)`
+  * (element i = min over shingles of `(h·a_i + b_i) mod M`, null when the
+  * array has no valid shingle) but ONE JVM call per row instead of nested
+  * interpreted higher-order lambdas evaluating md5 + conv per element
+  * outside codegen. Thread dumps on the q178 shape at 100× rows showed
+  * the interpreted form (`BinaryExpression.eval` / `NumberConverter`)
+  * dominating every executor thread. Bit-parity with the HOF form is
+  * pinned in NativeExprSpec; the signature-consuming oracles (q136,
+  * q178) hash-match it end-to-end.
+  */
+case class MinhashSig(child: Expression, k: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes = bridge.stringArrayInput
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+  override def prettyName: String = "graft_minhash_sig"
+
+  @transient private lazy val params: (Array[Long], Array[Long]) = {
+    val (as, bs) = graft.text.TextOps.minhashParams(k)
+    (as.toArray, bs.toArray)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    MinhashBands.computeSig(input.asInstanceOf[ArrayData], k, params._1, params._2)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val ref = ctx.addReferenceObj("mhSig", this, classOf[MinhashSig].getName)
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.nullSafeEval($c);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): MinhashSig =
+    copy(child = newChild)
+}
+
 object MinhashBands {
   val M: Long = graft.text.TextOps.minhashM
 
@@ -75,10 +111,11 @@ object MinhashBands {
     sb.toString
   }
 
-  def compute(arr: ArrayData, k: Int, bands: Int, rowsPerBand: Int,
-              as: Array[Long], bs: Array[Long]): ArrayData = {
+  /** Base-hash + k-permutation signature shared by both expressions:
+    * returns (sig, sigNull). sigNull(i) = no valid shingle contributed. */
+  private def sigOf(arr: ArrayData, k: Int, as: Array[Long], bs: Array[Long],
+                    md: MessageDigest): (Array[Long], Array[Boolean]) = {
     val n = arr.numElements()
-    val md = MessageDigest.getInstance("MD5")
 
     // one md5 per shingle → 60-bit base hash, mod M
     val base = new Array[Long](n)
@@ -118,6 +155,26 @@ object MinhashBands {
       sigNull(t) = !any
       t += 1
     }
+    (sig, sigNull)
+  }
+
+  def computeSig(arr: ArrayData, k: Int,
+                 as: Array[Long], bs: Array[Long]): ArrayData = {
+    val md = MessageDigest.getInstance("MD5")
+    val (sig, sigNull) = sigOf(arr, k, as, bs, md)
+    val out = new Array[Any](k)
+    var i = 0
+    while (i < k) {
+      out(i) = if (sigNull(i)) null else java.lang.Long.valueOf(sig(i))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  def compute(arr: ArrayData, k: Int, bands: Int, rowsPerBand: Int,
+              as: Array[Long], bs: Array[Long]): ArrayData = {
+    val md = MessageDigest.getInstance("MD5")
+    val (sig, sigNull) = sigOf(arr, k, as, bs, md)
 
     // band keys: decimal-joined slice, md5, "b:" prefix
     val out = new Array[AnyRef](bands)

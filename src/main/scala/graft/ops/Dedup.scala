@@ -215,7 +215,7 @@ object Dedup {
                              threshold: Double = 0.5): DataFrame = {
     val t = graft.text.TextOps
     val sigged = docs.select(col("doc_id"),
-      t.minhashFromBase(t.minhashBase(col("sh")), k).as("sig"),
+      t.minhashSig(col("sh"), k).as("sig"),
       explode(t.minhashBandKeys(col("sh"), k, bands, rowsPerBand)).as("band_key"))
     // the same ONE-window no-self-join shape as the chain candidates,
     // lag instead of lead: a doc only ever looks BACK at state that

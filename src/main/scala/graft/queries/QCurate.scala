@@ -620,7 +620,7 @@ object QCurate {
             TextOps.shingles(TextOps.tokens(col("text")), 3).as("sh"))
           .filter(size(col("sh")) > 0)
           .select(col("doc_id"), col("sh"),
-            TextOps.minhashFromBase(TextOps.minhashBase(col("sh")), 16).as("sig"))
+            TextOps.minhashSig(col("sh"), 16).as("sig"))
           .cache()
         val a = d.select(col("doc_id").as("id_a"), col("sh").as("sha"),
           col("sig").as("siga"))

@@ -345,7 +345,7 @@ object StreamPipelines {
       .select(
         explode(t.minhashBandKeys(col("sh"), k, bands, rowsPerBand)).as("band_key"),
         col("doc_id"), col("ts"),
-        t.minhashFromBase(t.minhashBase(col("sh")), k).as("sig"))
+        t.minhashSig(col("sh"), k).as("sig"))
       .as[BandArrival]
     val timeout =
       if (stateHorizon.isDefined) GroupStateTimeout.EventTimeTimeout

@@ -106,6 +106,17 @@ object TextOps {
     }
   }
 
+  /** Fused NATIVE MinHash signature — semantically identical to
+    * `minhashFromBase(minhashBase(sh), k)` but one JVM call per row
+    * ([[graft.functions.MinhashSig]]) instead of nested interpreted HOFs
+    * (md5 + conv per shingle per row outside codegen); bit-parity pinned
+    * in NativeExprSpec. Use on hot paths; the HOF form stays as the
+    * executable specification. */
+  def minhashSig(sh: Column, k: Int = 16): Column = {
+    val b = org.apache.spark.sql.graft.bridge
+    b.column(graft.functions.MinhashSig(b.expression(sh), k))
+  }
+
   /** Fused NATIVE band keys — semantically identical to
     * `lshBands(minhashFromBase(minhashBase(sh), k), bands, rowsPerBand)`
     * but one JVM call per row ([[graft.functions.MinhashBands]]) instead

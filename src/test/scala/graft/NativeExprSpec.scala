@@ -98,6 +98,25 @@ class NativeExprSpec extends SparkSpec {
     assert(odd.filter(not(col("native") <=> col("hof"))).count() === 0)
   }
 
+  test("fused minhash signature is bit-identical to the HOF pipeline") {
+    import graft.text.TextOps
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .unionByName(Seq((90001L, ""), (90002L, "solo"),
+        (90003L, "naïve café über alles — 中文 text with punctuation!?"),
+        (90004L, "a b"), (90005L, "a b c")).toDF("doc_id", "text"))
+      .select(col("doc_id"), TextOps.shingles(TextOps.tokens(col("text")), 3).as("sh"))
+      .repartition(4)
+    val out = docs.select(col("doc_id"),
+      TextOps.minhashSig(col("sh"), 16).as("native"),
+      TextOps.minhashFromBase(TextOps.minhashBase(col("sh")), 16).as("hof"))
+    assert(out.filter(not(col("native") <=> col("hof"))).count() === 0)
+    val odd = docs.select(
+      TextOps.minhashSig(col("sh"), 5).as("native"),
+      TextOps.minhashFromBase(TextOps.minhashBase(col("sh")), 5).as("hof"))
+    assert(odd.filter(not(col("native") <=> col("hof"))).count() === 0)
+  }
+
   test("native norm-tokens are bit-identical to the regex formulation") {
     import graft.text.TextOps
     // adversarial whitespace/unicode corners + the real corpus: leading
