@@ -78,9 +78,12 @@ object QCurate {
     // composite keep gate. Every 6th doc is deterministically dirtied by
     // re-appending its first 10 tokens (internal repetition the clean
     // synthetic docs lack), so the dup-5-gram signal provably fires.
-    // Shape: ONE tagged explode feeds ONE (doc,n,gram) count aggregate that
-    // both the top-1 window and the dup-mass rollup consume — the shuffle
-    // key includes doc_id, so there is no hot key at any corpus size.
+    // Shape: every mass is a ROW-LOCAL quantity, so the whole query is one
+    // narrow scan — [[graft.functions.RepetitionStats]] hash-counts the
+    // four gram sizes in one JVM call per row (no explode, no shuffle at
+    // all; the exploded groupBy/window form this replaced shuffled the
+    // entire gram stream and was spill-bound at 100× rows). The oracle
+    // keeps the exploded formulation as the executable specification.
     Qry("q123_repetition_filters",
       (s, dir) => {
         val tk0 = TextOps.tokens(col("text"))
@@ -89,40 +92,15 @@ object QCurate {
             concat(col("text"), lit(" "), array_join(slice(tk0, 1, 10), " ")))
             .otherwise(col("text")).as("text"))
         val tk = TextOps.tokens(col("text"))
+        val br = org.apache.spark.sql.graft.bridge
         val d = d0.select(col("doc_id"),
-          length(TextOps.normText(col("text"))).as("len"), tk.as("tk"))
-        def tag(arr: org.apache.spark.sql.Column, n: Int) =
-          transform(arr, g => struct(lit(n).as("n"), g.as("gram")))
-        val tagged = concat(
-          tag(col("tk"), 1),
-          tag(TextOps.shingles(col("tk"), 2), 2),
-          tag(TextOps.shingles(col("tk"), 3), 3),
-          tag(TextOps.shingles(col("tk"), 5), 5))
-        val cnt = d
-          .select(col("doc_id"), col("len"), explode(tagged).as("g"))
-          .groupBy(col("doc_id"), col("len"), col("g.n").as("n"),
-            col("g.gram").as("gram"))
-          .agg(count(lit(1)).as("c"))
-          .cache()
-        val rn = row_number().over(
-          Window.partitionBy("doc_id", "n")
-            .orderBy(col("c").desc, col("gram").asc))
-        val tops = cnt.withColumn("rn", rn).filter(col("rn") === 1)
-          .withColumn("mass", col("c") * length(col("gram")))
-          .groupBy("doc_id", "len")
-          .agg(coalesce(max(when(col("n") === 1, col("mass"))), lit(0L)).as("m1"),
-            coalesce(max(when(col("n") === 2, col("mass"))), lit(0L)).as("m2"),
-            coalesce(max(when(col("n") === 3, col("mass"))), lit(0L)).as("m3"))
-        val dup5 = cnt.filter(col("n") === 5 && col("c") >= 2)
-          .groupBy("doc_id")
-          .agg(sum((col("c") - 1) * length(col("gram"))).as("dupmass"))
+          length(TextOps.normText(col("text"))).as("len"),
+          br.column(graft.functions.RepetitionStats(br.expression(tk))).as("rs"))
         val f = (m: org.apache.spark.sql.Column) =>
           round(m.cast("double") / col("len"), 6)
-        tops.join(dup5, Seq("doc_id"), "left_outer")
-          .select(col("doc_id"),
-            f(col("m1")).as("top1_frac"), f(col("m2")).as("top2_frac"),
-            f(col("m3")).as("top3_frac"),
-            f(coalesce(col("dupmass"), lit(0L))).as("dup5_frac"))
+        d.select(col("doc_id"),
+            f(col("rs.m1")).as("top1_frac"), f(col("rs.m2")).as("top2_frac"),
+            f(col("rs.m3")).as("top3_frac"), f(col("rs.dup5")).as("dup5_frac"))
           .withColumn("keep",
             col("top1_frac") <= 0.11 && col("top2_frac") <= 0.10 &&
               col("top3_frac") <= 0.10 && col("dup5_frac") <= 0.01)

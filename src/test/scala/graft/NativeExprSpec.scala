@@ -117,6 +117,54 @@ class NativeExprSpec extends SparkSpec {
     assert(odd.filter(not(col("native") <=> col("hof"))).count() === 0)
   }
 
+  test("native repetition stats match the exploded groupBy/window formulation") {
+    import graft.text.TextOps
+    import org.apache.spark.sql.expressions.Window
+    val br = org.apache.spark.sql.graft.bridge
+    // real docs + a dirtied copy (internal repetition) + degenerate shapes
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .withColumn("text", when(col("doc_id") % 6 === 0,
+        concat(col("text"), lit(" "),
+          array_join(slice(TextOps.tokens(col("text")), 1, 10), " ")))
+        .otherwise(col("text")))
+      .unionByName(Seq((90001L, ""), (90002L, "solo"),
+        (90003L, "a a a a a a a a a a"), (90004L, "x y x y x y x y"),
+        (90005L, "tie tie two two")).toDF("doc_id", "text"))
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("tk"))
+      .cache()
+    val native = docs.select(col("doc_id"),
+      br.column(graft.functions.RepetitionStats(br.expression(col("tk")))).as("rs"))
+      .select(col("doc_id"), col("rs.m1"), col("rs.m2"), col("rs.m3"), col("rs.dup5"))
+    // the exploded specification (the q123 oracle shape)
+    def tag(arr: org.apache.spark.sql.Column, n: Int) =
+      transform(arr, g => struct(lit(n).as("n"), g.as("gram")))
+    val tagged = concat(tag(col("tk"), 1), tag(TextOps.shingles(col("tk"), 2), 2),
+      tag(TextOps.shingles(col("tk"), 3), 3), tag(TextOps.shingles(col("tk"), 5), 5))
+    val cnt = docs.select(col("doc_id"), explode(tagged).as("g"))
+      .groupBy(col("doc_id"), col("g.n").as("n"), col("g.gram").as("gram"))
+      .agg(count(lit(1)).as("c"))
+    val rn = row_number().over(
+      Window.partitionBy("doc_id", "n").orderBy(col("c").desc, col("gram").asc))
+    val tops = cnt.withColumn("rn", rn).filter(col("rn") === 1)
+      .withColumn("mass", col("c") * length(col("gram")))
+      .groupBy("doc_id")
+      .agg(coalesce(max(when(col("n") === 1, col("mass"))), lit(0L)).as("m1"),
+        coalesce(max(when(col("n") === 2, col("mass"))), lit(0L)).as("m2"),
+        coalesce(max(when(col("n") === 3, col("mass"))), lit(0L)).as("m3"))
+    val dup5 = cnt.filter(col("n") === 5 && col("c") >= 2)
+      .groupBy("doc_id").agg(sum((col("c") - 1) * length(col("gram"))).as("dup5"))
+    val spec = docs.select("doc_id").join(tops, Seq("doc_id"), "left_outer")
+      .join(dup5, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), coalesce(col("m1"), lit(0L)).as("m1"),
+        coalesce(col("m2"), lit(0L)).as("m2"), coalesce(col("m3"), lit(0L)).as("m3"),
+        coalesce(col("dup5"), lit(0L)).as("dup5"))
+    assert(native.count() === spec.count())
+    assert(native.exceptAll(spec).count() === 0)
+    assert(spec.exceptAll(native).count() === 0)
+    docs.unpersist()
+  }
+
   test("native norm-tokens are bit-identical to the regex formulation") {
     import graft.text.TextOps
     // adversarial whitespace/unicode corners + the real corpus: leading
