@@ -663,29 +663,42 @@ object QCurate {
     // the band INDEX of the old corpus is a stored artifact, new docs
     // compute only their own bands and probe it. Modeled here with the
     // %10==9 slice as "today's arrivals": candidate pairs must touch at
-    // least one new doc (old×old pairs were settled by yesterday's run).
-    // QCurateSpec proves the result IS q29's full recompute restricted to
-    // pairs with a new side — the incremental path loses nothing.
+    // least one new doc (old×old pairs were settled by yesterday's run) —
+    // and the JOIN builds exactly that: the 10% new-keys side probes the
+    // index, so old×old combinations are never materialized (the former
+    // keys×keys self-join filtered them only after producing them). The
+    // verify stage moves each doc's DISTINCT 60-bit md5 shingle-hash set
+    // (slim array<long>) instead of the shingle strings; hashed-set
+    // Jaccard equals the oracle's string-set Jaccard unless two shingles
+    // of the same pair collide in 60 bits (p ≈ 5e−15 per pair — see
+    // [[graft.ops.Dedup.chainVerifiedEdges]]). QCurateSpec proves the
+    // result IS the full recompute restricted to pairs with a new side —
+    // the incremental path loses nothing.
     Qry("q138_incremental_dedup",
       (s, dir) => {
         val d = docsWithDups(s, dir)
           .select(col("doc_id"),
             TextOps.shingles(TextOps.tokens(col("text")), 3).as("sh"))
           .filter(size(col("sh")) > 0)
+          .select(col("doc_id"), TextOps.minhashBandKeys(col("sh")).as("bks"),
+            array_distinct(transform(col("sh"), x => TextOps.hash64(x))).as("hs"))
           .cache()
-        val keys = d.select(col("doc_id"), (col("doc_id") % 10 === 9).as("nw"),
-          explode(TextOps.minhashBandKeys(col("sh"))).as("band_key"))
-        val cand = keys
-          .select(col("band_key"), col("doc_id").as("id_a"), col("nw").as("na"))
-          .join(keys.select(col("band_key"), col("doc_id").as("id_b"),
-            col("nw").as("nb")), Seq("band_key"))
-          .filter(col("id_a") < col("id_b") && (col("na") || col("nb")))
-          .select("id_a", "id_b").distinct()
+        val keys = d.select(col("doc_id"), explode(col("bks")).as("band_key"))
+        val cand = keys.filter(col("doc_id") % 10 === 9)
+          .select(col("band_key"), col("doc_id").as("id_n"))
+          .join(keys.select(col("band_key"), col("doc_id").as("id_o")),
+            Seq("band_key"))
+          .filter(col("id_n") =!= col("id_o"))
+          .select(least(col("id_n"), col("id_o")).as("id_a"),
+            greatest(col("id_n"), col("id_o")).as("id_b"))
+          .distinct()
+        val inter = size(array_intersect(col("ha"), col("hb"))).cast("double")
+        val uni = (size(col("ha")) + size(col("hb"))).cast("double") - inter
         cand
-          .join(d.select(col("doc_id").as("id_a"), col("sh").as("sha")), Seq("id_a"))
-          .join(d.select(col("doc_id").as("id_b"), col("sh").as("shb")), Seq("id_b"))
+          .join(d.select(col("doc_id").as("id_a"), col("hs").as("ha")), Seq("id_a"))
+          .join(d.select(col("doc_id").as("id_b"), col("hs").as("hb")), Seq("id_b"))
           .select(col("id_a"), col("id_b"),
-            round(TextOps.jaccard(col("sha"), col("shb")), 6).as("jacc"))
+            round(when(uni === 0.0, 0.0).otherwise(inter / uni), 6).as("jacc"))
           .filter(col("jacc") >= 0.5)
       },
       Some {
