@@ -24,7 +24,9 @@ import org.scalatest.funsuite.AnyFunSuite
   * the shared ClusterLabels artifact — Components propagation under
   * reliable checkpointing (q72), embedding components (q121), the
   * mid-loop-cut PageRank fixpoint (q131), prefix-filter chains (q153),
-  * and the custom synthetic source (q161).
+  * the custom synthetic source (q161), and the r9 native expressions —
+  * row-local repetition stats (q123), the fused MinHash signature in the
+  * arrival chain (q178), and SPI-cached audio feature decode (q179).
   *
   * Runs in its OWN forked JVM (build.sbt testGrouping): it stops and
   * starts SparkContexts, which cannot coexist with the suite-wide
@@ -40,7 +42,12 @@ class LocalClusterSpec extends AnyFunSuite {
     "q44_token_counts", "q57_corpus_curation", "q62_frame_sample",
     "q64_quantiles", "q72_dedup_clusters", "q121_embed_dedup_clusters",
     "q131_domain_pagerank", "q153_prefix_filter_join",
-    "q161_synthetic_source", "q176_image_phash")
+    "q161_synthetic_source", "q176_image_phash",
+    // r9 native expressions under real cross-JVM serialization: the
+    // fused MinHash signature (q178's arrival chain), the row-local
+    // repetition stats, and the SPI-cached audio feature decode
+    "q123_repetition_filters", "q178_stream_neardup_twin",
+    "q179_audio_features")
 
   /** Collect each query to (sorted columns, rows rendered per sorted
     * column order, row-sorted) — the same order-insensitive shape the
