@@ -96,8 +96,65 @@ case class MinhashSig(child: Expression, k: Int)
     copy(child = newChild)
 }
 
+/** Fused native DISTINCT 60-bit shingle-hash set — semantically identical
+  * to `array_distinct(transform(sh, s => TextOps.hash64(s)))` (first 15
+  * hex chars of md5 as int64, first-occurrence order) but one JVM call
+  * per row instead of an interpreted md5+conv lambda per element. This is
+  * the verify-set build of the whole chain family (q29/q177/q138/q57/
+  * labels): the sets are only ever size-compared (`array_intersect`), but
+  * first-occurrence order is preserved anyway so the expression is a
+  * drop-in for the HOF form under any consumer. Null elements (never
+  * produced by ShinglesExpr) are skipped, mirroring what the HOF chain
+  * feeds downstream size arithmetic. Bit-parity pinned in NativeExprSpec.
+  */
+case class ShingleHashSet(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes = bridge.stringArrayInput
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_shingle_hash_set"
+
+  override def nullSafeEval(input: Any): Any =
+    MinhashBands.hashSet(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val ref = ctx.addReferenceObj("shs", this, classOf[ShingleHashSet].getName)
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.nullSafeEval($c);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashSet =
+    copy(child = newChild)
+}
+
 object MinhashBands {
   val M: Long = graft.text.TextOps.minhashM
+
+  /** Distinct 60-bit hashes, first-occurrence order (≡ `array_distinct`
+    * over the per-element md5 hash). */
+  def hashSet(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    val md = MessageDigest.getInstance("MD5")
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        md.reset()
+        val dg = md.digest(arr.getUTF8String(i).getBytes)
+        var h = 0L
+        var j = 0
+        while (j < 7) { h = (h << 8) | (dg(j) & 0xffL); j += 1 }
+        h = (h << 4) | ((dg(7) & 0xf0L) >> 4)
+        seen.add(java.lang.Long.valueOf(h))
+      }
+      i += 1
+    }
+    val out = new Array[Long](seen.size())
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = it.next().longValue(); k += 1 }
+    new GenericArrayData(out)
+  }
 
   private def hex(d: Array[Byte]): String = {
     val sb = new java.lang.StringBuilder(32)

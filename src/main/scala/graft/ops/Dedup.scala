@@ -172,7 +172,7 @@ object Dedup {
     val t = graft.text.TextOps
     val hashed = docsSh.select(col("doc_id"),
         t.minhashBandKeys(col("sh"), 16, 8, 2).as("bks"),
-        array_distinct(transform(col("sh"), s => t.hash64(s))).as("hs"))
+        t.shingleHashSet(col("sh")).as("hs"))
       .cache()
     val allKeys = hashed.select(col("doc_id"), explode(col("bks")).as("band_key"))
     val keys = if (maxBandSize == Int.MaxValue) allKeys else {

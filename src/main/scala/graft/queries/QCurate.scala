@@ -681,7 +681,7 @@ object QCurate {
             TextOps.shingles(TextOps.tokens(col("text")), 3).as("sh"))
           .filter(size(col("sh")) > 0)
           .select(col("doc_id"), TextOps.minhashBandKeys(col("sh")).as("bks"),
-            array_distinct(transform(col("sh"), x => TextOps.hash64(x))).as("hs"))
+            TextOps.shingleHashSet(col("sh")).as("hs"))
           .cache()
         val keys = d.select(col("doc_id"), explode(col("bks")).as("band_key"))
         val cand = keys.filter(col("doc_id") % 10 === 9)

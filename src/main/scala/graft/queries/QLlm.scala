@@ -85,7 +85,7 @@ object QLlm {
       .filter(size(col("sh")) > 0)
       .select(col("doc_id"),
         TextOps.minhashBandKeys(col("sh"), 16, 8, 2).as("bks"),
-        array_distinct(transform(col("sh"), sh => TextOps.hash64(sh))).as("hs"))
+        TextOps.shingleHashSet(col("sh")).as("hs"))
       .cache()
     val keys = docs.select(col("doc_id"), explode(col("bks")).as("band_key"))
     val cand = Dedup.chainCandidatesFromKeys(keys, neighborWidth = 3)

@@ -106,6 +106,16 @@ object TextOps {
     }
   }
 
+  /** Fused NATIVE distinct shingle-hash set — semantically identical to
+    * `array_distinct(transform(sh, s => hash64(s)))` (first-occurrence
+    * order) but one JVM call per row
+    * ([[graft.functions.ShingleHashSet]]); the verify-set build of the
+    * chain near-dup family. Bit-parity pinned in NativeExprSpec. */
+  def shingleHashSet(sh: Column): Column = {
+    val b = org.apache.spark.sql.graft.bridge
+    b.column(graft.functions.ShingleHashSet(b.expression(sh)))
+  }
+
   /** Fused NATIVE MinHash signature — semantically identical to
     * `minhashFromBase(minhashBase(sh), k)` but one JVM call per row
     * ([[graft.functions.MinhashSig]]) instead of nested interpreted HOFs

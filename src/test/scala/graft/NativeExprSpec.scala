@@ -117,6 +117,21 @@ class NativeExprSpec extends SparkSpec {
     assert(odd.filter(not(col("native") <=> col("hof"))).count() === 0)
   }
 
+  test("fused shingle-hash set is bit-identical to the HOF pipeline") {
+    import graft.text.TextOps
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .unionByName(Seq((90001L, ""), (90002L, "solo"),
+        (90003L, "a b c a b c a b c"), // duplicate shingles -> distinct matters
+        (90004L, "naïve café über alles — 中文 text!?")).toDF("doc_id", "text"))
+      .select(col("doc_id"), TextOps.shingles(TextOps.tokens(col("text")), 3).as("sh"))
+      .repartition(4)
+    val out = docs.select(col("doc_id"),
+      TextOps.shingleHashSet(col("sh")).as("native"),
+      array_distinct(transform(col("sh"), s => TextOps.hash64(s))).as("hof"))
+    assert(out.filter(not(col("native") <=> col("hof"))).count() === 0)
+  }
+
   test("native repetition stats match the exploded groupBy/window formulation") {
     import graft.text.TextOps
     import org.apache.spark.sql.expressions.Window
