@@ -268,12 +268,17 @@ object Fs {
     } else readVersionSlot(spark, path, v, conf)
   }
 
-  /** Read the `__v<v>` historical slot, translating EVERY losing race
-    * into the documented contract error: the retention `require` narrows
-    * but cannot close the check → parquet-read window (ADVICE r8 — a
-    * prune landing in between still surfaced as an opaque
-    * path-not-found), so the read itself is also wrapped and a vanished
-    * slot re-reports with the post-race retained set. */
+  /** Read the `__v<v>` historical slot, translating a losing race in
+    * the check → eager-read window into the documented contract error:
+    * the retention `require` narrows but cannot close that window
+    * (ADVICE r8 — a prune landing in between still surfaced as an
+    * opaque path-not-found), so the eager `spark.read.parquet` is also
+    * wrapped and a slot that vanishes there re-reports with the
+    * post-race retained set. A prune landing AFTER the read returns but
+    * before the caller's first action is inherently out of reach — that
+    * residual window surfaces as a scan-time FileNotFoundException, the
+    * same exposure any snapshot reader has between plan and execute
+    * (ADVICE r9). */
   private def readVersionSlot(spark: org.apache.spark.sql.SparkSession,
                               path: String, v: Long,
                               conf: Configuration): org.apache.spark.sql.DataFrame = {

@@ -152,10 +152,13 @@ object Dedup {
     * shingle frame — the shared verify stage of the closure family
     * (ClusterLabels/q72 clustering, q57/CorpusRun greedy removal). Band
     * keys (native fused minhash) and each doc's DISTINCT 60-bit md5
-    * shingle-hash set are computed ONCE and cached together, so the
-    * chain window and both verify joins move 8 key strings + a slim
-    * `array<long>` instead of the shingle strings (measured −25% wall
-    * at 100× rows on the q177 shape). An edge survives when hashed-set
+    * shingle-hash set are materialized ONCE via a lazy lineage cut
+    * ([[Fixpoint.cut]] — ContextCleaner-freed when the frame is
+    * collected, so repeated calls never pin CacheManager entries the
+    * caller's failure-path cleanup can't see), and the chain window and
+    * both verify joins move 8 key strings + a slim `array<long>`
+    * instead of the shingle strings (measured −25% wall at 100× rows on
+    * the q177 shape). An edge survives when hashed-set
     * Jaccard ≥ `threshold`. Hashed-set Jaccard equals string-set
     * Jaccard unless two distinct shingles of the SAME pair collide in
     * 60 bits (p ≈ 5e−15 per pair), so callers whose oracles verify with
@@ -170,10 +173,10 @@ object Dedup {
     require(neighborWidth > 0 && neighborWidth < 64,
       s"chainVerifiedEdges needs a finite chain width, got $neighborWidth")
     val t = graft.text.TextOps
-    val hashed = docsSh.select(col("doc_id"),
+    val hashed0 = docsSh.select(col("doc_id"),
         t.minhashBandKeys(col("sh"), 16, 8, 2).as("bks"),
         t.shingleHashSet(col("sh")).as("hs"))
-      .cache()
+    val hashed = Fixpoint.cut(hashed0)
     val allKeys = hashed.select(col("doc_id"), explode(col("bks")).as("band_key"))
     val keys = if (maxBandSize == Int.MaxValue) allKeys else {
       // hot-band exclusion, same shape as lshBandCandidates: broadcast

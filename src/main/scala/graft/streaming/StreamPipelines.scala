@@ -291,11 +291,17 @@ object StreamPipelines {
   final case class BandArrival(band_key: String, doc_id: Long,
                                ts: java.sql.Timestamp, sig: Seq[Long])
   /** Per-band ring state: the `perBand` most recent arrivals. Like
-    * [[SessionState]], this case class IS the state contract — adding
-    * fields must keep old checkpoints readable, so it carries ONLY what
-    * the match loop reads (an unread `ts_us` was dropped pre-release,
-    * ADVICE r8 — recency is already encoded by ring position, and
-    * eviction runs on the band's timeout timestamp, not per-entry time). */
+    * [[SessionState]], this case class IS the state contract — its
+    * encoder schema is baked into every checkpoint, so ANY field change
+    * after first release needs a new query name / checkpoint location
+    * (the standard Structured Streaming state-evolution rule). An unread
+    * `ts_us` was dropped while still PRE-RELEASE (ADVICE r8 — recency is
+    * already encoded by ring position, and eviction runs on the band's
+    * timeout timestamp, not per-entry time); that drop made checkpoints
+    * written by earlier builds unreadable, acceptable only because no
+    * production checkpoint exists yet (ADVICE r9). From release onward:
+    * evolve by adding a parallel versioned state class, never by
+    * editing this one. */
   final case class BandEntry(doc_id: Long, sig: Seq[Long])
   final case class NearDupHit(doc_id: Long, other_id: Long, est: Double)
 

@@ -313,9 +313,11 @@ class PlanBudgetSpec extends SparkSpec {
     // triangles: e and oriented are LAZY LINEAGE CUTS (r9, VERDICT r8
     // #2 — the cached subtrees previously re-rendered under every
     // consumer: 50 exchanges/13 broadcasts at r8, now 5/2): the rendered
-    // plan is the wedge self-join + semi-join + the 1-row aggs over the
-    // two materialized edge RDDs; each cut's own derivation (pair-gen,
-    // edge distinct, degree agg, orientation joins) runs exactly once
+    // plan is the adjacency-array build (collect_list per src over the
+    // oriented edge RDD) + the two edge→adjacency joins feeding the
+    // per-edge array_intersect count + the 1-row agg; each cut's own
+    // derivation (pair-gen, edge distinct, degree agg, orientation
+    // joins) runs exactly once
     assert(shuffles("q151_triangle_count") <= 7)
     // z-order audit: pure narrow bit math into ONE 64-group aggregate
     assert(shuffles("q152_zorder_layout") <= 1)
