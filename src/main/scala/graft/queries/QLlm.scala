@@ -412,30 +412,67 @@ object QLlm {
           |FROM e""".stripMargin
       })),
 
-    // bucketed ANN candidate pairs with exact cosine over collisions.
-    // maxBucketSize is DISABLED here for oracle parity: the DuckDB SQL
-    // pairs every bucket unconditionally, and the cap (a skew guard, off
-    // by default only in this query) would silently drop a hot bucket's
-    // pairs at a large enough sf and fail the hash compare.
-    Qry("q35_ann_lsh_pairs",
-      (s, dir) => VectorOps.lshCandidatePairs(
-        spread(s, t(s, dir, "embeddings")).select(col("vec_id").as("id"), col("embedding").as("vec")),
-        6, 0.1, maxBucketSize = Int.MaxValue),
+    // ANN over SRP buckets, re-contracted linear (VERDICT r9 #1): through
+    // r9 this query emitted EVERY in-bucket pair over ONE 6-plane table
+    // with the hot-bucket cap deliberately disabled — Θ(n²/64) candidates
+    // (348M at 100× rows, 35B at 1000×), the last uncapped quadratic
+    // contract in the registry. The ANN DELIVERABLE — each vector's best
+    // bucket-cohabitant neighbors — is linear (≤ k rows per vector), so
+    // the query now emits exactly that, over MULTI-TABLE SRP chain
+    // candidates ([[VectorOps.srpChainPairs]]: 4 independent 12-plane
+    // tables for recall, each vector paired with its 8 chain successors
+    // per table-bucket — ≤ 32·n candidates at ANY scale or skew). Exact
+    // cosine on every candidate, threshold 0.1, top-10 per anchor
+    // (cos DESC, neighbor ASC — deterministic). The oracle mirrors
+    // tables, chain window, rounding and rank exactly; uncapped
+    // all-pairs ground truth survives at small sf as q54's cap-semantics
+    // proof and the ANN recall contracts (q45/q165).
+    Qry("q35_ann_srp_topk",
+      (s, dir) => {
+        val p = VectorOps.srpChainPairs(
+            spread(s, t(s, dir, "embeddings"))
+              .select(col("vec_id").as("id"), col("embedding").as("vec")),
+            tables = 4, planesPerTable = 12, neighborWidth = 8)
+          .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+          .filter(col("cos") >= 0.1)
+        val sym = p.unionByName(p.select(col("id_b").as("id_a"),
+          col("id_a").as("id_b"), col("cos")))
+        sym.withColumn("rank", row_number().over(
+            Window.partitionBy("id_a").orderBy(col("cos").desc, col("id_b")))
+            .cast("int"))
+          .filter(col("rank") <= 10)
+          .select(col("id_a").as("vec_id"), col("id_b").as("neighbor_id"),
+            col("cos"), col("rank"))
+      },
       Some({
         val plane = (p: String, i: String) =>
           s"(('0x' || substr(md5($p || '|' || $i), 1, 12))::BIGINT / 140737488355328.0 - 1.0)"
+        val leads = (1 to 8).map(j => s"lead(vec_id, $j) OVER wd").mkString(",\n          |     ")
         s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
           |  FROM embeddings),
-          |b AS (SELECT vec_id, v, CAST(list_sum(list_transform(range(0, 6), p ->
-          |    CASE WHEN list_sum(list_transform(range(1, len(v) + 1),
-          |           i -> v[i] * ${plane("CAST(p AS VARCHAR)", "CAST(i - 1 AS VARCHAR)")})) > 0
-          |         THEN 1::BIGINT << p ELSE 0 END)) AS BIGINT) AS bucket FROM e),
-          |pairs AS (SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
-          |    list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b2.v[i]))
+          |k AS (SELECT vec_id, CAST(t.t AS VARCHAR) || ':' ||
+          |    CAST(CAST(list_sum(list_transform(range(0, 12), j ->
+          |      CASE WHEN list_sum(list_transform(range(1, len(v) + 1),
+          |             i -> v[i] * ${plane("CAST(t.t * 12 + j AS VARCHAR)", "CAST(i - 1 AS VARCHAR)")})) > 0
+          |           THEN 1::BIGINT << j ELSE 0 END)) AS BIGINT) AS VARCHAR) AS band_key
+          |  FROM e, unnest(range(0, 4)) AS t(t)),
+          |c0 AS (SELECT vec_id,
+          |    [$leads] AS nxt
+          |  FROM k WINDOW wd AS (PARTITION BY band_key ORDER BY vec_id)),
+          |cand AS (SELECT DISTINCT id_a, id_b FROM (
+          |    SELECT vec_id AS id_a, unnest(nxt) AS id_b FROM c0)
+          |  WHERE id_b IS NOT NULL),
+          |scored AS (SELECT id_a, id_b,
+          |    round(list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b2.v[i]))
           |      / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
-          |         * sqrt(list_sum(list_transform(b2.v, x -> x * x)))) AS cos
-          |  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id)
-          |SELECT id_a, id_b, round(cos, 6) AS cos FROM pairs WHERE cos >= 0.1""".stripMargin
+          |         * sqrt(list_sum(list_transform(b2.v, x -> x * x)))), 6) AS cos
+          |  FROM cand JOIN e a ON a.vec_id = id_a JOIN e b2 ON b2.vec_id = id_b
+          |  WHERE cos >= 0.1),
+          |sym AS (SELECT id_a AS vec_id, id_b AS neighbor_id, cos FROM scored
+          |  UNION ALL SELECT id_b, id_a, cos FROM scored)
+          |SELECT vec_id, neighbor_id, cos, CAST(row_number() OVER (
+          |    PARTITION BY vec_id ORDER BY cos DESC, neighbor_id) AS INT) AS rank
+          |FROM sym QUALIFY rank <= 10""".stripMargin
       })),
 
     // per-vector norms — embedding hygiene stats
@@ -534,8 +571,9 @@ object QLlm {
     // (VectorOps.lshCandidatePairs default skew protection) exercised with
     // a cap that actually bites at this sf (12 < the 15-row top buckets),
     // and an oracle that reproduces the cap as a bucket-count HAVING join.
-    // q35 keeps the uncapped ground truth; this row proves the guard's
-    // semantics are exact, not just "drops something".
+    // This row proves the guard's semantics are exact, not just "drops
+    // something" (q35's all-pairs ground truth retired with its r10
+    // re-contract to chain-bounded top-k).
     Qry("q54_ann_lsh_capped",
       (s, dir) => VectorOps.lshCandidatePairs(
         spread(s, t(s, dir, "embeddings")).select(col("vec_id").as("id"), col("embedding").as("vec")),

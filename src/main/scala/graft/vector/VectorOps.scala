@@ -135,24 +135,29 @@ object VectorOps {
   }
 
   /** Sign-random-projection bucket id: bit `p` of the result is 1 iff
-    * dot(plane_p, vec) > 0. Vectors in the same bucket are cosine-close with
-    * high probability; `nPlanes` tunes bucket granularity (2^nPlanes
-    * buckets). Pure per-row expression — scales linearly. Planes are
-    * embedded as literal arrays (constant-folded md5; supports vectors up
-    * to `maxDims`, extra literals beyond the actual width are ignored by
-    * the index-bounded fold).
+    * dot(plane_{planeOffset+p}, vec) > 0. Vectors in the same bucket are
+    * cosine-close with high probability; `nPlanes` tunes bucket
+    * granularity (2^nPlanes buckets). Pure per-row expression — scales
+    * linearly. Planes are embedded as literal arrays (constant-folded
+    * md5; supports vectors up to `maxDims`, extra literals beyond the
+    * actual width are ignored by the index-bounded fold). `planeOffset`
+    * selects a disjoint plane set per LSH table ([[srpChainPairs]]) —
+    * the default 0 reproduces the historical single-table buckets
+    * bit-for-bit (q34/q54/q121 oracles pin this).
     */
-  def srpBucket(vec: Column, nPlanes: Int, maxDims: Int = 512): Column =
+  def srpBucket(vec: Column, nPlanes: Int, maxDims: Int = 512,
+                planeOffset: Int = 0): Column =
     letOnce(d(vec)) { vd =>
-      (0 until nPlanes).map { p =>
-        val plane = typedlit((0 until maxDims).map(planeConst(p, _)))
+      (planeOffset until planeOffset + nPlanes).map { gp =>
+        val p = gp - planeOffset
+        val plane = typedlit((0 until maxDims).map(planeConst(gp, _)))
         // try_element_at + md5 fallback: dims ≤ maxDims read the folded
         // literal (coalesce stops there); wider vectors pay the per-row
         // md5 only for positions past the literal instead of crashing
         // (ANSI element_at) or zeroing out (null-poisoned aggregate)
         val proj = aggregate(
           zip_with(vd, sequence(lit(1), size(vd)), (x, i) =>
-            x * coalesce(try_element_at(plane, i), planeComponent(p, i - 1))),
+            x * coalesce(try_element_at(plane, i), planeComponent(gp, i - 1))),
           lit(0.0), (acc, x) => acc + x)
         when(proj > 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
       }.reduce(_ + _)
@@ -469,5 +474,50 @@ object VectorOps {
       .select(col("id_a"), col("id_b"), cosine(col("va"), col("vb")).as("cos"))
       .filter(col("cos") >= minCos)
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+  }
+
+  /** Multi-table SRP-LSH candidate pairs with a STRUCTURALLY LINEAR
+    * bound — the scale path for bucketed ANN pair generation and the
+    * vector twin of the text side's banded-minhash chain
+    * ([[graft.ops.Dedup.lshBandCandidates]] / q177).
+    *
+    * Single-table SRP at a fixed plane count is Θ(n²/2^p) in-bucket
+    * pairs — quadratic at ANY plane count once n outgrows 2^p (the r9
+    * q35 finding: 348M pairs at 100× rows, 35B at 1000×). This operator
+    * bounds BOTH terms structurally:
+    *
+    *   - `tables` independent plane sets (disjoint [[srpBucket]]
+    *     `planeOffset` ranges) give the recall that one table at
+    *     `tables × planesPerTable` planes would destroy — a close pair
+    *     only needs to co-bucket in ONE table (standard multi-table
+    *     LSH);
+    *   - within each table-bucket, candidates are each vector's
+    *     `neighborWidth` successors in id order (the sorted-neighborhood
+    *     chain, ONE `lead` window — no self-join), so candidate count is
+    *     ≤ tables · neighborWidth · n REGARDLESS of bucket skew: a
+    *     degenerate bucket (boilerplate embeddings, zero vectors)
+    *     contributes linearly, not quadratically.
+    *
+    * Returns (id_a, id_b, cos) with id_a < id_b, exact cosine on every
+    * surviving candidate, unthresholded — callers filter/rank (q35 emits
+    * top-k per anchor). The bucketed frame is materialized once via a
+    * lazy lineage cut (feeds the chain window and both verify joins).
+    */
+  def srpChainPairs(vecs: DataFrame, tables: Int, planesPerTable: Int,
+                    neighborWidth: Int): DataFrame = {
+    require(tables > 0 && planesPerTable > 0 && planesPerTable < 63,
+      s"srpChainPairs: bad table/plane config ($tables, $planesPerTable)")
+    require(neighborWidth > 0 && neighborWidth < 64,
+      s"srpChainPairs needs a finite chain width, got $neighborWidth")
+    val bks = array((0 until tables).map(t =>
+      concat(lit(s"$t:"), srpBucket(col("vec"), planesPerTable,
+        planeOffset = t * planesPerTable).cast("string"))): _*)
+    val b = graft.ops.Fixpoint.cut(
+      vecs.select(col("id"), col("vec"), bks.as("bks")))
+    val keys = b.select(col("id").as("doc_id"), explode(col("bks")).as("band_key"))
+    graft.ops.Dedup.chainCandidatesFromKeys(keys, neighborWidth)
+      .join(b.select(col("id").as("id_a"), col("vec").as("va")), Seq("id_a"))
+      .join(b.select(col("id").as("id_b"), col("vec").as("vb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), cosine(col("va"), col("vb")).as("cos"))
   }
 }

@@ -80,6 +80,39 @@ class VectorOpsSpec extends SparkSpec {
     assert(pairs === Seq((1L, 2L))) // opposite vector never buckets with v
   }
 
+  test("srpChainPairs: identical vectors pair; opposite vectors never do") {
+    val v = Seq.tabulate(8)(j => (j + 1).toFloat)
+    val vecs = Seq((1L, v), (2L, v), (3L, v.map(-_))).toDF("id", "vec")
+    val pairs = VectorOps.srpChainPairs(vecs, tables = 2, planesPerTable = 4,
+        neighborWidth = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSeq.sorted
+    assert(pairs.contains((1L, 2L)))         // co-bucket in every table
+    assert(pairs.forall { case (a, b) => a != 3L && b != 3L || a == b })
+  }
+
+  test("srpChainPairs: candidate count is chain-bounded even in a degenerate bucket") {
+    // 100 IDENTICAL vectors — every one lands in the SAME bucket of every
+    // table (the worst-case skew: boilerplate embeddings). All-pairs would
+    // be 4950; the chain bound is J·n − J(J+1)/2 per table, and both
+    // tables produce the SAME id-adjacent pairs, so distinct = 297.
+    val v = Seq.tabulate(8)(j => math.sin(j * 1.7).toFloat)
+    val vecs = (1L to 100L).map(i => (i, v)).toDF("id", "vec")
+    val n = VectorOps.srpChainPairs(vecs, tables = 2, planesPerTable = 4,
+      neighborWidth = 3).count()
+    assert(n === 3L * 100 - 3 * 4 / 2) // 294, not 4950
+  }
+
+  test("srpBucket planeOffset selects an independent plane set") {
+    val vecs = (1 to 40).map(i => (i.toLong, Seq.tabulate(8)(j =>
+      math.sin(i * 13 + j * 5).toFloat))).toDF("id", "vec")
+    val both = vecs.select(
+        VectorOps.srpBucket(col("vec"), 6).as("b0"),
+        VectorOps.srpBucket(col("vec"), 6, planeOffset = 6).as("b6"))
+      .as[(Long, Long)].collect()
+    assert(both.exists { case (a, b) => a != b }) // different planes
+    assert(both.forall { case (a, b) => a >= 0 && a < 64 && b >= 0 && b < 64 })
+  }
+
   test("ivfAssign: every vector gets exactly one centroid; sampled codebook is deterministic") {
     val vecs = (1L to 100L).map(i => (i, Seq.tabulate(8)(j =>
       math.sin(i * 3.1 + j).toFloat))).toDF("id", "vec")
