@@ -390,7 +390,15 @@ object QCurate {
           .select(col("node").as("src"), col("node").as("dst"), lit(1L).as("w"))
         val edges = re.unionByName(dang)
         val ow = edges.groupBy("src").agg(sum("w").as("ow"))
-        val ew = edges.join(ow, Seq("src")).cache()
+        // the STATIC edge frame every iteration joins: pre-partition on
+        // src ONCE and cut — the lazy checkpoint preserves the physical
+        // partitioning (LogicalRDD carries it, the Components discipline),
+        // so each round's ranks⋈edges join finds the edge side already
+        // clustered and pays no per-iteration edge exchange. Through r9
+        // this was a plain cache: the 8 rounds re-shuffled the cached
+        // edges every iteration — 25 rendered exchanges (VERDICT r9 #5).
+        val ew = graft.ops.Fixpoint.cut(
+          edges.join(ow, Seq("src")).repartition(col("src")))
         val nn = nodes.agg(count(lit(1)).as("nn"))
         // the static (node, nn) frame anchors every iteration so the prior
         // ranks frame is referenced exactly ONCE per round — the lineage
@@ -401,7 +409,11 @@ object QCurate {
         // the rendered plan depth — the cut changes no value, so the
         // result hash is identical; raising the iteration count cannot
         // deepen the plan unboundedly either way.
-        val nodesNN = nodes.crossJoin(broadcast(nn)).cache()
+        // node-keyed static anchor, same treatment: partitioned on node
+        // so the per-round left join only exchanges the contrib side
+        // (already clustered on dst by its own aggregate)
+        val nodesNN = graft.ops.Fixpoint.cut(
+          nodes.crossJoin(broadcast(nn)).repartition(col("node")))
         val ranks0 = nodesNN.select(col("node"), col("nn"),
           expr(s"${SCALE}L div nn").as("r"))
         val ranks = graft.ops.Fixpoint.iterate(ranks0, 8, checkpointEvery = 4) { prev =>

@@ -243,13 +243,17 @@ class PlanBudgetSpec extends SparkSpec {
     assert(shuffles("q130_bigram_lm") <= 5)
     assert(planOf("q130_bigram_lm").contains("BroadcastExchange"))
     // pagerank: Fixpoint.iterate's mid-loop lineage cut (round 4 of 8)
-    // puts rounds 1-4 behind a LogicalRDD, so the LIVE plan carries only
-    // rounds 5-8 (measured 25 exchanges; the cached edge subtree still
-    // prints under each round). The ceiling guards both the cut staying
-    // wired (losing it re-renders all 8 rounds, ~90+) and the linear
-    // formulation (ranks-joins-ranks doubles lineage per iteration)
-    assert(shuffles("q131_domain_pagerank") <= 60)
-    assert(planOf("q131_domain_pagerank").contains("InMemoryTableScan"))
+    // puts rounds 1-4 behind a LogicalRDD, and the STATIC frames (ew on
+    // src, nodesNN on node) are pre-partitioned + cut (r10, VERDICT r9
+    // #5), so each live round pays only its contrib aggregate — measured
+    // 8 exchanges (was 25 when the cached edges re-shuffled per round).
+    // The ceiling guards the cuts staying wired (losing the mid-loop cut
+    // re-renders all 8 rounds, ~90+; losing the edge pre-partitioning
+    // puts an exchange back in every round) and the linear formulation
+    // (ranks-joins-ranks doubles lineage per iteration)
+    assert(shuffles("q131_domain_pagerank") <= 14)
+    // the static frames surface as RDD scans (lineage cuts), not caches
+    assert(planOf("q131_domain_pagerank").contains("Scan ExistingRDD"))
     // temperature mix: stratum count agg + the lang-keyed quota window +
     // final assembly; quota table rides a broadcast
     assert(shuffles("q132_temperature_mix") <= 3)
