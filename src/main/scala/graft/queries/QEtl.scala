@@ -1818,6 +1818,164 @@ object QEtl {
         |      * CAST(date_diff('day', pd, d) AS DOUBLE)
         |      / CAST(date_diff('day', pd, nd) AS DOUBLE) END, 6)
         |    AS cents_filled
-        |FROM j""".stripMargin))
+        |FROM j""".stripMargin)),
+
+    // S10/A5/L5 — the RUN-LOG row itself, oracle-checked (VERDICT r9 #7:
+    // these rows were covered only by e2e asserts). The query stages the
+    // day-1 corpus the e2e battery uses (Synthetic valid users/products/
+    // transactions + the 14-kind adversarial battery) into a fresh temp
+    // warehouse, runs the REAL EtlRun pipeline — SCD2 merges, stock
+    // snapshot, PIT fact load, audit sinks — and emits the deterministic
+    // run-log columns (ids/dates/status/insert counts/severity counts;
+    // timing columns excluded). The oracle re-derives every count
+    // INDEPENDENTLY in SQL: the md5-keyed generators, the 11-rule
+    // contract, the PIT validity rule (a user whose join_date postdates
+    // the run day is a load orphan), the composite-PK first-wins drop
+    // arithmetic, and the severity totals — so the audit path's counter
+    // reconciliation is now hash-gated, not just asserted.
+    Qry("q180_run_log",
+      (s, _) => {
+        val day = "2025-03-01"
+        val (nU, nP, nT) = (50, 20, 200)
+        val wh = java.nio.file.Files.createTempDirectory("graft_q180").toString
+        val (badU, badP, badT) = Synthetic.invalid(s, day, nU, nP)
+        Synthetic.users(s, nU).unionByName(badU)
+          .write.mode("overwrite").parquet(s"$wh/users")
+        Synthetic.products(s, nP).unionByName(badP)
+          .write.mode("overwrite").parquet(s"$wh/products")
+        // raw-string date partitioning, the warehouse layout (SURVEY §1.6)
+        Synthetic.transactions(s, nT, day, nU, nP).unionByName(badT)
+          .write.mode("overwrite").partitionBy("date").parquet(s"$wh/transactions")
+        new graft.pipeline.EtlRun(s, wh).run(day)
+          .select(col("run_id"), ymd(col("run_date")).as("run_date"),
+            ymd(col("source_date")).as("source_date"),
+            col("status"), col("rows_users_inserted"),
+            col("rows_products_inserted"), col("rows_stock_inserted"),
+            col("rows_transactions_inserted"), col("errors"), col("warnings"))
+      },
+      Some(q180Sql))
   )
+
+  /** DuckDB mirror of q180's expected run-log row: regenerates the same
+    * corpus (same md5-keyed arithmetic), evaluates the full contract, the
+    * PIT rule and the first-wins drop arithmetic, and assembles the
+    * counts. `[[:space:]]` stands in for RE2's `\s` (identical on this
+    * corpus — no vertical-tab emails). */
+  private lazy val q180Sql: String = {
+    val day = "2025-03-01"
+    def r(tag: String, id: String) = Synthetic.rndSql(tag, id)
+    val emailOk =
+      "regexp_matches(email, '^[^[:space:]@]+@[^[:space:]@]+[.][^[:space:]@]+$')"
+    s"""WITH users_all AS (
+      |  SELECT id AS user_id, 'User ' || CAST(id AS VARCHAR) AS name,
+      |    'user' || CAST(id AS VARCHAR) || '@example.com' AS email,
+      |    strftime(DATE '2024-01-01'
+      |      + CAST(floor(${r("join", "id")} * 700) AS INT), '%Y-%m-%d') AS join_date
+      |  FROM range(1, 51) t(id)
+      |  UNION ALL SELECT id, '', 'u' || CAST(id AS VARCHAR) || '@example.com',
+      |    '$day' FROM range(9000, 9002) t(id)
+      |  UNION ALL SELECT id, 'User ' || CAST(id AS VARCHAR), 'not-an-email',
+      |    '$day' FROM range(9100, 9102) t(id)
+      |  UNION ALL SELECT id, 'User ' || CAST(id AS VARCHAR),
+      |    'u' || CAST(id AS VARCHAR) || '@example.com', NULL
+      |  FROM range(9200, 9202) t(id)),
+      |u_flags AS (SELECT user_id, join_date,
+      |    CAST(name IS NULL OR trim(name) = '' AS INT)
+      |    + CAST(email IS NULL OR NOT $emailOk AS INT)
+      |    + CAST(join_date IS NULL AS INT) AS n_err
+      |  FROM users_all),
+      |products_all AS (
+      |  SELECT id AS product_id,
+      |    round(10.0 + ${r("price", "id")} * 90.0, 2) AS price,
+      |    CAST(floor(${r("stock", "id")} * 100) AS INT) AS stock,
+      |    'Product ' || CAST(id AS VARCHAR) AS name
+      |  FROM range(1, 21) t(id)
+      |  UNION ALL SELECT id, 15000.0, 10, 'Product ' || CAST(id AS VARCHAR)
+      |  FROM range(9000, 9002) t(id)
+      |  UNION ALL SELECT id, 25.0, -5, 'Product ' || CAST(id AS VARCHAR)
+      |  FROM range(9100, 9102) t(id)),
+      |p_flags AS (SELECT product_id, price,
+      |    CAST(name IS NULL OR trim(name) = '' AS INT)
+      |    + CAST(price >= 10000 AS INT) + CAST(stock < 0 AS INT) AS n_err
+      |  FROM products_all),
+      |tx_base AS (SELECT id AS transaction_id, '$day' AS date,
+      |    CAST(floor(${r("u", "id")} * 50) + 1 AS BIGINT) AS user_id,
+      |    CAST(floor(${r("p", "id")} * 20) + 1 AS BIGINT) AS product_id,
+      |    CAST(floor(${r("q", "id")} * 5) + 1 AS INT) AS quantity,
+      |    ['Visa','MasterCard','Wire Transfer','Other'][
+      |      CAST(floor(${r("pay", "id")} * 4) AS INT) + 1] AS payment_type,
+      |    CASE WHEN ${r("st", "id")} < 0.9 THEN 'Success' ELSE 'Failed' END
+      |      AS status
+      |  FROM range(1, 201) t(id)),
+      |tx_multi AS (SELECT transaction_id, date, user_id,
+      |    CAST(((product_id
+      |      + CAST(floor(${r("p2", "transaction_id")} * 19) AS BIGINT)) % 20)
+      |      + 1 AS BIGINT) AS product_id,
+      |    quantity, payment_type, status
+      |  FROM tx_base WHERE ${r("multi", "transaction_id")} < 0.2),
+      |tx_valid0 AS (SELECT * FROM tx_base UNION ALL SELECT * FROM tx_multi),
+      |tx_priced AS (SELECT transaction_id, date, user_id, product_id,
+      |    quantity,
+      |    round(round(10.0 + ${r("price", "product_id")} * 90.0, 2)
+      |      * quantity, 2) AS price,
+      |    payment_type, status
+      |  FROM tx_valid0),
+      |tx_bad AS (${Synthetic.invalidTxSql(day, 50, 20)}),
+      |tx_today AS (SELECT * FROM tx_priced
+      |  UNION ALL SELECT * FROM tx_bad WHERE date = '$day'),
+      |vusers AS (SELECT user_id, join_date FROM u_flags WHERE n_err = 0),
+      |vprods AS (SELECT product_id, price FROM p_flags WHERE n_err = 0),
+      |txj AS (SELECT tx.*, vu.user_id IS NOT NULL AS user_known,
+      |    vp.product_id IS NOT NULL AS product_known,
+      |    vp.price AS vp_price, vu.join_date AS u_join,
+      |    row_number() OVER (PARTITION BY tx.transaction_id
+      |      ORDER BY tx.transaction_id, tx.user_id, tx.product_id) AS dup_occ
+      |  FROM tx_today tx
+      |  LEFT JOIN vusers vu ON tx.user_id = vu.user_id
+      |  LEFT JOIN vprods vp ON tx.product_id = vp.product_id),
+      |tx_err AS (SELECT *,
+      |    NOT user_known AS e1, NOT product_known AS e2,
+      |    quantity = 0 AS e3, quantity < 0 AS e4,
+      |    lower(coalesce(payment_type, ''))
+      |      NOT IN ('visa','mastercard','wire transfer','other') AS e5,
+      |    lower(coalesce(status, '')) NOT IN ('success','failed') AS e6,
+      |    try_strptime(date, '%Y-%m-%d') IS NULL AS e7
+      |  FROM txj),
+      |tx_stats AS (SELECT
+      |    coalesce(sum(CAST(e1 AS INT) + CAST(e2 AS INT) + CAST(e3 AS INT)
+      |      + CAST(e4 AS INT) + CAST(e5 AS INT) + CAST(e6 AS INT)
+      |      + CAST(e7 AS INT)), 0) AS tx_errors,
+      |    coalesce(sum(CAST(dup_occ >= 2 AS INT)), 0) AS w_dup,
+      |    coalesce(sum(CAST(vp_price IS NOT NULL
+      |      AND NOT (e1 OR e2 OR e3 OR e4 OR e5 OR e6 OR e7)
+      |      AND quantity > 0
+      |      AND abs(price / quantity - vp_price) > 0.01 AS INT)), 0) AS w_price
+      |  FROM tx_err),
+      |txv AS (SELECT * FROM tx_err
+      |  WHERE NOT (e1 OR e2 OR e3 OR e4 OR e5 OR e6 OR e7)),
+      |txl AS (SELECT *, CAST(u_join AS DATE) <= DATE '$day' AS pit_user
+      |  FROM txv),
+      |lo AS (SELECT count(*) AS n FROM txl WHERE NOT pit_user),
+      |grp AS (SELECT transaction_id, product_id, count(*) AS c
+      |  FROM txl WHERE pit_user GROUP BY 1, 2),
+      |ins AS (SELECT count(*) AS kept, coalesce(sum(c - 1), 0) AS dup_drops
+      |  FROM grp)
+      |SELECT CAST(1 AS BIGINT) AS run_id,
+      |  strftime(DATE '$day', '%Y-%m-%d') AS run_date,
+      |  strftime(DATE '$day', '%Y-%m-%d') AS source_date,
+      |  'success' AS status,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM u_flags WHERE n_err = 0)
+      |    AS rows_users_inserted,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM p_flags WHERE n_err = 0)
+      |    AS rows_products_inserted,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM p_flags WHERE n_err = 0)
+      |    AS rows_stock_inserted,
+      |  (SELECT CAST(kept AS BIGINT) FROM ins) AS rows_transactions_inserted,
+      |  CAST((SELECT sum(n_err) FROM u_flags)
+      |    + (SELECT sum(n_err) FROM p_flags)
+      |    + (SELECT tx_errors FROM tx_stats) AS BIGINT) AS errors,
+      |  CAST((SELECT w_dup + w_price FROM tx_stats)
+      |    + (SELECT n FROM lo)
+      |    + (SELECT dup_drops FROM ins) AS BIGINT) AS warnings""".stripMargin
+  }
 }
