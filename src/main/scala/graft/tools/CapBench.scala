@@ -37,9 +37,14 @@ import graft.text.TextOps
   * Pairwise-output queries whose post-guard candidate count STILL
   * exceeds PairBudget are skipped with the telemetry as the recorded
   * reason. After r9's q29 re-contract (per-doc drop-list over chain
-  * candidates — VERDICT r8 #1) every registry query is cap- or
-  * chain-bounded, so at production scales `skipped` should be empty at
-  * every side; the budget stays as the tripwire it was built to be.
+  * candidates — VERDICT r8 #1) and r10's q35/q138 re-contracts
+  * (VERDICT r9 #1/#2), every pairwise-GENERATION site in the registry
+  * is instrumented here (VERDICT r9 #3): the band family (cap,
+  * labels-chain, incremental-chain), the SRP family (bucket cap,
+  * multi-table chain), the prefix-filter chain, and the basket
+  * self-join whose bound is structural (group = physical order; its
+  * `max_key_n` is the evidence). `skipped` should be empty at every
+  * side; the budget stays as the tripwire it was built to be.
   *
   * Usage: runMain graft.tools.CapBench
   *   env: SPARK_GRAFT_BASE_DIR    (default /root/testdata/sf0.1)
@@ -110,12 +115,41 @@ object CapBench {
         .groupBy(col("w").as("k")).agg(count(lit(1)).as("n"), first("df").as("cv"))
     }
 
+    // q35's multi-table SRP keys: 4 independent 12-plane tables, sizes
+    // per (table, bucket) group — the chain (8 successors) bounds pairs
+    // inside each group structurally
+    def srpTableSizes(s: SparkSession, dir: String): DataFrame =
+      s.read.parquet(s"$dir/embeddings.parquet")
+        .select(explode(array((0 until 4).map(tb =>
+          concat(lit(s"$tb:"), graft.vector.VectorOps
+            .srpBucket(col("embedding"), 12, planeOffset = tb * 12)
+            .cast("string"))): _*)).as("k"))
+        .groupBy("k").agg(count(lit(1)).as("n"))
+        .withColumn("cv", col("n"))
+    // q92's joins are keyed by the physical basket (order): no cap and no
+    // chain — the bound is the data model itself (baskets are small at
+    // any corpus size). The site records the pair mass and max basket so
+    // a degenerate feed (one giant synthetic order) would trip the budget
+    def basketSizes(s: SparkSession, dir: String): DataFrame =
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .select(col("l_orderkey").as("k"), col("l_partkey")).distinct()
+        .groupBy("k").agg(count(lit(1)).as("n"))
+        .withColumn("cv", col("n"))
+
     val sites = Seq(
       Site("lsh_bands_cap2", "q119_lsh_banded_cap", bandSizes, _ => 2L, None),
       Site("lsh_bands_chain3_labels", "q134_labels_build", bandSizes,
         _ => Long.MaxValue, Some(3)),
+      // q138 emits only from the ~10% new-docs slice, so this chain bound
+      // (all rows emit) is a conservative OVER-estimate of its pair mass
+      Site("lsh_bands_chain3_incremental", "q138_incremental_dedup", bandSizes,
+        _ => Long.MaxValue, Some(3)),
       Site("srp_buckets_cap12", "q121_embed_dedup_clusters", bucketSizes,
         _ => 12L, None),
+      Site("srp_tables_chain8", "q35_ann_srp_topk", srpTableSizes,
+        _ => Long.MaxValue, Some(8)),
+      Site("basket_orders_structural", "q92_basket_pairs", basketSizes,
+        _ => Long.MaxValue, None),
       Site("prefix_tokens_chain3", "q153_prefix_filter_join", prefixSizes,
         nDocs => math.min(math.max(64L, math.ceil(nDocs * 0.01).toLong), 8192L),
         Some(3)))
@@ -125,7 +159,7 @@ object CapBench {
         .filter(size(array_distinct(TextOps.tokens(col("text")))) > 0).count()
 
     case class Tele(cap: Long, chain: Option[Int], keys: Long, keysOver: Long,
-                    pairsPre: Long, pairsPost: Long)
+                    pairsPre: Long, pairsPost: Long, maxKeyN: Long)
     def telemetry(site: Site, dir: String, nDocs: Long): Tele = {
       val cap = site.capOf(nDocs)
       // pairs from the size histogram only: n·(n−1)/2 per key, never a
@@ -143,11 +177,12 @@ object CapBench {
           coalesce(sum(when(col("cv") > cap, 1L).otherwise(0L)), lit(0L)).as("over"),
           coalesce(sum(allPairs2), lit(0L)).as("pre2"),
           coalesce(sum(when(col("cv") <= cap, keptPairs2).otherwise(0L)),
-            lit(0L)).as("post2"))
+            lit(0L)).as("post2"),
+          coalesce(max(col("n")), lit(0L)).as("max_n"))
         .head()
       spark.catalog.clearCache()
       Tele(cap, site.chain, row.getLong(0), row.getLong(1),
-        row.getLong(2) / 2, row.getLong(3) / 2)
+        row.getLong(2) / 2, row.getLong(3) / 2, row.getLong(4))
     }
 
     // the r7 trio + the sf1 heavy family (VERDICT r7 #2); q134 reads the
@@ -157,7 +192,9 @@ object CapBench {
       "q153_prefix_filter_join", "q166_pq_adc_topk", "q134_leakage_free_split",
       "q29_minhash_lsh_dedup", "q177_lsh_chain_topk", "q57_corpus_curation",
       "q124_block_dedup", "q151_triangle_count", "q130_bigram_lm",
-      "q88_bm25_search", "q94_tfidf_terms", "q19_fact_tx_load")
+      "q88_bm25_search", "q94_tfidf_terms", "q19_fact_tx_load",
+      "q35_ann_srp_topk", "q138_incremental_dedup", "q92_basket_pairs",
+      "q131_domain_pagerank")
 
     // Pairwise-similarity queries EMIT pairs, so their output (not just
     // their join) grows quadratically in near-dup cluster width; on a
@@ -170,7 +207,10 @@ object CapBench {
       "q119_lsh_banded_cap" -> "lsh_bands_cap2",
       "q29_minhash_lsh_dedup" -> "lsh_bands_chain3_labels",
       "q177_lsh_chain_topk" -> "lsh_bands_chain3_labels",
-      "q121_embed_dedup_clusters" -> "srp_buckets_cap12")
+      "q138_incremental_dedup" -> "lsh_bands_chain3_incremental",
+      "q121_embed_dedup_clusters" -> "srp_buckets_cap12",
+      "q35_ann_srp_topk" -> "srp_tables_chain8",
+      "q92_basket_pairs" -> "basket_orders_structural")
 
     // codegen warmup (same rationale as Bench/ScaleBench)
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
@@ -226,6 +266,7 @@ object CapBench {
         s""""${s.name}":{"query":"${s.query}","cap":$capStr,""" +
           s""""chain_width":$chainStr,""" +
           s""""keys":${t.keys},"keys_over_cap":${t.keysOver},""" +
+          s""""max_key_n":${t.maxKeyN},""" +
           s""""pairs_pre_cap":${t.pairsPre},"pairs_post_cap":${t.pairsPost},""" +
           s""""cap_engaged":${t.keysOver > 0 || t.pairsPost < t.pairsPre}}"""
       }.mkString("{", ",", "}")

@@ -163,7 +163,7 @@ object ScaleGen {
     p
   }
 
-  private def copyRec(src: java.io.File, dst: java.io.File): Unit =
+  private[tools] def copyRec(src: java.io.File, dst: java.io.File): Unit =
     if (src.isDirectory) {
       dst.mkdirs()
       src.listFiles().foreach(f => copyRec(f, new java.io.File(dst, f.getName)))
