@@ -75,11 +75,13 @@ object SkewGen {
     // the shared vector: deterministic per-index values in [-1, 1) — the
     // jitter (±0.1%, keyed on vec_id) keeps collapsed vectors
     // near-identical in cosine without being bit-equal
+    // the final cast keeps the column ARRAY<FLOAT> — arithmetic promotes
+    // to double, and the float-typed native cosine rejects a drifted type
     val shared = transform(col("embedding"), (_, i) =>
-      ((pmod(hash(lit("skewvec"), i), lit(2000)) - lit(1000))
+      (((pmod(hash(lit("skewvec"), i), lit(2000)) - lit(1000))
         .cast("float") / lit(1000.0f)) *
         (lit(1.0f) + (pmod(hash(col("vec_id"), i), lit(200)) - lit(100))
-          .cast("float") / lit(100000.0f)))
+          .cast("float") / lit(100000.0f))).cast("float"))
     vecs.select(col("vec_id"),
         when(hotV, shared).otherwise(col("embedding")).as("embedding"),
         col("label"))
