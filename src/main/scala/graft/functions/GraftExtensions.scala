@@ -22,6 +22,10 @@ object GraftFunctions {
     bridge.column(FloatDot(bridge.expression(a),
       bridge.expression(b)))
 
+  def srpBucketF(vec: Column, nPlanes: Int, planeOffset: Int,
+                 maxDims: Int): Column =
+    bridge.column(SrpBucket(bridge.expression(vec), nPlanes, planeOffset, maxDims))
+
   private[functions] val registry: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
     ("graft_cosine", "cosine similarity of two float arrays (double result)",
       { args: Seq[Expression] => FloatCosine(args(0), args(1)) }),

@@ -126,8 +126,9 @@ object VectorOps {
   /** Scala-side constant fold of [[planeComponent]]: identical md5 → hex →
     * /2^47 − 1 arithmetic, evaluated ONCE at plan time instead of per row —
     * the expression form costs nPlanes × dims md5 calls per ROW even
-    * though the value only depends on (p, i). */
-  private def planeConst(p: Int, i: Int): Double = {
+    * though the value only depends on (p, i). Shared with the fused
+    * native expression ([[graft.functions.SrpBucket]]). */
+  private[graft] def planeConst(p: Int, i: Int): Double = {
     val hex = java.security.MessageDigest.getInstance("MD5")
       .digest(s"$p|$i".getBytes("UTF-8"))
       .map(b => f"$b%02x").mkString.substring(0, 12)
@@ -144,9 +145,22 @@ object VectorOps {
     * selects a disjoint plane set per LSH table ([[srpChainPairs]]) —
     * the default 0 reproduces the historical single-table buckets
     * bit-for-bit (q34/q54/q121 oracles pin this).
+    *
+    * Evaluates via the fused native expression
+    * ([[graft.functions.SrpBucket]] — one JVM call per row); the HOF
+    * formulation below ([[srpBucketHof]]) is kept as the parity oracle
+    * (NativeExprSpec pins bit-identity, fallback path included).
     */
   def srpBucket(vec: Column, nPlanes: Int, maxDims: Int = 512,
                 planeOffset: Int = 0): Column =
+    graft.functions.GraftFunctions.srpBucketF(vec, nPlanes, planeOffset, maxDims)
+
+  /** The interpreted higher-order-function form of [[srpBucket]] — the
+    * original formulation, retained as the bit-parity pin for the native
+    * expression (per plane: `nPlanes` separate `aggregate(zip_with(...))`
+    * folds, each dispatching a lambda per element outside codegen). */
+  def srpBucketHof(vec: Column, nPlanes: Int, maxDims: Int = 512,
+                   planeOffset: Int = 0): Column =
     letOnce(d(vec)) { vd =>
       (planeOffset until planeOffset + nPlanes).map { gp =>
         val p = gp - planeOffset

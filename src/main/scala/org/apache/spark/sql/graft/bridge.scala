@@ -16,6 +16,8 @@ object bridge {
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
   /** input-type spec for array<float> binary expressions */
   val floatArrayInputs: Seq[AbstractDataType] = Seq(ArrayType(FloatType), ArrayType(FloatType))
+  /** input-type spec for array<float> unary expressions */
+  val floatArrayInput: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
   /** input-type spec for array<string> unary expressions */
   val stringArrayInput: Seq[AbstractDataType] =
     Seq(ArrayType(org.apache.spark.sql.types.StringType))

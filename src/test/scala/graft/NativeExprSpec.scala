@@ -23,6 +23,25 @@ class NativeExprSpec extends SparkSpec {
     assert(out.filter(col("native") =!= col("hof")).count() === 0)
   }
 
+  test("native SRP bucket is bit-identical to the HOF form, fallback and offset included") {
+    // maxDims = 32 < the 64-dim vectors: dims 32..63 take the md5
+    // FALLBACK path in both forms; planeOffset exercises the multi-table
+    // plane selection; default args pin the historical q34/q54/q121 keys
+    val out = vecs.select(
+      VectorOps.srpBucket(col("a"), 6).as("n0"),
+      VectorOps.srpBucketHof(col("a"), 6).as("h0"),
+      VectorOps.srpBucket(col("a"), 10, maxDims = 32, planeOffset = 24).as("nf"),
+      VectorOps.srpBucketHof(col("a"), 10, maxDims = 32, planeOffset = 24).as("hf"))
+    assert(out.filter(col("n0") =!= col("h0") || col("nf") =!= col("hf")).count() === 0)
+    // a NULL element poisons every plane's projection → bucket 0 in both
+    val poisoned = Seq(Tuple1(Seq[java.lang.Float](1.0f, null, 2.0f)))
+      .toDF("a")
+      .select(VectorOps.srpBucket(col("a"), 6).as("n"),
+        VectorOps.srpBucketHof(col("a"), 6).as("h"))
+      .as[(Long, Long)].head()
+    assert(poisoned === ((0L, 0L)))
+  }
+
   test("native dot matches the HOF dot and known values") {
     val out = vecs.select(
       GraftFunctions.dotF(col("a"), col("b")).as("native"),
