@@ -75,15 +75,6 @@ object Bench {
     // the timed sf run recomputes its own caches cold. Data cannot leak:
     // a cached sf0.001 subtree never plan-matches the sf frame (different
     // relation paths), and it is dropped here anyway.
-    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
-    if (warmDir.nonEmpty && warmDir != sfDir) {
-      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-        try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable => System.err.println(s"[bench] warm $name: $e") }
-        finally spark.catalog.clearCache()
-      }
-    }
-
     // SPARK_GRAFT_RUNS > 1: per-query MINIMUM across runs (the r3 verdict's
     // min-of-N discipline, recorded in the artifact itself). A query that
     // THROWS is a failure, not a timing: it lands in `failed` with its
@@ -95,6 +86,17 @@ object Bench {
     // (diagnostics — isolates a query's cost from the full-sweep context)
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+
+    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
+    if (warmDir.nonEmpty && warmDir != sfDir) {
+      SparkEntry.queries.toSeq.sortBy(_._1)
+        .filter { case (name, _) => only.forall(_.contains(name)) }
+        .foreach { case (name, fn) =>
+        try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable => System.err.println(s"[bench] warm $name: $e") }
+        finally spark.catalog.clearCache()
+      }
+    }
     val times = scala.collection.mutable.LinkedHashMap[String, Double]()
     val failed = scala.collection.mutable.LinkedHashMap[String, String]()
     // min across runs of the shared cluster-labels build wall time — so
@@ -147,9 +149,13 @@ object Bench {
     val fails = failed.map { case (k, v) => jstr(k) + ":" + jstr(v) }
       .mkString("{", ",", "}")
     val total = times.values.sum
+    // one-time q180 fixture staging (normally paid during the untimed
+    // warmup; >0 here only when SPARK_GRAFT_WARM_DIR was disabled and the
+    // first timed q180 run staged) — attributed like labels_build_s
+    val q180StageS = graft.queries.EtlStage.stageSeconds
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""failed":$fails,"runs":$nRuns,"agg":"min","n_timed":${times.size},""" +
-      s""""labels_build_s":$labelsBuildS,"sf":${jstr(sfDir)}}"""
+      s""""labels_build_s":$labelsBuildS,"q180_stage_s":$q180StageS,"sf":${jstr(sfDir)}}"""
     println(line)
     // stdout goes through sbt's logger (prefixing/truncation can mangle
     // the line for machine consumers) — also write the raw JSON to a file
@@ -166,7 +172,7 @@ object Bench {
     val compact = s"""{"metric":"total","value":$total,"unit":"sec",""" +
       s""""queries":{},"failed":$fails,"runs":$nRuns,"agg":"min",""" +
       s""""n_timed":${times.size},"labels_build_s":$labelsBuildS,""" +
-      s""""sf":${jstr(sfDir)},"detail":${jstr(outPath)}}"""
+      s""""q180_stage_s":$q180StageS,"sf":${jstr(sfDir)},"detail":${jstr(outPath)}}"""
     println(compact)
     spark.stop()
   }

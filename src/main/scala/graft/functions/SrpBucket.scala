@@ -1,7 +1,9 @@
 package graft.functions
 
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graft.bridge
 import org.apache.spark.sql.types.{DataType, LongType}
@@ -28,7 +30,12 @@ import org.apache.spark.sql.types.{DataType, LongType}
   *    computed on demand (the HOF's `try_element_at` + md5 fallback);
   *  - a NULL element poisons every plane's sum in the HOF form
   *    (`when(null > 0, ...)` takes the otherwise-0 branch for ALL
-  *    planes), so the fused form returns 0L the same way.
+  *    planes), so the fused form returns 0L the same way;
+  *  - a NULL ARRAY likewise yields bucket 0L, not NULL — the HOF form's
+  *    per-plane `when` folds a null projection to the otherwise-0 branch
+  *    and the DuckDB oracles' `CASE WHEN ... ELSE 0` shape agrees, so
+  *    the native form must not let UnaryExpression's null-intolerant
+  *    default diverge the band keys (ADVICE r10).
   */
 case class SrpBucket(child: Expression, nPlanes: Int, planeOffset: Int,
                      maxDims: Int)
@@ -42,8 +49,12 @@ case class SrpBucket(child: Expression, nPlanes: Int, planeOffset: Int,
     Array.tabulate(nPlanes, maxDims)((p, i) =>
       graft.vector.VectorOps.planeConst(planeOffset + p, i))
 
-  override def nullSafeEval(input: Any): Any =
-    compute(input.asInstanceOf[ArrayData])
+  override def nullable: Boolean = false
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) 0L else compute(v.asInstanceOf[ArrayData])
+  }
 
   /** Primitive-typed entry point shared by eval and codegen (a scala
     * `Long` return compiles to a primitive `long`, so the generated code
@@ -73,11 +84,16 @@ case class SrpBucket(child: Expression, nPlanes: Int, planeOffset: Int,
     bits
   }
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, c => {
-      val ref = ctx.addReferenceObj("srpBucket", this, classOf[SrpBucket].getName)
-      s"${ev.value} = $ref.compute($c);"
-    })
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("srpBucket", this, classOf[SrpBucket].getName)
+    val childGen = child.genCode(ctx)
+    ev.copy(
+      code = code"""
+        ${childGen.code}
+        long ${ev.value} = ${childGen.isNull} ? 0L : $ref.compute(${childGen.value});
+      """,
+      isNull = FalseLiteral)
+  }
 
   override protected def withNewChildInternal(newChild: Expression): SrpBucket =
     copy(child = newChild)

@@ -40,6 +40,20 @@ class NativeExprSpec extends SparkSpec {
         VectorOps.srpBucketHof(col("a"), 6).as("h"))
       .as[(Long, Long)].head()
     assert(poisoned === ((0L, 0L)))
+    // a NULL ARRAY yields bucket 0 too (the HOF `when` folds a null
+    // projection to the otherwise-0 branch; the DuckDB oracles' CASE WHEN
+    // ... ELSE 0 agrees) — covers both the interpreted eval (collect on a
+    // local relation) and the codegen path (repartition forces a scan)
+    val nullArr = Seq((1L, null: Seq[java.lang.Float]), (2L, Seq[java.lang.Float](1.0f)))
+      .toDF("id", "a")
+    for (df <- Seq(nullArr, nullArr.repartition(1))) {
+      val rows = df.select(col("id"), VectorOps.srpBucket(col("a"), 6).as("n"))
+        .collect()
+        .map(r => r.getLong(0) -> ((r.isNullAt(1), if (r.isNullAt(1)) -1L else r.getLong(1))))
+        .toMap
+      assert(rows(1L) === ((false, 0L))) // NULL array → bucket 0, never NULL
+      assert(!rows(2L)._1)               // non-null input unchanged
+    }
   }
 
   test("native dot matches the HOF dot and known values") {

@@ -323,7 +323,14 @@ class QCurateSpec extends SparkSpec {
     // DROP-DECISION recall: every new doc the full recompute links to a
     // PRIOR doc is still linked by the chain (the deliverable of
     // incremental dedup is "which arrivals duplicate the corpus" — on
-    // this corpus the 3-most-recent-per-band discipline loses none)
+    // this corpus the 3-most-recent-per-band discipline loses none).
+    // CORPUS-DEPENDENT pin (ADVICE r10): the chain probes only the 3 most
+    // recent prior arrivals per band, so a dup whose only band cohabitants
+    // sit >3 arrivals back would be missed BY DESIGN — the driver corpus's
+    // dup layout (derived ids at +10000/+20000, near-identical shingle
+    // sets → co-banded in all 8 bands with fresh arrivals nearby) keeps
+    // recall total here. If this assert fails after a testdata regen,
+    // check the dup spacing before suspecting the operator.
     val flaggedFull = full.filter(col("id_b") % 10 === 9)
       .select(col("id_b").as("doc_id")).distinct()
     val flaggedInc = inc.select(col("id_b").as("doc_id")).distinct()

@@ -87,14 +87,14 @@ class VectorOpsSpec extends SparkSpec {
         neighborWidth = 3)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSeq.sorted
     assert(pairs.contains((1L, 2L)))         // co-bucket in every table
-    assert(pairs.forall { case (a, b) => a != 3L && b != 3L || a == b })
+    assert(pairs.forall { case (a, b) => a != 3L && b != 3L })
   }
 
   test("srpChainPairs: candidate count is chain-bounded even in a degenerate bucket") {
     // 100 IDENTICAL vectors — every one lands in the SAME bucket of every
     // table (the worst-case skew: boilerplate embeddings). All-pairs would
     // be 4950; the chain bound is J·n − J(J+1)/2 per table, and both
-    // tables produce the SAME id-adjacent pairs, so distinct = 297.
+    // tables produce the SAME id-adjacent pairs, so distinct = 294.
     val v = Seq.tabulate(8)(j => math.sin(j * 1.7).toFloat)
     val vecs = (1L to 100L).map(i => (i, v)).toDF("id", "vec")
     val n = VectorOps.srpChainPairs(vecs, tables = 2, planesPerTable = 4,
