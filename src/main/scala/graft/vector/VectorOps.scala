@@ -198,8 +198,13 @@ object VectorOps {
       .orderBy("__r", "id").limit(nCentroids)
       .select(col("id").as("centroid_id"), col("vec").as("cvec"))
 
-  def ivfAssign(vecs: DataFrame, nCentroids: Int, seed: Int = 7): DataFrame = {
-    val cents = ivfCentroids(vecs, nCentroids, seed)
+  def ivfAssign(vecs: DataFrame, nCentroids: Int, seed: Int = 7): DataFrame =
+    ivfAssignWith(vecs, ivfCentroids(vecs, nCentroids, seed))
+
+  /** [[ivfAssign]] against a PRE-BUILT centroid frame — lets one query
+    * thread a single sampled codebook through assignment AND probing
+    * instead of re-deriving the sample subtree per consumer. */
+  private def ivfAssignWith(vecs: DataFrame, cents: DataFrame): DataFrame = {
     val w = Window.partitionBy("id").orderBy(col("__cos").desc, col("centroid_id"))
     vecs.join(broadcast(cents))
       .withColumn("__cos", cosine(col("vec"), col("cvec")))
@@ -217,8 +222,12 @@ object VectorOps {
     * exact cosine against every vector in its `nprobe` probed lists. */
   private def ivfScored(queries: DataFrame, corpus: DataFrame, nCentroids: Int,
                         nprobe: Int, seed: Int): DataFrame = {
-    val assigned = ivfAssign(corpus, nCentroids, seed)
-    val cents = ivfCentroids(corpus, nCentroids, seed)
+    // ONE sampled codebook, lineage-cut: assignment and probing reference
+    // the same nCentroids-row frame instead of each inlining the
+    // corpus-wide sample sort into their branch (a tiny localCheckpoint —
+    // the Fixpoint.cut/ClusterLabels sharing discipline, VERDICT r10 #3)
+    val cents = graft.ops.Fixpoint.cut(ivfCentroids(corpus, nCentroids, seed))
+    val assigned = ivfAssignWith(corpus, cents)
     val probeW = Window.partitionBy("query_id").orderBy(col("__cos").desc, col("centroid_id"))
     val probes = queries.select(col("id").as("query_id"), col("vec").as("qv"))
       .join(broadcast(cents))
@@ -410,6 +419,22 @@ object VectorOps {
     * bit-deterministic across engines. */
   def pqAdcTopK(queries: DataFrame, corpus: DataFrame, m: Int, subDim: Int,
                 ks: Int, k: Int, seed: Int = 7): DataFrame = {
+    val w = Window.partitionBy("query_id").orderBy(col("adist"), col("neighbor_id"))
+    pqAdcCandidates(queries, corpus, m, subDim, ks, seed)
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+  }
+
+  /** The scored ADC candidate frame `(query_id, neighbor_id, adist)` —
+    * the shared subtree under every PQ ranking depth. A caller that needs
+    * BOTH a top-k and a longer shortlist from the same codebook (q167:
+    * raw-ADC recall AND the rerank shortlist) should rank THIS frame once
+    * (optionally behind a [[graft.ops.Fixpoint.cut]]) instead of calling
+    * [[pqAdcTopK]] twice — the second call re-derives codebook, encode,
+    * LUT and the candidate aggregate verbatim (VERDICT r10 #3: q167 at
+    * 25 exchanges / 19 broadcasts was the registry's widest plan). */
+  def pqAdcCandidates(queries: DataFrame, corpus: DataFrame, m: Int,
+                      subDim: Int, ks: Int, seed: Int = 7): DataFrame = {
     val cb = pqCodebook(corpus, m, subDim, ks, seed) // built once (cached):
     // the LUT below and the encode share the same sampled codebook frame
     val lut = subVectors(queries, col("id"), col("vec"), m, subDim)
@@ -417,15 +442,29 @@ object VectorOps {
       .join(broadcast(cb), Seq("sub"))
       .select(col("query_id"), col("sub"), col("cid"),
         l2sq(col("qsv"), col("cvec")).as("pd"))
-    val cand = pqEncodeWith(corpus, cb, m, subDim)
+    pqEncodeWith(corpus, cb, m, subDim)
       .select(col("id").as("neighbor_id"), posexplode(col("codes")).as(Seq("sub", "cid")))
       .join(broadcast(lut), Seq("sub", "cid"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .groupBy("query_id", "neighbor_id")
       .agg(aggregate(array_sort(collect_list(struct(col("sub"), col("pd")))),
         lit(0.0), (acc, e) => acc + e.getField("pd")).as("adist"))
-    val w = Window.partitionBy("query_id").orderBy(col("adist"), col("neighbor_id"))
-    cand.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Exact-cosine re-rank of shortlisted `(query_id, neighbor_id)` pairs
+    * — stage 2 of the production PQ shape, usable against ANY shortlist
+    * source. The slim id-pair frame broadcasts against the corpus scan,
+    * so the re-rank touches only |Q| × shortlist full-precision vectors. */
+  def rerankExact(short: DataFrame, queries: DataFrame, corpus: DataFrame,
+                  k: Int): DataFrame = {
+    val sq = short.select(col("query_id"), col("neighbor_id")).join(
+      queries.select(col("id").as("query_id"), col("vec").as("qv")), Seq("query_id"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    corpus.select(col("id").as("neighbor_id"), col("vec").as("cv"))
+      .join(broadcast(sq), Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), cosine(col("qv"), col("cv")).as("cos"))
+      .filter(col("cos").isNotNull)
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank"))
   }
 
@@ -440,19 +479,9 @@ object VectorOps {
     * id pairs) broadcasts against the corpus scan, so the re-rank is one
     * narrow pass + a tiny window. */
   def pqSearchRerank(queries: DataFrame, corpus: DataFrame, m: Int, subDim: Int,
-                     ks: Int, shortlist: Int, k: Int, seed: Int = 7): DataFrame = {
-    val short = pqAdcTopK(queries, corpus, m, subDim, ks, shortlist, seed)
-      .select(col("query_id"), col("neighbor_id"))
-    val sq = short.join(
-      queries.select(col("id").as("query_id"), col("vec").as("qv")), Seq("query_id"))
-    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
-    corpus.select(col("id").as("neighbor_id"), col("vec").as("cv"))
-      .join(broadcast(sq), Seq("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"), cosine(col("qv"), col("cv")).as("cos"))
-      .filter(col("cos").isNotNull)
-      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rank"))
-  }
+                     ks: Int, shortlist: Int, k: Int, seed: Int = 7): DataFrame =
+    rerankExact(pqAdcTopK(queries, corpus, m, subDim, ks, shortlist, seed),
+      queries, corpus, k)
 
   /** Bucketed ANN: exact cosine evaluated only on bucket-colliding pairs.
     * Returns candidate pairs (id_a < id_b) with their cosine — the
