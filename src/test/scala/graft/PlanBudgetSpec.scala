@@ -469,4 +469,49 @@ class PlanBudgetSpec extends SparkSpec {
         s"$q: exact percentile aggregate (unbounded buffer) in plan")
     }
   }
+
+  test("every registered query stays within its recorded plan-shape ceiling") {
+    // VERDICT r10 #8: the hand-written budgets above guard the
+    // historically-bad plans; this pins EVERYTHING — a currently-narrow
+    // query growing a shuffle fails here instead of landing silently.
+    // Ceilings = counts recorded by PlanCeilingGen at this spec's scale
+    // + 1 slack (broadcast-vs-shuffle planner flips on boundary-sized
+    // inputs). On an INTENTIONAL plan change, regenerate:
+    //   tools/run_main.sh graft.tools.PlanCeilingGen \
+    //     /root/testdata/sf0.001 src/test/resources/plan_ceilings.tsv
+    // Exceptions by construction, not exemption: fixpoint queries (q131,
+    // the components family) execute their loop at frame-build time and
+    // the recall queries (q165/q167) cut their search subtree, so their
+    // RECORDED counts are the small post-cut residue — deterministic at
+    // fixed data, pinned like everything else.
+    val in = getClass.getResourceAsStream("/plan_ceilings.tsv")
+    assert(in != null, "src/test/resources/plan_ceilings.tsv missing — run PlanCeilingGen")
+    val src = scala.io.Source.fromInputStream(in, "UTF-8")
+    val rec: Map[String, (Int, Int)] =
+      try src.getLines().filterNot(l => l.startsWith("#") || l.isEmpty).map { l =>
+        val f = l.split('\t'); f(0) -> (f(1).toInt, f(2).toInt)
+      }.toMap
+      finally src.close()
+    val missing = SparkEntry.queries.keySet -- rec.keySet
+    assert(missing.isEmpty,
+      s"queries with no recorded ceiling (regenerate plan_ceilings.tsv): $missing")
+    val stale = rec.keySet -- SparkEntry.queries.keySet
+    assert(stale.isEmpty,
+      s"ceilings for unregistered queries (regenerate plan_ceilings.tsv): $stale")
+    // labels closure builds at first consumer construction; force it here
+    // so its cost isn't charged to an arbitrary query below
+    graft.queries.ClusterLabels(spark, sfDir)
+    val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val df = fn(spark, sfDir)
+      val nS = Bucketing.shuffleCount(df)
+      val nB = "BroadcastExchange".r
+        .findAllIn(Bucketing.finalPlanString(df)).length
+      val (cS, cB) = rec(name)
+      (if (nS > cS + 1) Seq(s"$name shuffles $nS > $cS+1") else Nil) ++
+        (if (nB > cB + 1) Seq(s"$name broadcasts $nB > $cB+1") else Nil)
+    }
+    assert(violations.isEmpty,
+      "plan-shape regressions (intentional? regenerate plan_ceilings.tsv " +
+        s"via PlanCeilingGen):\n  ${violations.mkString("\n  ")}")
+  }
 }
