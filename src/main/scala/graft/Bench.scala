@@ -7,6 +7,14 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // partitions sized by BYTES, not cores: AQE starts every shuffle at
+      // 512 partitions and coalesces to its advisory size, so small
+      // inputs still run at ~core-count tasks while 100× corpora fan out
+      // instead of spilling (sf100 finding: q29's verify join at 32 fixed
+      // partitions = 4.7M rows/sort-partition → 181 s; AQE-sized → 94 s,
+      // back to linear). This is the production config story — a
+      // 1000-executor cluster never runs keyed shuffles at 32 partitions.
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "512")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       // native functions + date-string-compare pushdown rule

@@ -80,6 +80,9 @@ object CapBench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // AQE sizes shuffle partitions by bytes from a 512 start (Bench.scala
+      // has the sf100 rationale)
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "512")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
@@ -193,13 +196,17 @@ object CapBench {
     // the r7 trio + the sf1 heavy family (VERDICT r7 #2); q134 reads the
     // labels artifact built in the labels-timing step, so its number is
     // the CONSUMER cost — labels_build carries the closure itself
+    // SPARK_GRAFT_TIMED_ONLY="q29,...": time just these (telemetry still
+    // covers every site) — re-measuring a subset without a full sweep
+    val timedOnly = sys.env.get("SPARK_GRAFT_TIMED_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val timedQueries = Seq("q119_lsh_banded_cap", "q121_embed_dedup_clusters",
       "q153_prefix_filter_join", "q166_pq_adc_topk", "q134_leakage_free_split",
       "q29_minhash_lsh_dedup", "q177_lsh_chain_topk", "q57_corpus_curation",
       "q124_block_dedup", "q151_triangle_count", "q130_bigram_lm",
       "q88_bm25_search", "q94_tfidf_terms", "q19_fact_tx_load",
       "q35_ann_srp_topk", "q138_incremental_dedup", "q92_basket_pairs",
-      "q131_domain_pagerank")
+      "q131_domain_pagerank").filter(q => timedOnly.forall(_.contains(q)))
 
     // Pairwise-similarity queries EMIT pairs, so their output (not just
     // their join) grows quadratically in near-dup cluster width; on a
@@ -207,7 +214,18 @@ object CapBench {
     // timed run is skipped WITH the telemetry as the recorded reason.
     // After r9's q29 re-contract every entry is chain- or cap-bounded —
     // the budget is a tripwire that should never fire.
+    //
+    // The tripwire scales with the corpus (r11): the chain sites' post
+    // mass is STRUCTURALLY linear (≤ 24/doc for the 8-band J=3 chains,
+    // ≤ 32/vec for the 4-table SRP chain), so a fixed 50M budget —
+    // calibrated at sf10 — fired on sf100's perfectly-linear 151.7M
+    // (22.6/doc) and skipped the four chain queries at exactly the scale
+    // the measurement existed for. 40/doc sits above every structural
+    // ceiling and ~2 orders of magnitude below quadratic mass (sf100
+    // pre-chain: ~5,700/doc), so linear growth never trips it and a
+    // broken guard still does.
     val PairBudget = 50000000L
+    val PairBudgetPerDoc = 40L
     val pairwiseOf = Map("q153_prefix_filter_join" -> "prefix_tokens_chain3",
       "q119_lsh_banded_cap" -> "lsh_bands_cap2",
       "q29_minhash_lsh_dedup" -> "lsh_bands_chain3_labels",
@@ -259,6 +277,7 @@ object CapBench {
     def f(d: Double): String = f"$d%.3f"
     def sideJson(dir: String): String = {
       val nDocs = nDocsAt(dir)
+      val budget = math.max(PairBudget, PairBudgetPerDoc * nDocs)
       val tele = sites.map(s => s -> telemetry(s, dir, nDocs))
       val byName = tele.map { case (s, t) => s.name -> t }.toMap
       val structuralOf = sites.map(s => s.name -> s.structural).toMap
@@ -270,7 +289,7 @@ object CapBench {
           val t = byName(siteName)
           val mass = if (structuralOf(siteName))
             t.maxKeyN * (t.maxKeyN - 1) / 2 else t.pairsPost
-          mass > PairBudget
+          mass > budget
         } => q
       }.toSet
       val times = timeAt(dir, skip)
@@ -287,7 +306,7 @@ object CapBench {
       val qJson = times.toSeq.sortBy(_._1)
         .map { case (k, v) => s""""$k":${f(v)}""" }.mkString("{", ",", "}")
       val skipJson = skip.toSeq.sorted.map(q =>
-        s""""$q":"pairwise output exceeds $PairBudget post-cap pairs"""")
+        s""""$q":"pairwise output exceeds $budget post-cap pairs"""")
         .mkString("{", ",", "}")
       s"""{"dir":${jstr(dir)},"n_docs":$nDocs,"caps":$tJson,"timed_s":$qJson,""" +
         s""""skipped":$skipJson}"""
