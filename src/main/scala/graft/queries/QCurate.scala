@@ -397,8 +397,12 @@ object QCurate {
         // clustered and pays no per-iteration edge exchange. Through r9
         // this was a plain cache: the 8 rounds re-shuffled the cached
         // edges every iteration — 25 rendered exchanges (VERDICT r9 #5).
+        // EXPLICIT count (the Components r11 discipline): bare
+        // repartition(col) would let AQE's 512-start re-size the loop's
+        // aggregates away from the static frames' layout
+        val np = s.conf.get("spark.sql.shuffle.partitions").toInt
         val ew = graft.ops.Fixpoint.cut(
-          edges.join(ow, Seq("src")).repartition(col("src")))
+          edges.join(ow, Seq("src")).repartition(np, col("src")))
         val nn = nodes.agg(count(lit(1)).as("nn"))
         // the static (node, nn) frame anchors every iteration so the prior
         // ranks frame is referenced exactly ONCE per round — the lineage
@@ -413,13 +417,16 @@ object QCurate {
         // so the per-round left join only exchanges the contrib side
         // (already clustered on dst by its own aggregate)
         val nodesNN = graft.ops.Fixpoint.cut(
-          nodes.crossJoin(broadcast(nn)).repartition(col("node")))
+          nodes.crossJoin(broadcast(nn)).repartition(np, col("node")))
         val ranks0 = nodesNN.select(col("node"), col("nn"),
           expr(s"${SCALE}L div nn").as("r"))
         val ranks = graft.ops.Fixpoint.iterate(ranks0, 8, checkpointEvery = 4) { prev =>
           val contrib = ew
             .join(prev.select(col("node").as("src"), col("r")), Seq("src"))
             .select(col("dst"), expr("(r * w) div ow").as("c"))
+            // pinned pre-agg shuffle: the aggregate then keeps (dst, np),
+            // so the left join onto nodesNN (node, np) is exchange-free
+            .repartition(np, col("dst"))
             .groupBy("dst").agg(sum("c").as("in_sum"))
           nodesNN
             .join(contrib, nodesNN("node") === contrib("dst"), "left_outer")
