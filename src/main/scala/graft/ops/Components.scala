@@ -67,20 +67,22 @@ object Components {
     // the per-iteration plan pays ONE exchange (the union's re-group),
     // not three. Measured at sf0.1: the components stage of the labels
     // build dropped ~25% (tools.ProfLabels, 5.9 -> 4.5 s).
-    // EXPLICIT partition count: a bare repartition(col) inherits the
-    // session's shuffle.partitions AND submits to AQE's
-    // initialPartitionNum — under the 512-start config (r11) the loop's
-    // aggregates then plan at a different count than the static frames
-    // and every round re-shuffles the edge side. A user-specified N is
-    // exempt from AQE re-sizing, so all loop frames pin the SAME count
-    // and the per-round joins stay exchange-free.
-    val np = edges.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    // Partitioning deliberately NOT pinned to an explicit count (r11 A/B,
+    // measured): with the AQE 512-start config the loop's shuffles are
+    // sized by BYTES, which beats the zero-exchange co-partitioned loop
+    // as soon as the edge frame outgrows core-count partitions — at sf100
+    // (303M symmetrized chain edges) pinning every loop frame to the
+    // session's 32 made the labels build 328-364 s vs 177 s AQE-sized,
+    // and even at sf10 AQE won (21.6 vs 29.3 s). The price is that the
+    // static frames may re-exchange per round on SMALL graphs — a bounded
+    // constant there (a caller with a known-tiny graph should pin its own
+    // count, as q131 does).
     val sym = cut(edges.select(col("src"), col("dst"))
       .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .repartition(np, col("src")))
+      .repartition(col("src")))
 
     var labels = cut(vertices.select(col("id"), col("id").as("lbl"))
-      .repartition(np, col("id")))
+      .repartition(col("id")))
     // convergence probe WITHOUT a join: each round takes the min of a
     // vertex's own and neighbors' labels, so every label is monotonically
     // non-increasing — the exact decimal SUM of labels is unchanged iff
@@ -95,11 +97,7 @@ object Components {
     while (!converged && iter < maxIter) {
       val prop = sym.join(labels, sym("src") === labels("id"))
         .select(sym("dst").as("id"), col("lbl"))
-      // pin the re-group at np BEFORE the aggregate: the agg then needs
-      // no exchange of its own and its output keeps (id, np) — matching
-      // sym and the pointer-jump join below
       val nm = labels.unionByName(prop)
-        .repartition(np, col("id"))
         .groupBy("id").agg(min("lbl").as("lbl"))
       // pointer jump: lbl := lbl(lbl). Every label IS a vertex id, so
       // the left join always matches (coalesce guards the invariant).

@@ -397,9 +397,14 @@ object QCurate {
         // clustered and pays no per-iteration edge exchange. Through r9
         // this was a plain cache: the 8 rounds re-shuffled the cached
         // edges every iteration — 25 rendered exchanges (VERDICT r9 #5).
-        // EXPLICIT count (the Components r11 discipline): bare
-        // repartition(col) would let AQE's 512-start re-size the loop's
-        // aggregates away from the static frames' layout
+        // EXPLICIT count: this graph is BOUNDED by construction (≤27
+        // domain nodes at any corpus size), so core-count partitions are
+        // right forever and pinning them exempts the loop from AQE's
+        // 512-start (which re-sized the aggregates away from the static
+        // frames' layout and re-shuffled the edge side every round:
+        // 3.4 → 9.3-15.3 s at sf10, back to 3.8 pinned). Components takes
+        // the opposite choice for the same reason reversed — its edge
+        // frames grow with the corpus (see propagate's comment).
         val np = s.conf.get("spark.sql.shuffle.partitions").toInt
         val ew = graft.ops.Fixpoint.cut(
           edges.join(ow, Seq("src")).repartition(np, col("src")))
