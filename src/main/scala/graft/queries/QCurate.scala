@@ -382,14 +382,22 @@ object QCurate {
           .select(element_at(col("ds"), 1).as("src"),
             element_at(col("ds"), 2).as("dst"))
           .filter(col("src") =!= "" && col("dst") =!= "")
-        val re = doms.groupBy("src", "dst").agg(count(lit(1)).as("w")).cache()
+        // EXPLICIT count everywhere in this query (loop AND prep): the
+        // graph is bounded (≤27 domain nodes) so every post-extraction
+        // frame is tiny — AQE's 512-start on these aggregates is pure
+        // scheduling overhead (the r11 bench charged it ~+3 s at sf0.1)
+        val np = s.conf.get("spark.sql.shuffle.partitions").toInt
+        val re = doms.repartition(np, col("src"), col("dst"))
+          .groupBy("src", "dst").agg(count(lit(1)).as("w")).cache()
         val nodes = re.select(col("src").as("node"))
-          .unionByName(re.select(col("dst").as("node"))).distinct().cache()
+          .unionByName(re.select(col("dst").as("node")))
+          .repartition(np, col("node")).distinct().cache()
         val dang = nodes.join(re.select(col("src").as("node")).distinct(),
             Seq("node"), "left_anti")
           .select(col("node").as("src"), col("node").as("dst"), lit(1L).as("w"))
         val edges = re.unionByName(dang)
-        val ow = edges.groupBy("src").agg(sum("w").as("ow"))
+        val ow = edges.repartition(np, col("src"))
+          .groupBy("src").agg(sum("w").as("ow"))
         // the STATIC edge frame every iteration joins: pre-partition on
         // src ONCE and cut — the lazy checkpoint preserves the physical
         // partitioning (LogicalRDD carries it, the Components discipline),
@@ -397,15 +405,12 @@ object QCurate {
         // clustered and pays no per-iteration edge exchange. Through r9
         // this was a plain cache: the 8 rounds re-shuffled the cached
         // edges every iteration — 25 rendered exchanges (VERDICT r9 #5).
-        // EXPLICIT count: this graph is BOUNDED by construction (≤27
-        // domain nodes at any corpus size), so core-count partitions are
-        // right forever and pinning them exempts the loop from AQE's
-        // 512-start (which re-sized the aggregates away from the static
-        // frames' layout and re-shuffled the edge side every round:
-        // 3.4 → 9.3-15.3 s at sf10, back to 3.8 pinned). Components takes
-        // the opposite choice for the same reason reversed — its edge
-        // frames grow with the corpus (see propagate's comment).
-        val np = s.conf.get("spark.sql.shuffle.partitions").toInt
+        // Pinning exempts the loop from AQE's 512-start (which re-sized
+        // the aggregates away from the static frames' layout and
+        // re-shuffled the edge side every round: 3.4 → 9.3-15.3 s at
+        // sf10, back to 3.8 pinned). Components takes the opposite
+        // choice for the same reason reversed — its edge frames grow
+        // with the corpus (see propagate's comment).
         val ew = graft.ops.Fixpoint.cut(
           edges.join(ow, Seq("src")).repartition(np, col("src")))
         val nn = nodes.agg(count(lit(1)).as("nn"))
