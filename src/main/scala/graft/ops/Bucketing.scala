@@ -44,6 +44,46 @@ object Bucketing {
     "Exchange (hash|range)partitioning".r
       .findAllIn(finalPlanString(df)).length
 
+  /** Number of broadcast exchanges in the executed plan. */
+  def broadcastCount(df: DataFrame): Int =
+    "BroadcastExchange".r.findAllIn(finalPlanString(df)).length
+
+  /** Plan metrics of a query frame INCLUDING lineage-cut subtrees
+    * (VERDICT r11 #2): builds the frame under [[Fixpoint.recordingCuts]],
+    * counts the consumer plan (post-cut — what a plain audit sees) and
+    * adds every recorded pre-cut subtree's counts for the pre-cut totals.
+    * Each cut segment is counted exactly once: a later cut's pre-frame
+    * plans only back to the previous cut boundary, and a shared cut frame
+    * consumed twice executes once. Fixpoint loops that run at build time
+    * record one frame per cut round — the pre-cut number is the full
+    * work the lineage would carry uncut, deterministic at fixed data.
+    *
+    * @return (postShuffles, postBroadcasts, preShuffles, preBroadcasts,
+    *         nCuts) — pre == post for cut-free queries.
+    */
+  def cutAwareCounts(build: => DataFrame): (Int, Int, Int, Int, Int) = {
+    val (df, cuts) = graft.ops.Fixpoint.recordingCuts(build)
+    val (s, b, pS, pB) = cutAwareCountsOf(df, cuts)
+    (s, b, pS, pB, cuts.size)
+  }
+
+  /** Same metrics for an already-recorded (frame, cut subtrees) pair. */
+  def cutAwareCountsOf(df: DataFrame, cuts: Seq[DataFrame]): (Int, Int, Int, Int) = {
+    val postS = shuffleCount(df)
+    val postB = broadcastCount(df)
+    // cut frames that MATERIALIZED during the build (fixpoint convergence
+    // probes) carry AQE-finalized plans whose exchange counts reflect
+    // runtime broadcast flips — context-dependent. Count each subtree on
+    // a FRESH never-executed plan instead: deterministic initial shape.
+    val cutPlans = cuts.map(c =>
+      org.apache.spark.sql.graft.bridge.freshInitialPlan(c))
+    val preS = postS + cutPlans
+      .map("Exchange (hash|range)partitioning".r.findAllIn(_).length).sum
+    val preB = postB + cutPlans
+      .map("BroadcastExchange".r.findAllIn(_).length).sum
+    (postS, postB, preS, preB)
+  }
+
   /** The executed-plan tree string with every `== Initial Plan ==` section
     * removed. A subtree that was materialized during frame CONSTRUCTION
     * (a mid-loop lineage cut, a probed cache) renders as a finalized

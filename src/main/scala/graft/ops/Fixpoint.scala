@@ -23,6 +23,27 @@ import org.apache.spark.sql.DataFrame
   */
 object Fixpoint {
 
+  // Plan-audit hook (VERDICT r11 #2): a lineage cut hides its subtree from
+  // the consumer's executed plan, so exchange counts on the consumer alone
+  // understate the work — a shuffle added INSIDE a cut subtree would pass
+  // every plan ceiling silently. While a recorder is installed, cut()
+  // also hands the PRE-cut frame to it; audits sum the subtree's plan
+  // metrics into "pre-cut" totals. Thread-local so concurrent sessions
+  // (test suites) can't cross-record. No recorder installed → zero cost.
+  private val recorder =
+    new ThreadLocal[scala.collection.mutable.Buffer[DataFrame]]
+
+  /** Run `body` (typically: build one registered query's frame) recording
+    * every pre-cut frame that [[cut]] sees on this thread. Returns the
+    * body's result plus the recorded frames in call order. Audit-only —
+    * never used on the query path. */
+  def recordingCuts[T](body: => T): (T, Seq[DataFrame]) = {
+    val buf = scala.collection.mutable.Buffer[DataFrame]()
+    recorder.set(buf)
+    try { val r = body; (r, buf.toList) }
+    finally recorder.remove()
+  }
+
   /** Truncate lineage: reliable `checkpoint` when a checkpoint dir is
     * configured (survives executor loss on a cluster); executor-local
     * otherwise (local mode). LAZY in both modes: an eager cut would
@@ -33,10 +54,12 @@ object Fixpoint {
     * (Components' convergence probe, a query's write) — same
     * fault-tolerance story on a cluster, no build-time side effects.
     * Shared by Components.propagate and every iterative query. */
-  def cut(df: DataFrame): DataFrame =
+  def cut(df: DataFrame): DataFrame = {
+    Option(recorder.get()).foreach(_ += df)
     if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
       df.checkpoint(eager = false)
     else df.localCheckpoint(eager = false)
+  }
 
   /** Apply `step` to `init` n times, cutting lineage every
     * `checkpointEvery` rounds (never after the final round). */

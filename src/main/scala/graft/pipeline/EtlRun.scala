@@ -279,11 +279,10 @@ final class EtlRun(spark: SparkSession, warehouse: String) {
               "etl_error_log")
             (obs.get("e").asInstanceOf[Long], obs.get("w").asInstanceOf[Long])
           })
-          val Seq(sIns, tIns, _, _) =
-            awaitAll(Seq(fStock, fTx, fDates, fErrors.map(_._1)))
-          // fErrors already settled above (its mapped future completed)
-          val (e, w) = scala.concurrent.Await.result(fErrors,
-            scala.concurrent.duration.Duration.Inf)
+          // one sum type per branch — (primary count, secondary count) — so
+          // a single awaitAll settles all four before any failure surfaces
+          val Seq((sIns, _), (tIns, _), _, (e, w)) = awaitAll(Seq(
+            fStock.map((_, 0L)), fTx.map((_, 0L)), fDates.map((_, 0L)), fErrors))
           nErrors = e
           nWarnings = w
           (uIns, pIns, sIns, tIns)

@@ -24,12 +24,14 @@ object PlanAudit {
     spark.sparkContext.setLogLevel("ERROR")
     if (args.tail.sameElements(Array("--all"))) { auditAll(spark, sfDir); spark.stop(); return }
     args.tail.foreach { name =>
-      val df = graft.SparkEntry.queries(name)(spark, sfDir)
+      val (df, cuts) = graft.ops.Fixpoint.recordingCuts(
+        graft.SparkEntry.queries(name)(spark, sfDir))
       val plan = graft.ops.Bucketing.finalPlanString(df)
-      val nShuffle = graft.ops.Bucketing.shuffleCount(df)
-      val nBroadcast = "BroadcastExchange".r.findAllIn(plan).length
+      val (nShuffle, nBroadcast, pS, pB) =
+        graft.ops.Bucketing.cutAwareCountsOf(df, cuts)
       val pushed = "PushedFilters: \\[[^\\]]*\\]".r.findAllIn(plan).toSeq
-      println(s"=== $name: shuffles=$nShuffle broadcasts=$nBroadcast")
+      println(s"=== $name: shuffles=$nShuffle broadcasts=$nBroadcast" +
+        (if (cuts.nonEmpty) s" pre-cut=$pS/$pB (${cuts.size} cuts)" else ""))
       pushed.foreach(p => println(s"    $p"))
       if (sys.env.contains("AUDIT_FULL")) df.explain("formatted")
     }
@@ -51,25 +53,34 @@ object PlanAudit {
     sb.append("Counts from the INITIAL executed plan (AQE can only improve\n")
     sb.append("them); `shuffles` counts hash/range exchanges — repeated\n")
     sb.append("subtrees in multi-branch plans count each occurrence although\n")
-    sb.append("identical ones reuse at execution. `pushed` = a parquet scan\n")
+    sb.append("identical ones reuse at execution. Queries with lineage-cut\n")
+    sb.append("(`Fixpoint.cut`) subtrees show DUAL accounting `post (pre)`:\n")
+    sb.append("`post` = the consumer plan a plain audit sees; `pre` adds the\n")
+    sb.append("exchanges inside every cut subtree (the expensive part the\n")
+    sb.append("boundary hides — VERDICT r11 #2). `pushed` = a parquet scan\n")
     sb.append("with a non-trivial PushedFilters entry exists.\n\n")
     sb.append("| query | shuffles | broadcasts | pushed filters |\n|---|---|---|---|\n")
-    var totS = 0; var totB = 0
+    var totS = 0; var totB = 0; var totPreS = 0; var totPreB = 0
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
-        val df = fn(spark, sfDir)
+        val (df, cuts) = graft.ops.Fixpoint.recordingCuts(fn(spark, sfDir))
         val plan = graft.ops.Bucketing.finalPlanString(df)
-        val nS = graft.ops.Bucketing.shuffleCount(df)
-        val nB = "BroadcastExchange".r.findAllIn(plan).length
-        val pushed = "PushedFilters: \\[[^\\]]+\\]".r.findFirstIn(plan).isDefined
-        totS += nS; totB += nB
-        sb.append(s"| $name | $nS | $nB | ${if (pushed) "yes" else "—"} |\n")
+        val (nS, nB, pS, pB) = graft.ops.Bucketing.cutAwareCountsOf(df, cuts)
+        val pushed = ("PushedFilters: \\[[^\\]]+\\]".r.findFirstIn(plan) orElse
+          cuts.iterator.map(graft.ops.Bucketing.finalPlanString)
+            .flatMap("PushedFilters: \\[[^\\]]+\\]".r.findFirstIn(_))
+            .nextOption()).isDefined
+        totS += nS; totB += nB; totPreS += pS; totPreB += pB
+        val sCell = if (pS != nS) s"$nS ($pS)" else s"$nS"
+        val bCell = if (pB != nB) s"$nB ($pB)" else s"$nB"
+        sb.append(s"| $name | $sCell | $bCell | ${if (pushed) "yes" else "—"} |\n")
       } catch { case e: Throwable =>
         sb.append(s"| $name | ERROR | | ${e.getClass.getSimpleName} |\n")
       }
     }
     sb.append(s"\nTotals: $totS hash/range exchanges, $totB broadcasts across ")
-    sb.append(s"${graft.SparkEntry.queries.size} queries.\n")
+    sb.append(s"${graft.SparkEntry.queries.size} queries")
+    sb.append(s" (pre-cut: $totPreS / $totPreB including lineage-cut subtrees).\n")
     print(sb)
     sys.env.get("PLANS_OUT").foreach { p =>
       java.nio.file.Files.write(java.nio.file.Paths.get(p),

@@ -124,14 +124,24 @@ object StreamBench {
       (perDoc, batches, wall)
     }
 
-    // check_correctness-style content hash: sorted columns, sorted rows
+    // executor-side commutative content hash (VERDICT r11 #7 — the old
+    // collect+sort hash pulled all 666k rows to the driver): per row,
+    // md5 of the sorted-column pipe-join → 60-bit long; aggregate
+    // XOR + SUM + COUNT on the executors (order-independent like the
+    // sorted hash, duplicate-sensitive via the sum/count legs — the
+    // bit_xor pattern CorpusRun's checksum already uses). Scale-safe
+    // for the sf100 streaming rung.
     def contentHash(df: DataFrame): String = {
       val cols = df.columns.sorted
-      val lines = df.select(cols.map(c => col(c).cast("string")): _*)
-        .collect().map(_.toSeq.map(String.valueOf).mkString("|")).sorted
-      val md = java.security.MessageDigest.getInstance("MD5")
-      lines.foreach(l => md.update((l + "\n").getBytes("UTF-8")))
-      md.digest().map("%02x".format(_)).mkString
+      val rowStr = concat_ws("|",
+        cols.map(c => coalesce(col(c).cast("string"), lit("null"))): _*)
+      val r = df.select(conv(substring(md5(rowStr), 1, 15), 16, 10)
+          .cast("long").as("h"))
+        .agg(coalesce(expr("bit_xor(h)"), lit(0L)).as("x"),
+          coalesce(sum(col("h").cast("decimal(38,0)")),
+            lit(0).cast("decimal(38,0)")).as("s"),
+          count(lit(1)).as("n")).head()
+      s"${r.get(0)}-${r.get(1)}-${r.get(2)}"
     }
 
     val batchTwin = graft.SparkEntry.queries("q178_stream_neardup_twin")(spark, sfDir).cache()
@@ -143,10 +153,11 @@ object StreamBench {
         val missed = batchTwin.exceptAll(pd).count()
         val extra = pd.exceptAll(batchTwin).count()
         val hash = contentHash(pd)
+        val rows = pd.count() // before unpersist — reuse the cached frame
         pd.unpersist()
         System.err.println(s"[stream] $name: wall=$wall missed=$missed extra=$extra hash=$hash")
         s"""${jstr(name)}:{"horizon":${h.fold("null")(jstr)},"wall_s":$wall,""" +
-          s""""rows":${perDoc.count()},"missed_vs_twin":$missed,"extra_vs_twin":$extra,""" +
+          s""""rows":$rows,"missed_vs_twin":$missed,"extra_vs_twin":$extra,""" +
           s""""hash":${jstr(hash)},"hash_equals_twin":${hash == twinHash},""" +
           s""""batches":[${batches.mkString(",")}]}"""
     }

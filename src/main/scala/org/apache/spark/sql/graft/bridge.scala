@@ -34,4 +34,15 @@ object bridge {
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.catalog
       .defaultTablePath(org.apache.spark.sql.catalyst.TableIdentifier(table))
+  /** A FRESH physical plan for `df`'s logical plan — never executed, so it
+    * renders the deterministic INITIAL AQE plan regardless of whether the
+    * frame itself was materialized. Plan audits need this for lineage-cut
+    * subtrees: a cut frame that executed during a fixpoint loop carries an
+    * AQE-finalized plan whose exchange counts reflect runtime broadcast
+    * flips (context-dependent); the initial plan is a pure function of the
+    * logical plan + static stats. Audit-only, plan is never run. */
+  def freshInitialPlan(df: org.apache.spark.sql.DataFrame): String =
+    df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.executePlan(df.queryExecution.logical)
+      .executedPlan.toString
 }

@@ -479,17 +479,20 @@ class PlanBudgetSpec extends SparkSpec {
     // inputs). On an INTENTIONAL plan change, regenerate:
     //   tools/run_main.sh graft.tools.PlanCeilingGen \
     //     /root/testdata/sf0.001 src/test/resources/plan_ceilings.tsv
-    // Exceptions by construction, not exemption: fixpoint queries (q131,
-    // the components family) execute their loop at frame-build time and
-    // the recall queries (q165/q167) cut their search subtree, so their
-    // RECORDED counts are the small post-cut residue — deterministic at
-    // fixed data, pinned like everything else.
+    // Lineage-cut queries (q165/q167, the components family) are pinned
+    // TWICE (VERDICT r11 #2): post-cut counts (the consumer plan — the
+    // small residue a plain audit sees) AND pre-cut counts including
+    // every Fixpoint.cut subtree, so a shuffle added INSIDE the cut —
+    // the actual expensive part — fails here too. Both deterministic at
+    // fixed data. Fixpoint loops execute at frame-build time; their
+    // pre-cut number is the full uncut-lineage work across rounds.
     val in = getClass.getResourceAsStream("/plan_ceilings.tsv")
     assert(in != null, "src/test/resources/plan_ceilings.tsv missing — run PlanCeilingGen")
     val src = scala.io.Source.fromInputStream(in, "UTF-8")
-    val rec: Map[String, (Int, Int)] =
+    val rec: Map[String, (Int, Int, Int, Int)] =
       try src.getLines().filterNot(l => l.startsWith("#") || l.isEmpty).map { l =>
-        val f = l.split('\t'); f(0) -> (f(1).toInt, f(2).toInt)
+        val f = l.split('\t')
+        f(0) -> (f(1).toInt, f(2).toInt, f(3).toInt, f(4).toInt)
       }.toMap
       finally src.close()
     val missing = SparkEntry.queries.keySet -- rec.keySet
@@ -502,13 +505,17 @@ class PlanBudgetSpec extends SparkSpec {
     // so its cost isn't charged to an arbitrary query below
     graft.queries.ClusterLabels(spark, sfDir)
     val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
-      val df = fn(spark, sfDir)
-      val nS = Bucketing.shuffleCount(df)
-      val nB = "BroadcastExchange".r
-        .findAllIn(Bucketing.finalPlanString(df)).length
-      val (cS, cB) = rec(name)
-      (if (nS > cS + 1) Seq(s"$name shuffles $nS > $cS+1") else Nil) ++
-        (if (nB > cB + 1) Seq(s"$name broadcasts $nB > $cB+1") else Nil)
+      val (nS, nB, pS, pB, _) = Bucketing.cutAwareCounts(fn(spark, sfDir))
+      val (cS, cB, cPS, cPB) = rec(name)
+      // shuffle ceilings are EXACT (hash/range exchange counts are
+      // deterministic at fixed data + this spec's pinned config — a +1
+      // slack was proven to absorb a whole gratuitous repartition, r12
+      // mutation test); broadcasts keep +1 for static size-estimate
+      // flips on boundary-sized inputs
+      (if (nS > cS) Seq(s"$name shuffles $nS > $cS") else Nil) ++
+        (if (nB > cB + 1) Seq(s"$name broadcasts $nB > $cB+1") else Nil) ++
+        (if (pS > cPS) Seq(s"$name pre-cut shuffles $pS > $cPS") else Nil) ++
+        (if (pB > cPB + 1) Seq(s"$name pre-cut broadcasts $pB > $cPB+1") else Nil)
     }
     assert(violations.isEmpty,
       "plan-shape regressions (intentional? regenerate plan_ceilings.tsv " +
