@@ -42,6 +42,19 @@ import org.apache.spark.sql.streaming.Trigger
   */
 object StreamBench {
 
+  /** "<n> days|hours|minutes|seconds" → milliseconds (the horizon-string
+    * grammar this tool accepts; Spark parses the same strings itself). */
+  private def parseMs(s: String): Long = {
+    val Array(nStr, unit) = s.trim.split("\\s+")
+    nStr.toLong * (unit.stripSuffix("s") match {
+      case "day" => 86400000L
+      case "hour" => 3600000L
+      case "minute" => 60000L
+      case "second" => 1000L
+      case u => throw new IllegalArgumentException(s"horizon unit: $u")
+    })
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/repo/scratch/sf10")
     val outPath = sys.env.getOrElse("SPARK_GRAFT_OUT", "/root/repo/BENCH_stream_sf10.json")
@@ -146,6 +159,7 @@ object StreamBench {
 
     val batchTwin = graft.SparkEntry.queries("q178_stream_neardup_twin")(spark, sfDir).cache()
     val twinHash = contentHash(batchTwin)
+    val hashes = scala.collection.mutable.Map.empty[String, String]
     val results = Seq("control" -> None, "horizon" -> Some(horizon)).map {
       case (name, h) =>
         val (perDoc, batches, wall) = runStream(name, h)
@@ -153,6 +167,7 @@ object StreamBench {
         val missed = batchTwin.exceptAll(pd).count()
         val extra = pd.exceptAll(batchTwin).count()
         val hash = contentHash(pd)
+        hashes(name) = hash
         val rows = pd.count() // before unpersist — reuse the cached frame
         pd.unpersist()
         System.err.println(s"[stream] $name: wall=$wall missed=$missed extra=$extra hash=$hash")
@@ -161,9 +176,39 @@ object StreamBench {
           s""""hash":${jstr(hash)},"hash_equals_twin":${hash == twinHash},""" +
           s""""batches":[${batches.mkString(",")}]}"""
     }
+
+    // ---- the horizon deltas RE-DERIVED BY RULE (VERDICT r11 #6): the
+    // batch replay of the eviction semantics (StreamPipelines
+    // .nearDupHorizonReplay) runs over the same arrivals with the same
+    // micro-batch boundaries and watermark schedule — dense ranks make
+    // both pure arithmetic (batch = rk / sz; watermark during batch j =
+    // last ts of batches < j, minus the horizon delay). Its per-doc
+    // report must hash-EQUAL the streaming horizon run: the deltas vs
+    // the twin are then explained by construction, not observation.
+    val horizonMs = parseMs(horizon)
+    val wmByBatch = (1 until chunks).map(j =>
+      j -> ((epoch + (math.min(n, j * sz) - 1) * 60L) * 1000L - horizonMs)).toMap
+    val replayPerDoc = graft.streaming.StreamPipelines.nearDupHorizonReplay(
+        staged.withColumn("batch", (col("rk") / sz).cast("int"))
+          .select("doc_id", "ts", "text", "batch"),
+        horizonMs, wmByBatch)
+      .groupBy("doc_id")
+      .agg(min("other_id").as("dup_of"),
+        round(expr("min_by(est, other_id)"), 6).as("est6"))
+      .cache()
+    val rMissed = batchTwin.exceptAll(replayPerDoc).count()
+    val rExtra = replayPerDoc.exceptAll(batchTwin).count()
+    val rHash = contentHash(replayPerDoc)
+    replayPerDoc.unpersist()
+    System.err.println(s"[stream] replay: missed=$rMissed extra=$rExtra " +
+      s"hash=$rHash equals_horizon=${hashes.get("horizon").contains(rHash)}")
+    val replayJson = s""""replay":{"hash":${jstr(rHash)},""" +
+      s""""hash_equals_horizon":${hashes.get("horizon").contains(rHash)},""" +
+      s""""missed_vs_twin":$rMissed,"extra_vs_twin":$rExtra}"""
+
     val line = s"""{"metric":"stream_neardup_sf10","sf":${jstr(sfDir)},""" +
       s""""docs":$n,"chunks":$chunks,"twin_hash":${jstr(twinHash)},""" +
-      s"""${results.mkString(",")}}"""
+      s"""${results.mkString(",")},$replayJson}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (line + "\n").getBytes("UTF-8"))
     println(line)

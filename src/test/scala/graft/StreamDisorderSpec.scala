@@ -130,4 +130,73 @@ class StreamDisorderSpec extends SparkSpec {
     assert(gated.filter(col("doc_id") >= 100 && col("doc_id") < 110).count() > 0,
       "horizon run produced no in-window matches — assertion above is vacuous")
   }
+
+  test("a dup pair straddling the horizon loses exactly its own report — and nothing else") {
+    // The horizon-miss CONTRACT pinned by construction (VERDICT r11 #6):
+    // a report is lost to the horizon iff the pairing's earlier member is
+    // the band's only cohabitant AND went dormant before the later member
+    // arrived. Build exactly one such pair and assert the horizon run's
+    // output is the control's output minus EXACTLY that report.
+    //
+    // doc 600 carries a vocabulary fully disjoint from the corpus — no
+    // shared shingles, so no other doc can reach the 0.5 signature-
+    // agreement threshold against it (a doc-25 base showed why this
+    // matters: "base document number ..." vocabulary overlap let a
+    // second cohabitant reach exactly 0.5). doc 500 duplicates it
+    // verbatim, with a FRESH event time a week out — above the watermark
+    // on arrival, so this drives EVICTION, not the late-row drop the
+    // previous test pins.
+    val anchorText = "zygote quasar obelisk ferment lattice pylon " +
+      "grotto serif umbra kelvin fjord plinth marrow gable onyx tundra"
+    val anchor = spark.range(1).select(lit(600L).as("doc_id"),
+      timestamp_seconds(lit(epoch) + 45L * 60L).as("ts"), lit(anchorText).as("text"))
+    val straddler = spark.range(1).select(lit(500L).as("doc_id"),
+      timestamp_seconds(lit(epoch) + 7L * 86400L + 7200L).as("ts"), lit(anchorText).as("text"))
+    // TWO unique-text filler batches: the first advances the max event
+    // time a week out; the second is the batch in which the eviction
+    // actually FIRES — a timed-out band with data in the same batch is
+    // processed with hasTimedOut=false (data precedence), so the timeout
+    // needs a batch where doc 25's band is quiet AND the watermark
+    // (max ts − 1h, computed from the PREVIOUS batch) is already past
+    // its timeout (ts + 1h)
+    def filler(lo: Long, offset: Long): DataFrame =
+      spark.range(lo, lo + 5).select(col("id").as("doc_id"),
+        timestamp_seconds(lit(epoch) + 7L * 86400L + offset + col("id")).as("ts"),
+        concat(lit("filler advancing the watermark number "),
+          col("id").cast("string")).as("text"))
+
+    val files = Seq(corpus.unionByName(anchor),
+      filler(300, 0), filler(400, 600), straddler)
+    val control = canon(runStream("straddle_ctl", files))
+    val gated = canon(runStream("straddle_gated", files, horizon = Some("1 hour")))
+
+    val lost = control.diff(gated)   // multiset: control minus horizon run
+    val gained = gated.diff(control)
+    // every band of the verbatim copy matches at full signature agreement
+    // against its ONLY cohabitant, so the lost multiset is (500, 600, 1.0)
+    // rows — one per matching band — and nothing else
+    assert(lost.nonEmpty, "control never paired the straddler — test vacuous")
+    assert(lost.forall(r => r.head == 500L && r(1) == 600L),
+      s"horizon lost reports other than the constructed straddler: $lost")
+    assert(gained.isEmpty,
+      s"horizon run emitted reports the control did not: $gained")
+
+    // the batch replay of the eviction rule (the executable spec
+    // StreamBench uses to re-derive horizon deltas at sf10) reproduces
+    // this streaming run EXACTLY: batch i = file i, watermark during
+    // batch j = max ts of files < j minus the 1h delay
+    val horizonMs = 3600000L
+    val docsWithBatch = files.zipWithIndex
+      .map { case (f, i) => f.withColumn("batch", lit(i)) }
+      .reduce(_ unionByName _)
+    val wm = (1 until files.size).map { j =>
+      val m = files.take(j)
+        .map(_.agg(max(col("ts"))).head().getTimestamp(0).getTime).max
+      j -> (m - horizonMs)
+    }.toMap
+    val replay = StreamPipelines.nearDupHorizonReplay(
+      docsWithBatch.select("doc_id", "ts", "text", "batch"), horizonMs, wm)
+    assert(canon(replay.toDF) === gated,
+      "batch replay of the horizon rule diverged from the streaming run")
+  }
 }
