@@ -341,6 +341,42 @@ class QCurateSpec extends SparkSpec {
     allPairs.unpersist(); docs.unpersist(); inc.unpersist(); full.unpersist()
   }
 
+  test("q138 chain: recall and the 3-per-band eviction boundary, by construction") {
+    // The recall property pinned WITHOUT the driver corpus (VERDICT r11
+    // #8 — the q138 test above depends on the testdata's dup spacing; a
+    // regen could silently change what it proves). Build the dup layout
+    // explicitly: two verbatim-copy families with fully disjoint
+    // vocabularies, each with one "new" arrival (id % 10 == 9), with the
+    // family sizes chosen to straddle the 3-most-recent-per-band window:
+    //
+    //   family A: ids 1..4 old, 9 new   → window holds {2,3,4}; id 1 out
+    //   family B: ids 11..15 old, 19 new → window holds {13,14,15}
+    //
+    // Verbatim copies share ALL band keys, so the per-band chain is the
+    // family's id order and the expected pair multiset is exact — both
+    // total recall (every new dup is linked) AND the eviction boundary
+    // (ids 1, 11, 12 absent) hold by construction, not corpus accident.
+    import graft.text.TextOps
+    val textA = "zephyr mosaic quill ramble tonic verge wicker yonder " +
+      "ember flask grove harbor inlet jumble knoll ledger"
+    val textB = "nimbus orchid parley quartz rustic saddle tempest umber " +
+      "vortex walnut xylem yarrow zenith anchor basalt cipher"
+    val rows = ((1 to 4).map(i => (i.toLong, textA)) :+ (9L, textA)) ++
+      ((11 to 15).map(i => (i.toLong, textB)) :+ (19L, textB))
+    import spark.implicits._
+    val d = rows.toDF("doc_id", "text")
+      .select(col("doc_id"),
+        TextOps.shingles(TextOps.tokens(col("text")), 3).as("sh"))
+      .select(col("doc_id"), TextOps.minhashBandKeys(col("sh")).as("bks"),
+        TextOps.shingleHashSet(col("sh")).as("hs"))
+    val got = sortedRows(graft.queries.QCurate
+      .incrementalChainPairs(d, col("doc_id") % 10 === 9))
+    val expected = Seq(2L, 3L, 4L).map(a => Seq[Any](a, 9L, 1.0)) ++
+      Seq(13L, 14L, 15L).map(a => Seq[Any](a, 19L, 1.0))
+    assert(got.size === expected.size && got.toSet === expected.toSet,
+      s"constructed chain pairs diverged — got $got")
+  }
+
   test("q140: batches are exact 8-item runs per media type with faithful byte accounting") {
     val out = run("q140_gpu_batching").cache()
     // every non-final batch holds exactly 8 items

@@ -156,7 +156,7 @@ class StreamDisorderSpec extends SparkSpec {
     // time a week out; the second is the batch in which the eviction
     // actually FIRES — a timed-out band with data in the same batch is
     // processed with hasTimedOut=false (data precedence), so the timeout
-    // needs a batch where doc 25's band is quiet AND the watermark
+    // needs a batch where doc 600's band is quiet AND the watermark
     // (max ts − 1h, computed from the PREVIOUS batch) is already past
     // its timeout (ts + 1h)
     def filler(lo: Long, offset: Long): DataFrame =
