@@ -14,7 +14,10 @@ object Bench {
       // partitions = 4.7M rows/sort-partition → 181 s; AQE-sized → 94 s,
       // back to linear). This is the production config story — a
       // 1000-executor cluster never runs keyed shuffles at 32 partitions.
-      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "512")
+      // SPARK_GRAFT_INIT_PARTITIONS: diagnostic override (the q122 A/B
+      // isolated the 512-start's small-scale cost from query code)
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        sys.env.getOrElse("SPARK_GRAFT_INIT_PARTITIONS", "512"))
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       // native functions + date-string-compare pushdown rule

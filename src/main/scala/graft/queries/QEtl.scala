@@ -1803,12 +1803,27 @@ object QEtl {
         // the timed region is the PIPELINE (EtlRun + run-log read), not
         // the fixture generation — VERDICT r10 #1
         val wh = EtlStage.freshWarehouse(s)
-        new graft.pipeline.EtlRun(s, wh).run(day)
-          .select(col("run_id"), ymd(col("run_date")).as("run_date"),
-            ymd(col("source_date")).as("source_date"),
-            col("status"), col("rows_users_inserted"),
-            col("rows_products_inserted"), col("rows_stock_inserted"),
-            col("rows_transactions_inserted"), col("errors"), col("warnings"))
+        // PER-JOB shuffle sizing (VERDICT r11 #3): the daily ETL's
+        // increment is KB–MB scale by the reference's contract, so this
+        // job runs its ~dozen actions at core-count AQE start — the
+        // per-job conf a production scheduler would attach — while the
+        // session keeps the 512-start posture corpus-scale analytics
+        // needs. Measured: the 512 start cost q180 3.5 s of pure
+        // shuffle-stage overhead (6.29 → 2.67 s isolated min-of-3; the
+        // pipeline executes EAGERLY inside EtlRun.run, so the scope
+        // covers every action; only the trivial run-log read runs after
+        // restore).
+        val key = "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
+        val prev = s.conf.getOption(key)
+        s.conf.set(key, s.sparkContext.defaultParallelism.toString)
+        try {
+          new graft.pipeline.EtlRun(s, wh).run(day)
+            .select(col("run_id"), ymd(col("run_date")).as("run_date"),
+              ymd(col("source_date")).as("source_date"),
+              col("status"), col("rows_users_inserted"),
+              col("rows_products_inserted"), col("rows_stock_inserted"),
+              col("rows_transactions_inserted"), col("errors"), col("warnings"))
+        } finally prev.fold(s.conf.unset(key))(v => s.conf.set(key, v))
       },
       Some(q180Sql))
   )
