@@ -896,7 +896,10 @@ object QCurate {
     // wide→long unpivot of the lineitem measures (`stack` = Spark's
     // UNPIVOT): a narrow 4× Generate fan-out — no shuffle until the
     // per-measure rollup, whose state is 4 groups. Sums in exact integer
-    // micros (discount/tax are 1e-2-scale fractions) so they hash-match.
+    // CENTS (every measure is a 2-decimal value, verified on the data) so
+    // they hash-match — micros, the original unit, overflowed BIGINT at
+    // sf100 (extendedprice sum ≈ 2.3e19 µ vs 3.2e15 ¢; the sf100 full
+    // sweep found it, VERDICT r11 #1), and cents keep ~2900× headroom.
     Qry("q143_unpivot_measures",
       (s, dir) => {
         t(s, dir, "lineitem")
@@ -905,7 +908,7 @@ object QCurate {
               'discount', l_discount, 'tax', l_tax) AS (measure, value)""")
           .groupBy("measure")
           .agg(count(lit(1)).as("n"),
-            sum(round(col("value") * 1000000, 0).cast("long")).as("sum_micros"))
+            sum(round(col("value") * 100, 0).cast("long")).as("sum_cents"))
           .orderBy("measure")
       },
       Some("""WITH u AS (
@@ -914,8 +917,8 @@ object QCurate {
         |  UNION ALL SELECT 'discount', l_discount FROM lineitem
         |  UNION ALL SELECT 'tax', l_tax FROM lineitem)
         |SELECT measure, CAST(count(*) AS BIGINT) AS n,
-        |  CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT)
-        |    AS sum_micros
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_cents
         |FROM u GROUP BY 1 ORDER BY measure""".stripMargin)),
 
     // GROUPING SETS through the SQL surface: three simultaneous rollup

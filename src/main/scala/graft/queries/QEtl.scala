@@ -926,7 +926,11 @@ object QEtl {
     // exact integer moments: mean/variance from BIGINT power sums, so the
     // result is bit-identical across engines — float stddev_samp/var_samp
     // accumulate in engine-specific order and can NOT be hash-compared;
-    // this is the deterministic formulation (quantities are whole numbers)
+    // this is the deterministic formulation (quantities are whole numbers).
+    // The variance NUMERATOR (n·ss − s²) runs in decimal(38,0): s ≈ 5e9 at
+    // sf100, so s² ≈ 2.5e19 overflows BIGINT even though every OUTPUT
+    // column still fits (the sf100 full sweep found it, VERDICT r11 #1);
+    // the decimal→double cast is exact at any oracle-checked scale.
     Qry("q84_exact_moments",
       (s, dir) => t(s, dir, "lineitem")
         .select(col("l_returnflag"), col("l_quantity").cast("long").as("q"))
@@ -935,8 +939,12 @@ object QEtl {
           sum(col("q") * col("q")).as("ss"))
         .select(col("l_returnflag"), col("n"), col("s"), col("ss"),
           round(col("s").cast("double") / col("n"), 6).as("mean_q"),
-          round((col("n") * col("ss") - col("s") * col("s")).cast("double")
-            / (col("n") * (col("n") - 1)), 6).as("var_q")),
+          round((col("n").cast("decimal(38,0)") * col("ss").cast("decimal(38,0)")
+              - col("s").cast("decimal(38,0)") * col("s").cast("decimal(38,0)"))
+              .cast("double")
+            / (col("n").cast("decimal(38,0)")
+              * (col("n") - 1).cast("decimal(38,0)")).cast("double"), 6)
+            .as("var_q")),
       Some("""WITH m AS (SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
         |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS s,
         |    CAST(sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS BIGINT) AS ss
