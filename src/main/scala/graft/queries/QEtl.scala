@@ -951,7 +951,9 @@ object QEtl {
         |  FROM lineitem GROUP BY 1)
         |SELECT l_returnflag, n, s, ss,
         |  round(CAST(s AS DOUBLE) / n, 6) AS mean_q,
-        |  round(CAST(n * ss - s * s AS DOUBLE) / (n * (n - 1)), 6) AS var_q
+        |  round(CAST(CAST(n AS HUGEINT) * CAST(ss AS HUGEINT)
+        |      - CAST(s AS HUGEINT) * CAST(s AS HUGEINT) AS DOUBLE)
+        |    / CAST(n * (n - 1) AS DOUBLE), 6) AS var_q
         |FROM m""".stripMargin)),
 
     // percent_rank within nation (deterministic: the order has a full

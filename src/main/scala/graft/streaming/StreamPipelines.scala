@@ -434,7 +434,13 @@ object StreamPipelines {
         col("batch").cast("int").as("batch"))
       .as[(String, Long, java.sql.Timestamp, Seq[Long], Int)]
       .repartition(col("band_key"))
-      .sortWithinPartitions("band_key", "ts", "doc_id")
+      // match the stream's observable order exactly (ADVICE r12): arrival
+      // order across batches first, then ms-truncated event time (the
+      // stream compares watermarks at ms precision), then doc_id — so ts
+      // ties straddling a batch boundary or sub-ms timestamps can't let
+      // the replay diverge from the stream it is a spec for
+      .sortWithinPartitions(col("band_key"), col("batch"),
+        unix_millis(col("ts")), col("doc_id"))
       .mapPartitions { rows =>
         var curBand: String = null
         var ring: List[BandEntry] = Nil

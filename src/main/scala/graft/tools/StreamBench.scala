@@ -43,16 +43,26 @@ import org.apache.spark.sql.streaming.Trigger
 object StreamBench {
 
   /** "<n> days|hours|minutes|seconds" → milliseconds (the horizon-string
-    * grammar this tool accepts; Spark parses the same strings itself). */
-  private def parseMs(s: String): Long = {
-    val Array(nStr, unit) = s.trim.split("\\s+")
-    nStr.toLong * (unit.stripSuffix("s") match {
-      case "day" => 86400000L
-      case "hour" => 3600000L
-      case "minute" => 60000L
-      case "second" => 1000L
-      case u => throw new IllegalArgumentException(s"horizon unit: $u")
-    })
+    * grammar this tool accepts; Spark parses the same strings itself).
+    * Compound Spark intervals ("1 day 12 hours") and sub-second units are
+    * deliberately outside the grammar — rejected with a clear message
+    * instead of a MatchError (ADVICE r12). */
+  private def parseMs(s: String): Long = s.trim.split("\\s+") match {
+    case Array(nStr, unit) =>
+      val n =
+        try nStr.toLong
+        catch { case _: NumberFormatException => throw new IllegalArgumentException(
+          s"horizon count '$nStr' in '$s' is not an integer") }
+      n * (unit.stripSuffix("s") match {
+        case "day" => 86400000L
+        case "hour" => 3600000L
+        case "minute" => 60000L
+        case "second" => 1000L
+        case u => throw new IllegalArgumentException(
+          s"horizon unit '$u' in '$s' (accepted: day/hour/minute/second, optionally plural)")
+      })
+    case _ => throw new IllegalArgumentException(
+      s"horizon '$s' must be '<n> <unit>' — compound strings like '1 day 12 hours' are not supported")
   }
 
   def main(args: Array[String]): Unit = {
@@ -60,6 +70,9 @@ object StreamBench {
     val outPath = sys.env.getOrElse("SPARK_GRAFT_OUT", "/root/repo/BENCH_stream_sf10.json")
     val chunks = sys.env.getOrElse("SPARK_GRAFT_CHUNKS", "24").toInt
     val horizon = sys.env.getOrElse("SPARK_GRAFT_HORIZON", "5 days")
+    // fail fast on a malformed horizon BEFORE the ~100 s streaming runs,
+    // not after them at the replay step (ADVICE r12)
+    val horizonMs = parseMs(horizon)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -185,7 +198,6 @@ object StreamBench {
     // last ts of batches < j, minus the horizon delay). Its per-doc
     // report must hash-EQUAL the streaming horizon run: the deltas vs
     // the twin are then explained by construction, not observation.
-    val horizonMs = parseMs(horizon)
     val wmByBatch = (1 until chunks).map(j =>
       j -> ((epoch + (math.min(n, j * sz) - 1) * 60L) * 1000L - horizonMs)).toMap
     val replayPerDoc = graft.streaming.StreamPipelines.nearDupHorizonReplay(

@@ -109,7 +109,14 @@ def tree_sha(paths):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--round", type=int, default=6)
+    # default: derive the round from the newest driver CORRECTNESS_r*.json
+    # so the stamp can't go stale again (VERDICT r12 "what's wrong" #3)
+    import glob
+    rounds = [int(m.group(1))
+              for p in glob.glob(os.path.join(ROOT, "CORRECTNESS_r*.json"))
+              for m in [re.search(r"CORRECTNESS_r(\d+)\.json$", p)] if m]
+    ap.add_argument("--round", type=int,
+                    default=(max(rounds) + 1 if rounds else 0))
     ap.add_argument("--out", default=os.path.join(ROOT, "LEAKCHECK_local.json"))
     args = ap.parse_args()
     paths = files_to_scan()
