@@ -18,6 +18,12 @@ object Bench {
       // isolated the 512-start's small-scale cost from query code)
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
         sys.env.getOrElse("SPARK_GRAFT_INIT_PARTITIONS", "512"))
+      // lift BloomFilterAggregate's 4M-item clamp: q75's hand-built
+      // runtime filter inserts ~11M keys at sf100, and a clamped item
+      // count mis-sizes the hash count (k for 4M with 11M inserted ≈ 17%
+      // fp vs ~6% optimal). Affects only our own bloomAgg calls —
+      // InjectRuntimeFilter needs stats this corpus lacks either way.
+      .config("spark.sql.optimizer.runtime.bloomFilter.maxNumItems", "67108864")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       // native functions + date-string-compare pushdown rule

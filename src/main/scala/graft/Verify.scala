@@ -13,6 +13,8 @@ object Verify {
       // AQE sizes shuffle partitions by bytes from a 512 start (Bench.scala
       // has the sf100 rationale)
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "512")
+      // match Bench: un-clamp BloomFilterAggregate item counts (q75)
+      .config("spark.sql.optimizer.runtime.bloomFilter.maxNumItems", "67108864")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // native functions + date-string-compare pushdown rule

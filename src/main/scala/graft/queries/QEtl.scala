@@ -790,15 +790,65 @@ object QEtl {
     // correlated EXISTS subquery through the SQL surface (temp views +
     // spark.sql) — Catalyst decorrelates it into a left-semi hash join on
     // l_orderkey, so the "subquery per row" never happens at any scale;
-    // the date range prunes the orders scan
+    // the date range prunes the orders scan.
+    //
+    // The registry's one honest BIG-BIG semi-join (150M orders ⋈ 600M
+    // lineitem at sf100, the sf100 sweep's worst honest ratio — VERDICT
+    // r12 #2): Spark's own InjectRuntimeFilter stays off here because the
+    // stats-less creation side (a filtered 2.3 GB orders scan) never
+    // passes the 10 MB creation threshold, so the probe side shuffled
+    // ~45% of lineitem (270M one-column rows) into the SMJ. This builds
+    // the SAME runtime filter by hand with Spark's own bloom expressions
+    // (functions/Bloom): aggregate the date-window order keys into ONE
+    // bounded bloom (count-sized: KBs at sf0.1, the 8 MB maxNumBits clamp
+    // at sf100), ship it as a plan literal — the mechanics production
+    // runtime filters use — and pre-filter the lineitem scan to ~7% of
+    // its rows before the exchange. Exactness is unconditional: blooms
+    // have no false negatives, and a false positive just fails the semi
+    // join's key equality like any other non-window row. The two driver
+    // actions (count + single-row bloom collect) are the sanctioned
+    // bounded plan-literal pattern (q122).
     Qry("q75_exists_orders",
       (s, dir) => {
         t(s, dir, "orders").createOrReplaceTempView("g_orders")
-        t(s, dir, "lineitem").createOrReplaceTempView("g_lineitem")
-        s.sql("""SELECT o_orderpriority, count(*) AS n_orders
+        // probe-side gate, mirroring Spark's own runtime-filter
+        // applicationSideScanSizeThreshold (10 GB): below ~200M lineitem
+        // rows the saved exchange doesn't buy back the bloom build, so
+        // small corpora keep the plain semi-join plan (measured: bloom at
+        // sf10 = +0.7 s, at sf100 = −6.3 s). The row count is a
+        // metadata-only job (parquet footer counts, no column reads).
+        val big = t(s, dir, "lineitem").count() >= 200000000L
+        val pruned = if (!big)
+          t(s, dir, "lineitem")
+        else {
+          val winKeys = t(s, dir, "orders")
+            .filter("o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1995-07-01'")
+            .select("o_orderkey")
+          // size the bloom WITHOUT scanning the creation side twice: the
+          // unfiltered row count is metadata-only, and the window/domain
+          // ratio (6 months of the corpus's ~7-year o_orderdate span ≈
+          // 8%) is what a stats-backed planner reads off footer min/max —
+          // est lands within ~15% of the true window key count at every
+          // sf, keeping the bloom's hash count near optimal (fpp is a
+          // perf knob only; correctness never depends on it)
+          val est = math.max((t(s, dir, "orders").count() * 0.10).toLong, 1024L)
+          val bloomRow = winKeys
+            .agg(graft.functions.Bloom.bloomAgg(col("o_orderkey"), est).as("b")).head()
+          if (bloomRow.isNullAt(0)) t(s, dir, "lineitem").filter(lit(false))
+          else t(s, dir, "lineitem").filter(graft.functions.Bloom.mightContain(
+            lit(bloomRow.getAs[Array[Byte]]("b")), col("l_orderkey")))
+        }
+        pruned.createOrReplaceTempView("g_lineitem")
+        // SHUFFLE_HASH on the bloom-pruned side (big corpora only: the
+        // hint would pin small corpora out of AQE's broadcast
+        // conversion): post-prune it hashes ~10 MB/partition, and the
+        // semi join needs no sort order — SMJ would sort BOTH sides just
+        // to discard the order at the agg
+        val hint = if (big) "/*+ SHUFFLE_HASH(g_lineitem) */ " else ""
+        s.sql(s"""SELECT o_orderpriority, count(*) AS n_orders
           FROM g_orders
           WHERE o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1995-07-01'
-            AND EXISTS (SELECT 1 FROM g_lineitem
+            AND EXISTS (SELECT ${hint}1 FROM g_lineitem
                         WHERE l_orderkey = o_orderkey AND l_discount > 0.05)
           GROUP BY o_orderpriority""")
       },
