@@ -218,7 +218,8 @@ object StreamBench {
       s""""hash_equals_horizon":${hashes.get("horizon").contains(rHash)},""" +
       s""""missed_vs_twin":$rMissed,"extra_vs_twin":$rExtra}"""
 
-    val line = s"""{"metric":"stream_neardup_sf10","sf":${jstr(sfDir)},""" +
+    val metric = s"stream_neardup_${new java.io.File(sfDir).getName}"
+    val line = s"""{"metric":${jstr(metric)},"sf":${jstr(sfDir)},""" +
       s""""docs":$n,"chunks":$chunks,"twin_hash":${jstr(twinHash)},""" +
       s"""${results.mkString(",")},$replayJson}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
