@@ -105,6 +105,15 @@ final class EtlRun(spark: SparkSession, warehouse: String) {
     var counts = Map.empty[String, Long]
     var nErrors = 0L
     var nWarnings = 0L
+    // every frame this run caches, unpersisted in the outer finally: a
+    // long-lived session replaying consecutive days would otherwise (a)
+    // accumulate three pinned frames per run and (b) serve DAY-OLD data
+    // to the next run — the cached annotate plan is structurally identical
+    // across days (same path, same rules), so Spark's CacheManager
+    // substitutes yesterday's rows for today's extract. Found by the
+    // 30-day replay (r13): dims froze at day-1 state while facts (whose
+    // plan embeds the changing `date = today` literal) kept loading.
+    val cached = scala.collection.mutable.Buffer[DataFrame]()
     try {
       // ---- EXTRACT (S1-S3) — raw-string date equality on purpose: bad-
       // format rows can never equal `today`, so they are invisible to the
@@ -125,13 +134,13 @@ final class EtlRun(spark: SparkSession, warehouse: String) {
       val userValidator = new Validator(
         Rules.userRules(col("user_id"), col("name"), col("email"), col("join_date")),
         "user", col("user_id"), "users")
-      val usersAnn = userValidator.annotate(users).cache()
+      val usersAnn = userValidator.annotate(users).cache(); cached += usersAnn
       val validUsers = userValidator.valid(usersAnn)
 
       val productValidator = new Validator(
         Rules.productRules(col("product_id"), col("name"), col("price"), col("stock")),
         "product", col("product_id"), "products")
-      val productsAnn = productValidator.annotate(products).cache()
+      val productsAnn = productValidator.annotate(products).cache(); cached += productsAnn
       val validProducts = productValidator.valid(productsAnn)
 
       // U2: the tx contract consumes the run's *valid* users/products
@@ -150,7 +159,7 @@ final class EtlRun(spark: SparkSession, warehouse: String) {
           col("vu_user_id").isNotNull, col("vp_product_id").isNotNull,
           col("vp_price"), col("dup_occurrence")),
         "transaction", col("transaction_id"), "transactions")
-      val txAnn = txValidator.annotate(txJoined).cache()
+      val txAnn = txValidator.annotate(txJoined).cache(); cached += txAnn
       // valid txs are NORMALIZED like the reference (validation.py:167-174)
       val validTx = txValidator.valid(txAnn)
         .withColumn("date", date_format(Rules.parseMultiDate(col("date")), "yyyy-MM-dd"))
@@ -295,6 +304,7 @@ final class EtlRun(spark: SparkSession, warehouse: String) {
         "fact_transactions_inserted" -> txInserted)
       status = "success"
     } finally {
+      cached.foreach(df => scala.util.Try(df.unpersist()))
       val runRow = Audit.runRow(spark, runId, today, today, status,
         startedAt, System.currentTimeMillis(), counts, nErrors, nWarnings)
       stage("run_log")(append(runRow.select(Schemas.etlRunLog.fieldNames.map(col).toSeq: _*), "etl_run_log"))

@@ -123,6 +123,10 @@ object EtlReplayBench {
         df.write.mode("overwrite").parquet(path(s"${t}__next"))
         graft.io.Fs.deleteRecursively(path(t), spark.sessionState.newHadoopConf())
         new java.io.File(path(s"${t}__next")).renameTo(new java.io.File(path(t))): Unit
+        // external overwrite of a path a long-lived session reads:
+        // invalidate cached plans/listings for it (EtlRunSpec.writeOltp's
+        // documented pattern)
+        spark.catalog.refreshByPath(path(t))
       }
       Synthetic.transactions(spark, txPerDay, today, nUsers, nProducts,
           firstId = 1L + d.toLong * txPerDay)
