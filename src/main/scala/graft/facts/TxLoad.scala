@@ -12,7 +12,10 @@ import graft.ops.{AsOfJoin, Dedup}
   * skipped) → in-batch composite-PK first-wins dedup → fact projection.
   *
   * Shuffle budget at scale: the anti-join shuffles on `transaction_id`
-  * (the loaded-keys side is key-only and usually broadcast by AQE), both
+  * (the loaded-keys side is key-only and usually broadcast by AQE; past
+  * `spark.graft.j5.bloomMinRows` loaded rows it is first bloom-pruned to
+  * ~today's batch size so the exchange stays bounded as history grows —
+  * see [[Dedup.antiJoinExistingBloomed]]), both
   * PIT lookups are broadcast equi-joins with zero fact-side exchanges
   * ([[AsOfJoin.pitLookup]]), and the first-wins window reuses the
   * anti-join's hash partitioning on `transaction_id` where possible — so
@@ -36,9 +39,28 @@ object TxLoad {
            existingFact: DataFrame, today: String): (DataFrame, DataFrame, DataFrame) = {
 
     // J5 — fidelity: keyed on transaction_id ALONE (etl.py:308-311), so a
-    // partially loaded multi-product tx is never completed on re-run
-    val fresh = Dedup.antiJoinExisting(validTx, existingFact, Seq("transaction_id"))
-      .withColumn("tx_date", to_date(col("date")))
+    // partially loaded multi-product tx is never completed on re-run.
+    //
+    // Scale gate (VERDICT r13 #1): once the fact table outgrows
+    // `spark.graft.j5.bloomMinRows`, the historical id set can no longer
+    // broadcast and every daily run would pay a full exchange of ALL ids
+    // ever loaded (linear in history, +0.17 s/day measured at sf10).
+    // Above the gate, [[Dedup.antiJoinExistingBloomed]] prunes the
+    // history scan to roughly today's batch size before the exchange —
+    // identical results by bloom no-false-negative structure (asserted
+    // in FactLoadSpec). The gate itself is a zero-column count scan of
+    // the fact table (no column IO — cheap but not free, one job per
+    // load; the default threshold keeps small corpora on the plain
+    // plan). Default 20M ≈ sf10-replay day ~11, so a month-long replay
+    // exercises both sides.
+    val conf = validTx.sparkSession.conf
+    val bloomMin = conf.get("spark.graft.j5.bloomMinRows", "20000000").toLong
+    val estItems = conf.get("spark.graft.j5.bloomEstItems", "4000000").toLong
+    val fresh = (
+      if (existingFact.count() >= bloomMin)
+        Dedup.antiJoinExistingBloomed(validTx, existingFact, "transaction_id", estItems)
+      else Dedup.antiJoinExisting(validTx, existingFact, Seq("transaction_id"))
+    ).withColumn("tx_date", to_date(col("date")))
 
     // PIT lookups (J3). The reference probes user first and skips the row
     // before probing product (etl.py:326-360) — so a row missing BOTH only

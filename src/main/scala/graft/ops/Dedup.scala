@@ -21,6 +21,40 @@ object Dedup {
   def antiJoinExisting(incoming: DataFrame, existingKeys: DataFrame, keys: Seq[String]): DataFrame =
     incoming.join(existingKeys.select(keys.map(col): _*).distinct(), keys, "left_anti")
 
+  /** Scale path for level 1 (VERDICT r13 #1): the reference's contract
+    * dedups today's batch against the ENTIRE loaded id set (etl.py:
+    * 308-311), so the historical id SCAN grows with history by design —
+    * but the EXCHANGE need not. This variant aggregates the bounded
+    * incoming side (today's ~2M ids) into ONE bloom filter (Spark's own
+    * BloomFilterAggregate, shipped as a plan literal — the q75/q122
+    * bounded-plan-literal pattern), `might_contain`-prunes the
+    * historical id scan BEFORE its distinct/exchange, then runs the
+    * exact [[antiJoinExisting]] unchanged on the pruned side.
+    *
+    * Exactness is structural: blooms have no false negatives, so every
+    * history id that matches an incoming id survives the prune and the
+    * exact anti-join still drops that incoming row; a false positive
+    * merely keeps a useless history id that the join's key equality
+    * discards. The 30-day sf10 replay measured the unpruned exchange as
+    * the pipeline's only unbounded per-day slope (fact_tx 10.5 → 18.9 s
+    * over 51.6M ids); post-prune the build side is incoming-sized, so
+    * AQE can broadcast it and the daily cost stays flat in history size.
+    *
+    * `estItems` sizes the bloom (overprovisioning only lowers the
+    * false-positive rate; Spark clamps bits at maxNumBits, 8 MB). The
+    * single-row `.head()` is the sanctioned bounded plan-literal
+    * collect — callers should pass an `incoming` that is cheap to
+    * re-evaluate (EtlRun hands in a cached validation frame). */
+  def antiJoinExistingBloomed(incoming: DataFrame, existingKeys: DataFrame, key: String,
+                              estItems: Long): DataFrame = {
+    val row = incoming.agg(graft.functions.Bloom.bloomAgg(col(key), estItems).as("b")).head()
+    val pruned =
+      if (row.isNullAt(0)) existingKeys.filter(lit(false)) // empty batch: nothing can match
+      else existingKeys.filter(
+        graft.functions.Bloom.mightContain(lit(row.getAs[Array[Byte]]("b")), col(key)))
+    antiJoinExisting(incoming, pruned, Seq(key))
+  }
+
   /** Level 2 — in-batch first-wins dedup on the composite PK (the reference
     * relies on the PK constraint raising IntegrityError per duplicate row,
     * etl.py:362-378; SURVEY.md J6). `order` reproduces the reference's

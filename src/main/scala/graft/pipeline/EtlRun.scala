@@ -200,7 +200,13 @@ final class EtlRun(spark: SparkSession, warehouse: String) {
       val nextProductDim = productDimSpec.merge(curProductDim,
         validProducts.drop("stock"), today, to_date(lit(today)))
 
-      val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+      // pool width is a measurement knob too: `spark.graft.etl.stagePool=1`
+      // serializes the stage DAG (same Futures, one thread) so per-stage
+      // times can be read free of 4-way scheduler contention — used by the
+      // replay harness to isolate pooled-vs-solo stage cost (VERDICT r13
+      // "what's missing" #2)
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        spark.conf.get("spark.graft.etl.stagePool", "4").toInt)
       implicit val ec: scala.concurrent.ExecutionContext =
         scala.concurrent.ExecutionContext.fromExecutorService(pool)
       def awaitAll[T](fs: Seq[scala.concurrent.Future[T]]): Seq[T] = {

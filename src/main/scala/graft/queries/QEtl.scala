@@ -26,6 +26,16 @@ object QEtl {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Row count memoized per (dir, table) per JVM. Used by scale gates
+    * (q75) whose zero-column count scan — cheap but not free — would
+    * otherwise re-run on every invocation in a sweep (ADVICE r13). Safe
+    * to memoize: the driver corpora are immutable for a JVM's lifetime
+    * (testdata is read-only; scratch corpora are regenerated only
+    * between JVMs). */
+  private val rowCountMemo = new scala.collection.concurrent.TrieMap[String, Long]()
+  private def memoCount(s: SparkSession, dir: String, name: String): Long =
+    rowCountMemo.getOrElseUpdate(s"$dir/$name", t(s, dir, name).count())
+
   /** `events.parquet` carries TIMESTAMP(NANOS) — normalize to a µs
     * session-zone timestamp whatever the runtime reads it as (NTZ on
     * Spark 4.1+, nanos-long under the legacy flag). See
@@ -816,8 +826,13 @@ object QEtl {
         // rows the saved exchange doesn't buy back the bloom build, so
         // small corpora keep the plain semi-join plan (measured: bloom at
         // sf10 = +0.7 s, at sf100 = −6.3 s). The row count is a
-        // metadata-only job (parquet footer counts, no column reads).
-        val big = t(s, dir, "lineitem").count() >= 200000000L
+        // zero-column scan (no column IO, one job — not literally free),
+        // memoized per (dir, table) per JVM so sweeps pay it once; the
+        // threshold is a conf so PlanBudgetSpec can force the scale
+        // variant at test size (the audit corpus could otherwise never
+        // render it — VERDICT r13 "what's wrong" #2).
+        val big = memoCount(s, dir, "lineitem") >=
+          s.conf.get("spark.graft.q75.minProbeRows", "200000000").toLong
         val pruned = if (!big)
           t(s, dir, "lineitem")
         else {
@@ -825,13 +840,14 @@ object QEtl {
             .filter("o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1995-07-01'")
             .select("o_orderkey")
           // size the bloom WITHOUT scanning the creation side twice: the
-          // unfiltered row count is metadata-only, and the window/domain
+          // unfiltered row count is a memoized zero-column scan, and the
+          // window/domain
           // ratio (6 months of the corpus's ~7-year o_orderdate span ≈
           // 8%) is what a stats-backed planner reads off footer min/max —
           // est lands within ~15% of the true window key count at every
           // sf, keeping the bloom's hash count near optimal (fpp is a
           // perf knob only; correctness never depends on it)
-          val est = math.max((t(s, dir, "orders").count() * 0.10).toLong, 1024L)
+          val est = math.max((memoCount(s, dir, "orders") * 0.10).toLong, 1024L)
           val bloomRow = winKeys
             .agg(graft.functions.Bloom.bloomAgg(col("o_orderkey"), est).as("b")).head()
           if (bloomRow.isNullAt(0)) t(s, dir, "lineitem").filter(lit(false))

@@ -25,9 +25,13 @@ import graft.gen.Synthetic
   *    versions → linear in days but tiny slope (the SCD2 full-snapshot
   *    rewrite is the suspect the verdict named);
   *  - fact_transactions anti-join (J5: id-only vs the WHOLE target, the
-  *    reference's re-run contract): scan grows linearly with loaded days;
-  *  - fact_stock_history current-flag probe (J2/P2): table grows by the
-  *    day's changed products only.
+  *    reference's re-run contract): the id SCAN grows linearly with loaded
+  *    days; the EXCHANGE stays bounded once the gated bloom prefilter
+  *    engages (spark.graft.j5.bloomMinRows, default 20M ≈ day ~11 here);
+  *  - fact_stock_history current-flag probe (J2/P2): the daily sales
+  *    decrement (2M tx over 50k products) touches nearly every product,
+  *    so the table grows ~nProducts/day — near-linear growth IS the
+  *    designed baseline here, not a regression signal (ADVICE r13).
   *
   * Usage: tools/run_main.sh graft.tools.EtlReplayBench
   *   env SPARK_GRAFT_DAYS      (default 30)
@@ -36,6 +40,16 @@ import graft.gen.Synthetic
   *       SPARK_GRAFT_TX_PER_DAY(default 2000000)  ≈ sf10 facts over 30 days
   *       SPARK_GRAFT_CPUS      (default 32)
   *       SPARK_GRAFT_OUT       (default /root/repo/BENCH_etl_replay_sf10.json)
+  *       SPARK_GRAFT_WH        persistent warehouse dir (default: fresh
+  *                             temp dir, deleted on exit; a given dir is
+  *                             KEPT, enabling resume + A/B on one state)
+  *       SPARK_GRAFT_FROM      first day index (default 0; resuming needs
+  *                             SPARK_GRAFT_WH pointing at a warehouse that
+  *                             already holds days 0..FROM-1)
+  *       SPARK_GRAFT_J5_BLOOM_MIN  forwarded to spark.graft.j5.bloomMinRows
+  *       SPARK_GRAFT_STAGE_POOL    forwarded to spark.graft.etl.stagePool
+  *                             (1 = serialize stages: solo per-stage times
+  *                             free of 4-way pool contention)
   */
 object EtlReplayBench {
 
@@ -46,6 +60,7 @@ object EtlReplayBench {
     val txPerDay = sys.env.getOrElse("SPARK_GRAFT_TX_PER_DAY", "2000000").toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val outPath = sys.env.getOrElse("SPARK_GRAFT_OUT", "/root/repo/BENCH_etl_replay_sf10.json")
+    val fromDay = sys.env.getOrElse("SPARK_GRAFT_FROM", "0").toInt
 
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -59,6 +74,10 @@ object EtlReplayBench {
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    sys.env.get("SPARK_GRAFT_J5_BLOOM_MIN")
+      .foreach(v => spark.conf.set("spark.graft.j5.bloomMinRows", v))
+    sys.env.get("SPARK_GRAFT_STAGE_POOL")
+      .foreach(v => spark.conf.set("spark.graft.etl.stagePool", v))
 
     // per-stage attribution: EtlRun labels each phase's jobs "etl:<stage>"
     val active = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
@@ -76,10 +95,16 @@ object EtlReplayBench {
         }
     })
 
-    val wh = java.nio.file.Files.createTempDirectory("graft_etl_replay").toFile
-    sys.addShutdownHook {
-      def rm(f: java.io.File): Unit = { if (f.isDirectory) f.listFiles().foreach(rm); f.delete(): Unit }
-      rm(wh)
+    val wh = sys.env.get("SPARK_GRAFT_WH") match {
+      case Some(dir) => // persistent: kept across runs for resume / solo A/B
+        val f = new java.io.File(dir); f.mkdirs(); f
+      case None =>
+        val f = java.nio.file.Files.createTempDirectory("graft_etl_replay").toFile
+        sys.addShutdownHook {
+          def rm(g: java.io.File): Unit = { if (g.isDirectory) g.listFiles().foreach(rm); g.delete(): Unit }
+          rm(f)
+        }
+        f
     }
     def path(t: String) = s"$wh/$t"
     def day(d: Int) = java.time.LocalDate.parse("2025-03-01").plusDays(d.toLong).toString
@@ -87,7 +112,7 @@ object EtlReplayBench {
     val etl = new graft.pipeline.EtlRun(spark, wh.toString)
     val perDay = Vector.newBuilder[String]
 
-    for (d <- 0 until days) {
+    for (d <- fromDay until days) {
       val today = day(d)
 
       // ---- UNTIMED input staging: the OLTP side drifts, the ETL ingests.
@@ -122,7 +147,10 @@ object EtlReplayBench {
       Seq("users" -> users, "products" -> products).foreach { case (t, df) =>
         df.write.mode("overwrite").parquet(path(s"${t}__next"))
         graft.io.Fs.deleteRecursively(path(t), spark.sessionState.newHadoopConf())
-        new java.io.File(path(s"${t}__next")).renameTo(new java.io.File(path(t))): Unit
+        // fail FAST on a swap failure: a silent renameTo=false would leave
+        // the next day reading the deleted path (ADVICE r13)
+        if (!new java.io.File(path(s"${t}__next")).renameTo(new java.io.File(path(t))))
+          throw new java.io.IOException(s"rename ${t}__next -> $t failed")
         // external overwrite of a path a long-lived session reads:
         // invalidate cached plans/listings for it (EtlRunSpec.writeOltp's
         // documented pattern)
@@ -133,13 +161,18 @@ object EtlReplayBench {
         .write.mode("append").partitionBy("date").parquet(path("transactions"))
       spark.catalog.refreshByPath(path("transactions"))
 
-      // ---- TIMED: the pipeline itself (eager; run-log row forced inside)
+      // ---- TIMED: the pipeline itself (eager; run-log row forced inside).
+      // Clear BOTH maps: a stale `active` entry whose job-end arrives
+      // later would bleed its duration into this day (ADVICE r13).
       stageMs.clear()
+      active.clear()
       val t0 = System.nanoTime()
       val runLog = etl.run(today)
       val status = runLog.select("status").first().getString(0)
       val wall = (System.nanoTime() - t0) / 1e9
-      Thread.sleep(200) // drain listener events before snapshotting stages
+      // deterministic drain (not a fixed sleep): every queued listener
+      // event is delivered before the per-stage snapshot
+      org.apache.spark.sql.graft.bridge.waitListenerBusEmpty(spark.sparkContext)
 
       // ---- UNTIMED: accumulation telemetry
       import graft.schemas.Schemas
@@ -163,7 +196,7 @@ object EtlReplayBench {
     }
 
     val daysJson = perDay.result().mkString("[", ",", "]")
-    val doc = s"""{"metric":"etl_replay","days":$days,"n_users":$nUsers,""" +
+    val doc = s"""{"metric":"etl_replay","days":$days,"from_day":$fromDay,"n_users":$nUsers,""" +
       s""""n_products":$nProducts,"tx_per_day":$txPerDay,"cpus":$cpus,""" +
       s""""per_day":$daysJson}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),

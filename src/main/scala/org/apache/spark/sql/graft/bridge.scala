@@ -45,4 +45,10 @@ object bridge {
     df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.executePlan(df.queryExecution.logical)
       .executedPlan.toString
+  /** Deterministic listener drain (`listenerBus` is `private[spark]`):
+    * blocks until every queued event is delivered, replacing the replay
+    * harness's fixed Thread.sleep whose late-arriving job-end events bled
+    * a day's stage time into the next (ADVICE r13). */
+  def waitListenerBusEmpty(sc: org.apache.spark.SparkContext): Unit =
+    sc.listenerBus.waitUntilEmpty()
 }

@@ -78,6 +78,63 @@ class FactLoadSpec extends SparkSpec {
     assert(warnings.count() === 0)
   }
 
+  /** Run `body` with the J5 bloom gate forced ON (threshold 0: any
+    * existing-fact count qualifies), restoring the default after. */
+  private def withBloomGateForced[T](body: => T): T = {
+    spark.conf.set("spark.graft.j5.bloomMinRows", "0")
+    try body finally spark.conf.unset("spark.graft.j5.bloomMinRows")
+  }
+
+  test("J5 bloom prefilter: forced gate yields IDENTICAL facts and warnings") {
+    // moderate overlap set: ids 1..400 incoming, evens ≤ 600 already
+    // loaded → exactly the odd incoming ids load. Bloom false positives
+    // must fall through to the exact anti-join (same result either way);
+    // false negatives are structurally impossible.
+    val batch = tx((1L to 400L).map(i => (i, "2024-02-01", 10L, 100L, 1, 10.0)): _*)
+    val existing = (2L to 600L by 2).toDF("transaction_id")
+    val (exactFacts, exactWarn, _) = TxLoad.load(batch, dimUser, dimProduct, existing, "2024-02-02")
+    val (bloomFacts, bloomWarn, _) = withBloomGateForced(
+      TxLoad.load(batch, dimUser, dimProduct, existing, "2024-02-02"))
+    assert(sortedRows(bloomFacts) === sortedRows(exactFacts))
+    assert(sortedRows(bloomWarn) === sortedRows(exactWarn))
+    assert(bloomFacts.select("transaction_id").as[Long].collect().toSet
+      === (1L to 400L by 2).toSet)
+  }
+
+  test("J5 bloom prefilter: already-loaded id stays blocked (no false negatives)") {
+    val batch = tx((6L, "2024-02-01", 10L, 100L, 1, 10.0),
+      (7L, "2024-02-01", 10L, 100L, 1, 10.0))
+    val existing = Seq(6L).toDF("transaction_id")
+    val (facts, _, _) = withBloomGateForced(
+      TxLoad.load(batch, dimUser, dimProduct, existing, "2024-02-02"))
+    assert(facts.select("transaction_id").as[Long].collect().toSeq === Seq(7L))
+  }
+
+  test("J5 bloom prefilter: the history scan is might_contain-pruned BEFORE the exchange") {
+    // history must be a REAL scan: over a LocalRelation the optimizer
+    // evaluates the bloom probe at plan time (ConvertToLocalRelation)
+    // and the assertion would see nothing
+    val dir = java.nio.file.Files.createTempDirectory("graft_j5_bloom").toString
+    try {
+      Seq(6L).toDF("transaction_id").write.mode("overwrite").parquet(dir)
+      val existing = spark.read.parquet(dir)
+      val batch = tx((8L, "2024-02-01", 10L, 100L, 1, 10.0))
+      val (facts, _, _) = withBloomGateForced(
+        TxLoad.load(batch, dimUser, dimProduct, existing, "2024-02-02"))
+      val plan = facts.queryExecution.executedPlan.toString
+      assert(plan.contains("might_contain"), s"expected bloom probe in plan:\n$plan")
+    } finally graft.io.Fs.deleteRecursively(dir, spark.sessionState.newHadoopConf())
+  }
+
+  test("J5 bloom prefilter: empty batch keeps the load a no-op") {
+    val batch = tx()
+    val existing = Seq(6L).toDF("transaction_id")
+    val (facts, warnings, _) = withBloomGateForced(
+      TxLoad.load(batch, dimUser, dimProduct, existing, "2024-02-02"))
+    assert(facts.count() === 0)
+    assert(warnings.count() === 0)
+  }
+
   test("stock orphan (no current dim row) is warned and skipped") {
     val products = Seq((300L, "r", "cat", 5.0, 1))
       .toDF("product_id", "name", "category", "price", "stock")

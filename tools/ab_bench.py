@@ -16,10 +16,16 @@ Usage:
 
 Each JVM runs graft.Bench with SPARK_GRAFT_ONLY=<queries>, RUNS=1 (the
 alternation IS the repetition; per-side minima are taken across
-alternations). Verdict per query:
+alternations). Alternations run in BOTH orders by default — even
+alternations A,B; odd alternations B,A — because the r13 adjudication
+found a pure ordering bias: the side running second absorbs in-pair box
+drift, and two "code" verdicts flipped to "box" when sides were swapped
+(VERDICT r13 #5). Verdict per query:
   ratio = min_B / min_A
-  "code" when |log(ratio)| > log(1.15) AND the same sign holds in >= 2/3
-  of the paired alternations (a one-off spike on a shared box is "box").
+  "code" when |log(ratio)| > log(1.15), the same sign holds in the
+  majority of paired alternations, AND BOTH run orders independently
+  agree (per-order majorities with the same sign) — an effect that
+  vanishes when the order flips is scheduling, not code.
   "box" otherwise.
 """
 import argparse, json, math, os, subprocess, sys, time
@@ -68,7 +74,8 @@ def main():
     ap.add_argument("--classes-b", required=True)
     ap.add_argument("--sf", required=True)
     ap.add_argument("--queries", required=True)
-    ap.add_argument("--alternations", type=int, default=3)
+    ap.add_argument("--alternations", type=int, default=4,
+                    help="even count balances the two run orders")
     ap.add_argument("--cpus", type=int, default=32)
     ap.add_argument("--out", default="/tmp/bench_ab.json")
     ap.add_argument("--label-a", default="A")
@@ -79,13 +86,19 @@ def main():
 
     qnames = [q for q in args.queries.split(",") if q]
     runs = {"A": [], "B": []}  # list of per-alternation {query: sec}
+    orders = []                # "AB" or "BA" per alternation
     for alt in range(args.alternations):
-        for side, classes in (("A", args.classes_a), ("B", args.classes_b)):
+        # dual-order: flip which side runs first on odd alternations so
+        # in-pair box drift cannot systematically charge one side
+        pair = (("A", args.classes_a), ("B", args.classes_b))
+        order = "AB" if alt % 2 == 0 else "BA"
+        orders.append(order)
+        for side, classes in (pair if order == "AB" else pair[::-1]):
             out = f"/tmp/ab_{side}_{alt}.json"
             qtimes, wall = run_side(classes, args.sf, args.queries,
                                     args.cpus, out)
             runs[side].append(qtimes)
-            print(f"[ab] alt {alt} side {side}: "
+            print(f"[ab] alt {alt} ({order}) side {side}: "
                   + " ".join(f"{q}={qtimes.get(q, float('nan')):.2f}s"
                              for q in qnames)
                   + f" (jvm {wall:.0f}s)", flush=True)
@@ -101,17 +114,35 @@ def main():
         paired = [rb[q] / ra[q] for ra, rb in zip(runs["A"], runs["B"])]
         big = abs(math.log(ratio)) > thr
         sign = 1 if ratio > 1 else -1
+
+        def subset_agrees(ps):
+            """majority of this order's pairs move past threshold with
+            the overall sign; an empty subset cannot confirm anything"""
+            if not ps:
+                return False
+            n = sum(1 for p in ps
+                    if abs(math.log(p)) > thr and (1 if p > 1 else -1) == sign)
+            return n >= max(1, (len(ps) + 1) // 2)
+
+        by_order = {o: [p for p, oo in zip(paired, orders) if oo == o]
+                    for o in ("AB", "BA")}
+        order_ok = {o: subset_agrees(ps) for o, ps in by_order.items()}
         consistent = sum(1 for p in paired
                          if abs(math.log(p)) > thr and
                          (1 if p > 1 else -1) == sign)
-        verdict = "code" if big and consistent >= max(
-            2, (args.alternations + 1) // 2) else "box"
+        # "code" needs the overall move, a majority of pairs, AND both
+        # run orders agreeing independently (the r13 ordering-bias rule)
+        verdict = ("code" if big
+                   and consistent >= max(2, (args.alternations + 1) // 2)
+                   and all(order_ok.values()) else "box")
         per_query[q] = {
             "a_runs": [round(x, 3) for x in a],
             "b_runs": [round(x, 3) for x in b],
             "min_a": round(min_a, 3), "min_b": round(min_b, 3),
             "ratio_b_over_a": round(ratio, 4),
             "paired_ratios": [round(p, 4) for p in paired],
+            "pair_orders": orders,
+            "order_agrees": order_ok,
             "verdict": verdict,
         }
     artifact = {

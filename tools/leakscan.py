@@ -115,8 +115,9 @@ def main():
     rounds = [int(m.group(1))
               for p in glob.glob(os.path.join(ROOT, "CORRECTNESS_r*.json"))
               for m in [re.search(r"CORRECTNESS_r(\d+)\.json$", p)] if m]
+    max_round = max(rounds) if rounds else None
     ap.add_argument("--round", type=int,
-                    default=(max(rounds) + 1 if rounds else 0))
+                    default=(max_round + 1 if rounds else 0))
     ap.add_argument("--out", default=os.path.join(ROOT, "LEAKCHECK_local.json"))
     args = ap.parse_args()
     paths = files_to_scan()
@@ -128,6 +129,13 @@ def main():
         head = None
     doc = {
         "round": args.round,
+        # disambiguate the derived default around round close (ADVICE
+        # r13): `round` means "the tree being built FOR round N" and is
+        # max(CORRECTNESS_r*)+1 at derivation time; a re-run AFTER the
+        # driver writes round N's CORRECTNESS file would stamp N+1 for
+        # the same tree, so the artifact also records what the default
+        # was derived from.
+        "derived_from_correctness_round": max_round,
         "files_scanned": len(paths),
         "tree_sha256": tree_sha(paths),
         "git_head": head,
