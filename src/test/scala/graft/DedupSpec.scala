@@ -16,6 +16,25 @@ class DedupSpec extends SparkSpec {
     assert(sortedRows(out) === Seq(Seq(1, "a"), Seq(3, "c")))
   }
 
+  test("antiJoinExistingBloomed equals the exact anti-join on a key-typed frame") {
+    // long keys (BloomFilterAggregate input type); heavy overlap so both
+    // the drop and keep paths exercise, plus a tiny estItems to push the
+    // false-positive rate up — fps must fall through to the exact join
+    val incoming = (1L to 300L).map(i => (i, s"v$i")).toDF("tx_id", "v")
+    val existing = (1L to 900L by 3).toDF("tx_id")
+    val exact = Dedup.antiJoinExisting(incoming, existing, Seq("tx_id"))
+    val bloomed = Dedup.antiJoinExistingBloomed(incoming, existing, "tx_id", estItems = 32L)
+    assert(sortedRows(bloomed) === sortedRows(exact))
+    assert(bloomed.count() === 200) // 300 incoming minus every third
+  }
+
+  test("antiJoinExistingBloomed: empty incoming yields empty without scanning history") {
+    val incoming = Seq.empty[(Long, String)].toDF("tx_id", "v")
+    val existing = (1L to 10L).toDF("tx_id")
+    val out = Dedup.antiJoinExistingBloomed(incoming, existing, "tx_id", estItems = 1024L)
+    assert(out.count() === 0)
+  }
+
   test("firstWins keeps exactly one row per PK and routes the rest to dups") {
     val batch = Seq((1, 10, 1, "first"), (1, 10, 2, "second"), (1, 11, 1, "other-pk"))
       .toDF("tx_id", "product_sk", "seq", "v")
