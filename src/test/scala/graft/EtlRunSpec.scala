@@ -270,6 +270,45 @@ class EtlRunSpec extends SparkSpec {
     assert(log.getAs[String]("status") === "failed")
   }
 
+  test("conf knobs: serialized stage pool + forced J5 bloom gate reproduce the default run exactly") {
+    // the two r14 measurement/scale knobs must be semantics-free: a day
+    // run with spark.graft.etl.stagePool=1 (stages serialized for
+    // contention-free timing) AND spark.graft.j5.bloomMinRows=0 (bloom
+    // prefilter on from the bootstrap day) must leave a warehouse with
+    // the same table counts as the default-conf run on the SAME inputs
+    val whA = Files.createTempDirectory("graft_e2e_knobs_a").toString
+    val whB = Files.createTempDirectory("graft_e2e_knobs_b").toString
+    val users = Synthetic.users(spark, nUsers)
+    val products = Synthetic.products(spark, nProducts)
+    val tx = Synthetic.transactions(spark, 200, day1, nUsers, nProducts)
+    def stage(wh: String): Unit = {
+      users.write.mode("overwrite").parquet(s"$wh/users")
+      products.write.mode("overwrite").parquet(s"$wh/products")
+      tx.write.mode("overwrite").partitionBy("date").parquet(s"$wh/transactions")
+    }
+    stage(whA); stage(whB)
+    new EtlRun(spark, whA).run(day1)
+    spark.conf.set("spark.graft.etl.stagePool", "1")
+    spark.conf.set("spark.graft.j5.bloomMinRows", "0")
+    try new EtlRun(spark, whB).run(day1)
+    finally {
+      spark.conf.unset("spark.graft.etl.stagePool")
+      spark.conf.unset("spark.graft.j5.bloomMinRows")
+    }
+    def counts(wh: String) = {
+      val e = new EtlRun(spark, wh)
+      Seq("dim_user" -> Schemas.dimUser, "dim_product" -> Schemas.dimProduct,
+        "fact_transactions" -> Schemas.factTransactions,
+        "fact_stock_history" -> Schemas.factStockHistory,
+        "etl_error_log" -> Schemas.etlErrorLog)
+        .map { case (t, s) => t -> e.table(t, s).count() }
+    }
+    assert(counts(whB) === counts(whA))
+    val status = new EtlRun(spark, whB).table("etl_run_log", Schemas.etlRunLog)
+      .select("status").first().getString(0)
+    assert(status === "success")
+  }
+
   test("multi-day replay: five drifting days re-version dims exactly and accumulate facts without reloads") {
     // VERDICT r12 "what's missing" #2's correctness side: tools
     // .EtlReplayBench measures the N-day wall profile at corpus scale;
