@@ -324,6 +324,32 @@ object QEtl {
       Some("""SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
         |WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F')""".stripMargin)),
 
+    // J5 scale path — the bloom-prefiltered anti-join (r14), shaped for
+    // its design regime: incoming is a BOUNDED slice (one ship-month —
+    // the daily-extract stand-in) dedup'd against a key set ~10× larger
+    // (half the orders corpus). The bloom over incoming prunes the big
+    // side's scan before its distinct/exchange; exactness is structural
+    // (no false negatives; false positives fall through to the exact
+    // anti-join), which is precisely what this oracle row checks — the
+    // driver's DuckDB compare covers the bloom plan itself, not just the
+    // FactLoadSpec identity assertions.
+    Qry("q181_anti_join_bloomed",
+      (s, dir) => Dedup.antiJoinExistingBloomed(
+        t(s, dir, "lineitem")
+          .filter("l_shipdate >= DATE '1995-03-01' AND l_shipdate < DATE '1995-04-01'")
+          .select("l_orderkey", "l_linenumber", "l_quantity"),
+        t(s, dir, "orders").filter(col("o_orderstatus") === "F")
+          .select(col("o_orderkey").as("l_orderkey")),
+        // est sized like q75's: corpus row count × the window/domain ratio
+        // a stats-backed planner would read (1 ship-month of ~84 × ~4
+        // lines/order ≈ 1/300) — the bloom LITERAL ships with every task,
+        // so a fixed big est would tax small corpora with MB-scale task
+        // binaries for a KB-scale key set
+        "l_orderkey", estItems = math.max(memoCount(s, dir, "lineitem") / 300L, 1024L)),
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        |WHERE l_shipdate >= DATE '1995-03-01' AND l_shipdate < DATE '1995-04-01'
+        |  AND l_orderkey NOT IN (SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F')""".stripMargin)),
+
     // J1 — FK-existence semi join
     Qry("q10_semi_join",
       (s, dir) => t(s, dir, "customer")
