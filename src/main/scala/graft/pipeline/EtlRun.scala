@@ -245,9 +245,14 @@ final class EtlRun(spark: SparkSession, warehouse: String) {
           val (stockRows, stockWarnings) = StockHistory.load(
             validProducts, dimProductNow, table("fact_stock_history", Schemas.factStockHistory), today)
           // ---- FACT: transactions (anti-join + PIT + first-wins)
-          val (txFacts, txWarnings, dateRows) = TxLoad.load(
+          // labeled: since r14 the load's PLANNING is no longer action-free
+          // (the bloom gate's zero-column count + the single-row bloom
+          // build run here) — without a stage label those jobs land in
+          // wall_s but in no stage_s, silently understating the J5 path
+          // in replay attribution
+          val (txFacts, txWarnings, dateRows) = stage("fact_plan")(TxLoad.load(
             validTx, dimUserNow, dimProductNow,
-            table("fact_transactions", Schemas.factTransactions), today)
+            table("fact_transactions", Schemas.factTransactions), today))
           // dim_date backfill for today + every loaded tx date
           // (etl.py:320-324, 431) — merge-distinct against the calendar
           val curDates = table("dim_date", Schemas.dimDate)
