@@ -48,9 +48,20 @@ object TxLoad {
     *                  the same stats gap that forces q75 to hand-build
     *                  Spark's runtime filter). Semantics identical either
     *                  way. */
+  /** @param sidecarPrune when the caller maintains per-`load_date` id
+    *                  sidecars ([[TxSidecar]] — EtlRun does), the
+    *                  already-probed scan set + batch bloom. The anti-join
+    *                  then reads ONLY those fact partitions (zero history
+    *                  bytes on a disjoint-id day) instead of scanning all
+    *                  historical ids; no count gate runs at all. Requires
+    *                  the sidecar superset contract
+    *                  ([[graft.ops.Dedup.antiJoinExistingPartitionPruned]]).
+    *                  Ignored when `incomingBounded` is false — the probe
+    *                  premise is the same bounded-batch one. */
   def load(validTx: DataFrame, dimUser: DataFrame, dimProduct: DataFrame,
            existingFact: DataFrame, today: String,
-           incomingBounded: Boolean = true): (DataFrame, DataFrame, DataFrame) = {
+           incomingBounded: Boolean = true,
+           sidecarPrune: Option[TxSidecar.Prune] = None): (DataFrame, DataFrame, DataFrame) = {
 
     // J5 — fidelity: keyed on transaction_id ALONE (etl.py:308-311), so a
     // partially loaded multi-product tx is never completed on re-run.
@@ -67,14 +78,26 @@ object TxLoad {
     // load; the default threshold keeps small corpora on the plain
     // plan). Default 20M ≈ sf10-replay day ~11, so a month-long replay
     // exercises both sides.
+    // `bloomMinRows` compares fact ROWS (inflated by multi-product txs)
+    // against a threshold whose real subject is the distinct-id exchange;
+    // the approximation drifts with the corpus's lines-per-tx, which is
+    // fine for a perf-only heuristic but worth knowing when tuning the
+    // threshold on another corpus shape (ADVICE r14). EtlRun itself no
+    // longer reaches this gate: it probes TxSidecar indexes instead, so
+    // the count() below only runs for direct sidecar-less callers.
     val conf = validTx.sparkSession.conf
     val bloomMin = conf.get("spark.graft.j5.bloomMinRows", "20000000").toLong
     val estItems = conf.get("spark.graft.j5.bloomEstItems", "4000000").toLong
-    val fresh = (
-      if (incomingBounded && existingFact.count() >= bloomMin)
-        Dedup.antiJoinExistingBloomed(validTx, existingFact, "transaction_id", estItems)
-      else Dedup.antiJoinExisting(validTx, existingFact, Seq("transaction_id"))
-    ).withColumn("tx_date", to_date(col("date")))
+    val fresh = (sidecarPrune match {
+      case Some(p) if incomingBounded =>
+        Dedup.antiJoinExistingPartitionPruned(validTx, existingFact,
+          "transaction_id", "load_date",
+          p.scanDates.map(java.sql.Date.valueOf), p.pruneBloom)
+      case _ =>
+        if (incomingBounded && existingFact.count() >= bloomMin)
+          Dedup.antiJoinExistingBloomed(validTx, existingFact, "transaction_id", estItems)
+        else Dedup.antiJoinExisting(validTx, existingFact, Seq("transaction_id"))
+    }).withColumn("tx_date", to_date(col("date")))
 
     // PIT lookups (J3). The reference probes user first and skips the row
     // before probing product (etl.py:326-360) — so a row missing BOTH only

@@ -71,6 +71,21 @@ object Fs {
     }
   }
 
+  /** Distinct values of a partition column, straight off the directory
+    * names (`col=value/` subdirectories) — one listing, no footer reads.
+    * Empty when the table is absent or unpartitioned. Hive-style encoding
+    * is URI-escaped; values here (ISO dates) never need unescaping. */
+  def partitionValues(path: String, column: String, conf: Configuration): Seq[String] = {
+    val p = new Path(path)
+    val f = fs(p, conf)
+    val prefix = column + "="
+    if (!f.exists(p)) Seq.empty
+    else f.listStatus(p).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith(prefix))
+      .map(_.getPath.getName.stripPrefix(prefix))
+      .sorted
+  }
+
   private def stagingOf(path: String) = s"${path}__staging"
   private def oldOf(path: String) = s"${path}__old"
 

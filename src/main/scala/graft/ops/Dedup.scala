@@ -43,8 +43,14 @@ object Dedup {
     * `estItems` sizes the bloom (overprovisioning only lowers the
     * false-positive rate; Spark clamps bits at maxNumBits, 8 MB). The
     * single-row `.head()` is the sanctioned bounded plan-literal
-    * collect — callers should pass an `incoming` that is cheap to
-    * re-evaluate (EtlRun hands in a cached validation frame). */
+    * collect — the caller contract is DETERMINISTIC re-evaluation, not
+    * just cheapness (ADVICE r14): `incoming` is evaluated once for the
+    * bloom build and again inside the anti-join action, and if the two
+    * evaluations could disagree (nondeterministic upstream, lineage over
+    * a mutated source), an id absent from the bloom could prune away its
+    * matching history row and re-load a duplicate. EtlRun hands in a
+    * frame derived from a cached validation scan; other callers should
+    * cache or localCheckpoint anything weaker. */
   def antiJoinExistingBloomed(incoming: DataFrame, existingKeys: DataFrame, key: String,
                               estItems: Long): DataFrame = {
     val row = incoming.agg(graft.functions.Bloom.bloomAgg(col(key), estItems).as("b")).head()
@@ -54,6 +60,36 @@ object Dedup {
         graft.functions.Bloom.mightContain(lit(row.getAs[Array[Byte]]("b")), col(key)))
     antiJoinExisting(incoming, pruned, Seq(key))
   }
+
+  /** Sidecar-pruned variant of level 1 (VERDICT r15 target: sublinear
+    * history I/O): when the target table is partitioned on `partitionCol`
+    * and the caller has already worked out — from per-partition id
+    * indexes, see [[graft.facts.TxSidecar]] — which partition values
+    * could possibly contain an incoming id, the anti-join only needs to
+    * read THOSE partitions. `scanValues` empty means no history id can
+    * match, so the incoming batch passes through with no join (and no
+    * history bytes read) at all. `pruneBloom` optionally re-applies the
+    * [[antiJoinExistingBloomed]] `might_contain` row prune inside the
+    * scanned partitions (the caller usually has this bloom already — it
+    * is the same aggregate the sidecar row is built from — so it costs
+    * zero extra actions here).
+    *
+    * Exactness rests on the caller's superset contract: every history
+    * row whose `key` matches an incoming id must live in a partition
+    * listed in `scanValues`. Partition pruning then only removes rows
+    * the join could never match, and bloom false positives fall through
+    * to the exact anti-join as always. */
+  def antiJoinExistingPartitionPruned(incoming: DataFrame, existingFact: DataFrame,
+                                      key: String, partitionCol: String,
+                                      scanValues: Seq[Any],
+                                      pruneBloom: Option[Array[Byte]] = None): DataFrame =
+    if (scanValues.isEmpty) incoming
+    else {
+      val part = existingFact.filter(col(partitionCol).isin(scanValues: _*))
+      val pruned = pruneBloom.fold(part)(b =>
+        part.filter(graft.functions.Bloom.mightContain(lit(b), col(key))))
+      antiJoinExisting(incoming, pruned, Seq(key))
+    }
 
   /** Level 2 — in-batch first-wins dedup on the composite PK (the reference
     * relies on the PK constraint raising IntegrityError per duplicate row,

@@ -50,5 +50,16 @@ object bridge {
     * harness's fixed Thread.sleep whose late-arriving job-end events bled
     * a day's stage time into the next (ADVICE r13). */
   def waitListenerBusEmpty(sc: org.apache.spark.SparkContext): Unit =
-    sc.listenerBus.waitUntilEmpty()
+    // generous explicit bound, and degrade instead of abort: the no-arg
+    // variant throws TimeoutException on a slow drain (~10 s internal
+    // bound), which after a heavy sf100 replay day would crash the whole
+    // multi-day sweep rather than skew one day's stage attribution
+    // (ADVICE r14). A drain that somehow exceeds 2 min falls through —
+    // same behavior as the old fixed-sleep approach, minus the crash.
+    try sc.listenerBus.waitUntilEmpty(120000L)
+    catch {
+      case _: java.util.concurrent.TimeoutException =>
+        System.err.println("[bridge] listener bus did not drain in 120 s; " +
+          "proceeding — stage attribution for this window may be incomplete")
+    }
 }

@@ -271,11 +271,13 @@ class EtlRunSpec extends SparkSpec {
   }
 
   test("conf knobs: serialized stage pool + forced J5 bloom gate reproduce the default run exactly") {
-    // the two r14 measurement/scale knobs must be semantics-free: a day
-    // run with spark.graft.etl.stagePool=1 (stages serialized for
-    // contention-free timing) AND spark.graft.j5.bloomMinRows=0 (bloom
-    // prefilter on from the bootstrap day) must leave a warehouse with
-    // the same table counts as the default-conf run on the SAME inputs
+    // the measurement/scale knobs must be semantics-free: a day run with
+    // spark.graft.etl.stagePool=1 (stages serialized for contention-free
+    // timing) AND spark.graft.j5.bloomMinRows=0 (forces the legacy bloom
+    // gate for DIRECT TxLoad callers; EtlRun itself now always takes the
+    // sidecar-pruned path, where the knob is inert) must leave a
+    // warehouse with the same table counts as the default-conf run on
+    // the SAME inputs
     val whA = Files.createTempDirectory("graft_e2e_knobs_a").toString
     val whB = Files.createTempDirectory("graft_e2e_knobs_b").toString
     val users = Synthetic.users(spark, nUsers)
@@ -393,5 +395,39 @@ class EtlRunSpec extends SparkSpec {
     assert(runs.agg(sum("rows_stock_inserted")).first().getLong(0) === expStockRows)
     assert(runs.agg(sum("rows_users_inserted")).first().getLong(0) === expUserRows)
     assert(runs.agg(sum("rows_products_inserted")).first().getLong(0) === expProdRows)
+
+    // J5 sidecar accounting over the same replay: one index row per day,
+    // and every day after the first probed CLEAN (fresh ids are disjoint
+    // from all history, so the anti-join read zero historical partitions
+    // — the flat-fact_tx design point the sf10 replay measures at scale)
+    val sidecars = etlM.table(graft.facts.TxSidecar.tableName, graft.facts.TxSidecar.schema)
+    assert(sidecars.count() === nDays)
+    val notes = runs.orderBy("run_id").select("notes").as[String].collect()
+    assert(notes.forall(_.startsWith("j5:path=sidecar;hit=0;uncovered=0;scan=0/")), notes.mkString("\n"))
+    notes.zipWithIndex.foreach { case (n, i) =>
+      assert(n.contains(s"scan=0/$i"), s"day $i notes: $n") // i indexed days before it
+    }
+  }
+
+  test("J5 sidecar re-run: the probe scans exactly the one partition holding the replayed ids") {
+    day1Run
+    // a fresh day with globally new ids: probe must come back empty
+    val day9 = "2025-03-09"
+    writeOltp(Synthetic.users(spark, nUsers), Synthetic.products(spark, nProducts),
+      Synthetic.transactions(spark, 50, day9, nUsers, nProducts, firstId = 90001))
+    etl.run(day9)
+    def lastNotes() = tbl("etl_run_log").orderBy(col("run_id").desc)
+      .select("notes").first().getString(0)
+    val fresh = lastNotes()
+    assert(fresh.contains("hit=0;uncovered=0;scan=0/"), fresh)
+    assert(!fresh.contains("ineffective"), fresh)
+
+    // idempotent re-run of the SAME day: every id hits day9's sidecar —
+    // the probe narrows the history read to exactly that partition
+    val factsBefore = tbl("fact_transactions").count()
+    etl.run(day9)
+    val rerun = lastNotes()
+    assert(rerun.contains("hit=1;uncovered=0;scan=1/"), rerun)
+    assert(tbl("fact_transactions").count() === factsBefore) // nothing reloaded
   }
 }
