@@ -168,7 +168,10 @@ object EtlReplayBench {
       active.clear()
       val t0 = System.nanoTime()
       val runLog = etl.run(today)
-      val status = runLog.select("status").first().getString(0)
+      val (status, runNotes) = {
+        val r = runLog.select("status", "notes").first()
+        (r.getString(0), Option(r.getString(1)).getOrElse(""))
+      }
       val wall = (System.nanoTime() - t0) / 1e9
       // deterministic drain (not a fixed sleep): every queued listener
       // event is delivered before the per-stage snapshot
@@ -187,8 +190,12 @@ object EtlReplayBench {
         stageMs.asScala.toSeq.sortBy(-_._2.get())
           .map { case (k, v) => s""""$k":${v.get() / 1e3}""" }.mkString(",")
       }
+      // the run row's notes carry the J5 sidecar prune stats (scan set
+      // size, ineffective flag) — the per-day observability VERDICT r14
+      // asked to land in replay artifacts
       val line = s"""{"day":"$today","i":$d,"wall_s":${math.round(wall * 1000) / 1000.0},""" +
-        s""""status":"$status","fact_tx_rows":$factRows,"dim_user_rows":$dimUserRows,""" +
+        s""""status":"$status","notes":"$runNotes","fact_tx_rows":$factRows,""" +
+        s""""dim_user_rows":$dimUserRows,""" +
         s""""dim_product_rows":$dimProductRows,"stock_rows":$stockRows,""" +
         s""""error_rows":$errRows,"stage_s":{$stages}}"""
       System.err.println(s"[etl-replay] $line")
