@@ -350,6 +350,52 @@ object QEtl {
         |WHERE l_shipdate >= DATE '1995-03-01' AND l_shipdate < DATE '1995-04-01'
         |  AND l_orderkey NOT IN (SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F')""".stripMargin)),
 
+    // J5 sidecar path (r15) — the per-partition bloom key index probed
+    // BEFORE any history read (graft.facts.TxSidecar + Dedup
+    // .antiJoinExistingPartitionPruned), the operator the pipeline uses to
+    // keep the daily dedup's history I/O sublinear. Fixture regime: the
+    // sidecar prune pays off when incoming ids are LOCALIZED against the
+    // history partitioning (the reference's daily extract has monotone
+    // ids), so incoming is a fixed ORDERKEY-RANGE slice of lineitem (the
+    // id-locality stand-in, as q181's ship-month is the daily-extract
+    // stand-in) and the 'F'-orders history is bucketed into 64 key ranges.
+    // The range check alone rules out every non-overlapping bucket at ANY
+    // sf (constant scan fraction, no fpp dependence), and the per-bucket
+    // blooms — constant 64k est, so the collected index stays ~4 MB at
+    // every corpus size — catch interleaved keys inside overlapping
+    // buckets. The oracle hash-checks the anti-join VALUES against plain
+    // NOT IN over ALL 'F' orders: the prune's superset contract (a bucket
+    // is scanned iff some incoming id range+bloom-hits it) is exactly
+    // what makes those coincide.
+    Qry("q182_anti_join_sidecar",
+      (s, dir) => {
+        import graft.facts.TxSidecar
+        val bucketW = 1L + t(s, dir, "orders")
+          .agg(max("o_orderkey")).head().getLong(0) / 64L
+        val hist = t(s, dir, "orders").filter(col("o_orderstatus") === "F")
+          .select(col("o_orderkey").as("l_orderkey"),
+            (col("o_orderkey") / bucketW).cast("long").as("kb"))
+        // the whole 64-bucket index from ONE bounded agg (collect is the
+        // sanctioned plan-literal pattern: 64 rows × ~57 KB blooms)
+        val sidecars = hist.groupBy("kb").agg(
+            graft.functions.Bloom.bloomAgg(col("l_orderkey"), 65536L).as("b"),
+            min("l_orderkey").as("mn"), max("l_orderkey").as("mx"),
+            count(lit(1)).as("n"))
+          .collect().toSeq.map(r => TxSidecar.Sidecar(r.getAs[Long]("kb").toString,
+            r.getAs[Long]("mn"), r.getAs[Long]("mx"), r.getAs[Long]("n"),
+            r.getAs[Array[Byte]]("b")))
+        val incoming = t(s, dir, "lineitem")
+          .filter("l_orderkey >= 1000 AND l_orderkey < 3000")
+          .select("l_orderkey", "l_linenumber", "l_quantity")
+        val bb = TxSidecar.buildBatchBloom(incoming, "l_orderkey", 4096L)
+        val hits = TxSidecar.probeHitDates(incoming, "l_orderkey", sidecars)
+        Dedup.antiJoinExistingPartitionPruned(incoming, hist, "l_orderkey",
+          "kb", hits.map(_.toLong), bb.map(_.bloom))
+      },
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        |WHERE l_orderkey >= 1000 AND l_orderkey < 3000
+        |  AND l_orderkey NOT IN (SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F')""".stripMargin)),
+
     // J1 — FK-existence semi join
     Qry("q10_semi_join",
       (s, dir) => t(s, dir, "customer")

@@ -72,6 +72,12 @@ object EtlReplayBench {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      // sf100-sized daily increments carry ~20M ids; the default 4M
+      // maxNumItems clamp would silently saturate the J5 sidecar blooms
+      // (ranges still prune monotone-id days, but interleaved-id probes
+      // would degrade) — same lift Bench/Verify carry
+      .config("spark.sql.optimizer.runtime.bloomFilter.maxNumItems", "67108864")
+      .config("spark.sql.optimizer.runtime.bloomFilter.maxNumBits", "536870912")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     sys.env.get("SPARK_GRAFT_J5_BLOOM_MIN")

@@ -135,6 +135,42 @@ class FactLoadSpec extends SparkSpec {
     assert(warnings.count() === 0)
   }
 
+  test("J5 sidecar prune: TxLoad yields IDENTICAL facts and warnings (both prune states)") {
+    // partitioned history: evens ≤ 600 live in two load_date partitions;
+    // the sidecar-pruned load must match the plain path row-for-row,
+    // including duplicate warnings for blocked ids
+    val dir = java.nio.file.Files.createTempDirectory("graft_j5_sidecar").toString
+    try {
+      import graft.facts.TxSidecar
+      val hist = ((2L to 300L by 2).map((_, "2024-01-01")) ++
+        (302L to 600L by 2).map((_, "2024-01-02")))
+        .toDF("transaction_id", "load_date")
+        .withColumn("load_date", to_date(col("load_date")))
+      hist.write.partitionBy("load_date").parquet(s"$dir/fact")
+      val existing = spark.read.parquet(s"$dir/fact")
+      val batch = tx((1L to 400L).map(i => (i, "2024-02-01", 10L, 100L, 1, 10.0)): _*)
+
+      def sidecarOf(date: String, ids: Seq[Long]) = {
+        val bb = TxSidecar.buildBatchBloom(ids.toDF("transaction_id"), "transaction_id", 4096).get
+        TxSidecar.Sidecar(date, bb.minId, bb.maxId, bb.nRows, bb.bloom)
+      }
+      val st = TxSidecar.State(Seq(sidecarOf("2024-01-01", 2L to 300L by 2),
+        sidecarOf("2024-01-02", 302L to 600L by 2)), Nil)
+      val bb = TxSidecar.buildBatchBloom(batch, "transaction_id", 4096).get
+      val hits = TxSidecar.probeHitDates(batch, "transaction_id", st.rows)
+      // ids 1..400 overlap both partitions' ranges (2..300 and 302..600)
+      assert(hits === Seq("2024-01-01", "2024-01-02"))
+
+      val res = TxSidecar.resolve(st, hits)
+      val (plainF, plainW, _) = TxLoad.load(batch, dimUser, dimProduct, existing, "2024-02-02")
+      val (scF, scW, _) = TxLoad.load(batch, dimUser, dimProduct, existing, "2024-02-02",
+        sidecarPrune = Some(res.prune(Some(bb.bloom))))
+      assert(sortedRows(scF) === sortedRows(plainF))
+      assert(sortedRows(scW) === sortedRows(plainW))
+      assert(scF.select("transaction_id").as[Long].collect().toSet === (1L to 400L by 2).toSet)
+    } finally graft.io.Fs.deleteRecursively(dir, spark.sessionState.newHadoopConf())
+  }
+
   test("stock orphan (no current dim row) is warned and skipped") {
     val products = Seq((300L, "r", "cat", 5.0, 1))
       .toDF("product_id", "name", "category", "price", "stock")

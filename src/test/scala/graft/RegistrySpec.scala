@@ -42,4 +42,38 @@ class RegistrySpec extends SparkSpec {
     assert(orphans.isEmpty, s"oracleSql keys with no query: $orphans")
     assert(SparkEntry.entry(spark).limit(1).count() === 1)
   }
+
+  test("cache contract: clearCache between invocations prevents stale reuse over mutated inputs") {
+    // ~20 registry queries cache() internal frames without in-body
+    // unpersist (deliberate: the returned frame is lazy, so an in-body
+    // unpersist would defeat the cache before the caller's action). The
+    // CONTRACT is that harnesses clear the catalog cache between
+    // invocations — Bench/Verify/CapBench/ScaleBench all do — because
+    // Spark's CacheManager substitutes by PLAN equality: a second
+    // invocation over the same path would silently serve the first
+    // run's rows after the underlying files changed (the r13 EtlRun
+    // stale-cache bug class). This pins that the documented contract is
+    // sufficient: mutate the input between invocations, clear, and the
+    // second result must reflect the mutation.
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_cache_contract").toString
+    try {
+      // q106 (winsorized stats) caches its percentile frame in-body;
+      // re-write its one input as a mutable directory-backed copy
+      spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .write.parquet(s"$dir/lineitem.parquet")
+      val q = SparkEntry.queries("q106_winsorize")
+      val first = sortedRows(q(spark, dir))
+      // mutate: double the table (append a copy of every part-file)
+      spark.read.parquet(s"$dir/lineitem.parquet").withColumn("l_quantity",
+          col("l_quantity") * 2).write.mode("append").parquet(s"$dir/lineitem.parquet")
+      spark.catalog.refreshByPath(s"$dir/lineitem.parquet")
+      spark.catalog.clearCache() // the harness contract under test
+      val second = sortedRows(q(spark, dir))
+      assert(second !== first, "post-clearCache invocation served stale cached rows")
+    } finally {
+      spark.catalog.clearCache()
+      graft.io.Fs.deleteRecursively(dir, spark.sessionState.newHadoopConf())
+    }
+  }
 }

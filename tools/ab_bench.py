@@ -84,6 +84,19 @@ def main():
                     help="min ratio treated as a code-level move")
     args = ap.parse_args()
 
+    # the dual-order rule needs BOTH orders populated, each with enough
+    # pairs that one noisy run cannot veto a real move: round odd counts
+    # up to even, floor at 4 (2 pairs per order). With --alternations=1
+    # the BA subset would be empty and "code" structurally unreachable;
+    # with odd counts the minority order hangs on a single pair (ADVICE
+    # r14). Loud, not silent.
+    if args.alternations < 4 or args.alternations % 2 == 1:
+        fixed = max(4, args.alternations + (args.alternations % 2))
+        print(f"[ab] --alternations={args.alternations} cannot support the "
+              f"dual-order rule (each order needs >=2 pairs); using {fixed}",
+              flush=True)
+        args.alternations = fixed
+
     qnames = [q for q in args.queries.split(",") if q]
     runs = {"A": [], "B": []}  # list of per-alternation {query: sec}
     orders = []                # "AB" or "BA" per alternation
