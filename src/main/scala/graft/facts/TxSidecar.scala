@@ -42,14 +42,15 @@ import org.apache.spark.util.sketch.BloomFilter
   *    ([[State.uncoveredDates]]), converging as new days are indexed.
   *
   * Scale posture: the sidecar table is one row per day (plus re-runs),
-  * each a few MB of bloom bytes sized to the day's batch — read +
-  * broadcast whole each run. That read IS linear in days (any
-  * per-partition index is), but the slope is index-sized, not data-sized:
-  * MBs/day against the one-column-of-all-history scan it replaces. At
-  * multi-year horizons the standard move is tiering (roll closed months
-  * into one coarse range row) — the probe below already short-circuits on
-  * the range check, so monotone-id corpora (the OLTP norm) never even
-  * touch the bloom bytes of non-overlapping days.
+  * each a few MB of bloom bytes sized to the day's batch. Reads are
+  * two-phase ([[probeState]]): every run collects only the KB-scale
+  * range METADATA (column-pruned), and bloom bytes are fetched solely
+  * for rows whose id range overlaps the batch — monotone-id corpora
+  * (the OLTP norm) fetch ZERO bloom bytes on a typical day, so the
+  * per-run index cost is flat in history, not even index-linear. The
+  * metadata collect is linear in days at KBs/day; at multi-year
+  * horizons the standard move is tiering (roll closed months into one
+  * coarse range row).
   */
 object TxSidecar {
 
@@ -68,10 +69,18 @@ object TxSidecar {
   final case class Sidecar(loadDate: String, minId: Long, maxId: Long,
                            nRows: Long, bloom: Array[Byte])
 
-  /** The prune inputs for one run: all sidecar rows plus the fact
-    * partitions that have none (always scanned). */
-  final case class State(rows: Seq[Sidecar], uncoveredDates: Seq[String]) {
-    def isEmpty: Boolean = rows.isEmpty && uncoveredDates.isEmpty
+  /** A sidecar row's RANGE metadata only — what [[readState]] collects.
+    * Bloom bytes stay on disk until a range actually overlaps the batch
+    * ([[probeState]]): the index read must not become the new linear
+    * cost it was built to remove (measured at sf100: collecting every
+    * day's ~28 MB bloom cost fact_plan ~24 s/day with a +0.4 s/day
+    * slope; metas are KBs forever). */
+  final case class Meta(loadDate: String, minId: Long, maxId: Long, nRows: Long)
+
+  /** The prune inputs for one run: every sidecar row's range metadata
+    * plus the fact partitions that have no sidecar (always scanned). */
+  final case class State(metas: Seq[Meta], uncoveredDates: Seq[String]) {
+    def isEmpty: Boolean = metas.isEmpty && uncoveredDates.isEmpty
   }
 
   /** A resolved prune decision, handed to [[TxLoad.load]]: the fact
@@ -94,7 +103,7 @@ object TxSidecar {
     * caller should log it somewhere a replay artifact picks up. */
   def resolve(st: State, hits: Seq[String]): Resolution = {
     val scanDates = (hits ++ st.uncoveredDates).distinct.sorted
-    val allDates = (st.rows.map(_.loadDate) ++ st.uncoveredDates).distinct.size
+    val allDates = (st.metas.map(_.loadDate) ++ st.uncoveredDates).distinct.size
     Resolution(scanDates, allDates,
       allDates >= 5 && scanDates.size * 10 >= allDates * 8)
   }
@@ -107,21 +116,49 @@ object TxSidecar {
   final case class BatchBloom(bloom: Array[Byte], minId: Long, maxId: Long,
                               nRows: Long)
 
-  /** Read the sidecar state for a fact table: every sidecar row, plus
-    * fact partitions lacking one. Bounded work — the sidecar table is
-    * one index row per day, and the partition list is a single directory
+  /** Read the sidecar state for a fact table: every sidecar row's RANGE
+    * metadata (column-pruned — bloom bytes never leave disk here), plus
+    * fact partitions lacking a sidecar. Bounded work — one row per day
+    * of KB-scale columns, and the partition list is a single directory
     * listing (no parquet footer reads). */
   def readState(spark: SparkSession, sidecarPath: String, factPath: String,
                 partitionCol: String = "load_date"): State = {
     val conf = spark.sessionState.newHadoopConf()
     val factDates = graft.io.Fs.partitionValues(factPath, partitionCol, conf)
-    val rows: Seq[Sidecar] =
+    val metas: Seq[Meta] =
       if (!graft.io.Fs.hasParquetData(sidecarPath, conf)) Seq.empty
-      else spark.read.schema(schema).parquet(sidecarPath).collect().toSeq
+      else spark.read.schema(schema).parquet(sidecarPath)
+        .select("load_date", "min_id", "max_id", "n_rows").collect().toSeq
+        .map(r => Meta(r.getDate(0).toString, r.getLong(1), r.getLong(2), r.getLong(3)))
+    val covered = metas.map(_.loadDate).toSet
+    State(metas, factDates.filterNot(covered))
+  }
+
+  /** The full probe for one run, paying only for what the batch's id
+    * range cannot rule out:
+    *  1. range screen (driver arithmetic, no jobs): sidecar rows whose
+    *     [min,max] overlaps the batch's — monotone OLTP ids make this
+    *     empty on a typical day, ending the probe at ZERO jobs and zero
+    *     index bytes read;
+    *  2. bloom fetch: ONLY the overlapping rows' bloom bytes, through a
+    *     pushed `load_date` filter (each append is its own file, so
+    *     footer min/max stats skip every other day's file);
+    *  3. the one-pass id probe ([[probeHitDates]]) over those rows.
+    * Returns (hit dates, range-overlapping row count). */
+  def probeState(incoming: DataFrame, key: String, st: State, batch: BatchBloom,
+                 spark: SparkSession, sidecarPath: String): (Seq[String], Int) = {
+    val overlapping = st.metas.filter(m =>
+      m.minId <= batch.maxId && m.maxId >= batch.minId)
+    if (overlapping.isEmpty) (Seq.empty, 0)
+    else {
+      val dates = overlapping.map(_.loadDate).distinct
+      val rows = spark.read.schema(schema).parquet(sidecarPath)
+        .filter(col("load_date").isin(dates.map(java.sql.Date.valueOf): _*))
+        .collect().toSeq
         .map(r => Sidecar(r.getDate(0).toString, r.getLong(1), r.getLong(2),
           r.getLong(3), r.getAs[Array[Byte]]("bloom")))
-    val covered = rows.map(_.loadDate).toSet
-    State(rows, factDates.filterNot(covered))
+      (probeHitDates(incoming, key, rows), overlapping.size)
+    }
   }
 
   /** Build the incoming batch's bloom/range/count in ONE action.

@@ -283,8 +283,9 @@ final class EtlRun(spark: SparkSession, warehouse: String) {
             val estItems = if (lastTxInserted > 0L) math.max(2L * lastTxInserted, 65536L)
               else spark.conf.get("spark.graft.j5.bloomEstItems", "4000000").toLong
             val bb = graft.facts.TxSidecar.buildBatchBloom(validTx, "transaction_id", estItems)
-            val hits = bb.fold(Seq.empty[String])(_ =>
-              graft.facts.TxSidecar.probeHitDates(validTx, "transaction_id", st.rows))
+            val (hits, nOverlap) = bb.fold((Seq.empty[String], 0))(b =>
+              graft.facts.TxSidecar.probeState(validTx, "transaction_id", st, b,
+                spark, path(graft.facts.TxSidecar.tableName)))
             val res = graft.facts.TxSidecar.resolve(st, hits)
             // observability for the q19-regression signature (VERDICT r14
             // "what's wrong" #3): a probe that rules ~nothing out means the
@@ -294,7 +295,8 @@ final class EtlRun(spark: SparkSession, warehouse: String) {
             if (res.ineffective) System.err.println(
               s"[etl] J5 sidecar prune ineffective: scanning ${res.scanDates.size}/${res.allDates} " +
                 "fact partitions — incoming batch may not be a bounded daily increment")
-            notes = s"j5:path=sidecar;hit=${hits.size};uncovered=${st.uncoveredDates.size};" +
+            notes = s"j5:path=sidecar;overlap=$nOverlap;hit=${hits.size};" +
+              s"uncovered=${st.uncoveredDates.size};" +
               s"scan=${res.scanDates.size}/${res.allDates};batch_ids=${bb.map(_.nRows).getOrElse(0L)}" +
               (if (res.ineffective) ";ineffective=1" else "")
             val (f, w, d) = TxLoad.load(validTx, dimUserNow, dimProductNow,

@@ -403,7 +403,11 @@ class EtlRunSpec extends SparkSpec {
     val sidecars = etlM.table(graft.facts.TxSidecar.tableName, graft.facts.TxSidecar.schema)
     assert(sidecars.count() === nDays)
     val notes = runs.orderBy("run_id").select("notes").as[String].collect()
-    assert(notes.forall(_.startsWith("j5:path=sidecar;hit=0;uncovered=0;scan=0/")), notes.mkString("\n"))
+    assert(notes.forall(n => n.startsWith("j5:path=sidecar;") &&
+      n.contains("hit=0;uncovered=0;scan=0/")), notes.mkString("\n"))
+    // disjoint daily id blocks end every probe at the range screen: no
+    // sidecar row ever overlaps the batch, so no bloom bytes are fetched
+    assert(notes.forall(_.contains("overlap=0;")), notes.mkString("\n"))
     notes.zipWithIndex.foreach { case (n, i) =>
       assert(n.contains(s"scan=0/$i"), s"day $i notes: $n") // i indexed days before it
     }
@@ -428,6 +432,7 @@ class EtlRunSpec extends SparkSpec {
     etl.run(day9)
     val rerun = lastNotes()
     assert(rerun.contains("hit=1;uncovered=0;scan=1/"), rerun)
+    assert(rerun.contains("overlap=1;"), rerun) // only day9's range overlaps
     assert(tbl("fact_transactions").count() === factsBefore) // nothing reloaded
   }
 }

@@ -21,6 +21,9 @@ class TxSidecarSpec extends SparkSpec {
     TxSidecar.Sidecar(date, bb.minId, bb.maxId, bb.nRows, bb.bloom)
   }
 
+  private def metaOf(s: TxSidecar.Sidecar): TxSidecar.Meta =
+    TxSidecar.Meta(s.loadDate, s.minId, s.maxId, s.nRows)
+
   test("buildBatchBloom: empty batch is None; ranges and counts are exact") {
     assert(TxSidecar.buildBatchBloom(idsDf(Nil), "transaction_id", 4096).isEmpty)
     val bb = TxSidecar.buildBatchBloom(idsDf(Seq(7L, 3L, 99L)), "transaction_id", 4096).get
@@ -50,7 +53,7 @@ class TxSidecarSpec extends SparkSpec {
   }
 
   test("resolve: sidecar-less partitions are always scanned; hits add to the set") {
-    val st = TxSidecar.State(Seq(sidecarOf("2025-03-02", 1L to 10L)),
+    val st = TxSidecar.State(Seq(metaOf(sidecarOf("2025-03-02", 1L to 10L))),
       uncoveredDates = Seq("2025-03-01"))
     val r = TxSidecar.resolve(st, hits = Seq("2025-03-02"))
     assert(r.scanDates === Seq("2025-03-01", "2025-03-02"))
@@ -60,11 +63,11 @@ class TxSidecarSpec extends SparkSpec {
 
   test("resolve: flags the q19 signature — >=80% of >=5 indexed partitions scanned") {
     val days = (1 to 6).map(i => s"2025-03-0$i")
-    val st = TxSidecar.State(days.map(d => sidecarOf(d, 1L to 5L)), Nil)
+    val st = TxSidecar.State(days.map(d => metaOf(sidecarOf(d, 1L to 5L))), Nil)
     assert(TxSidecar.resolve(st, hits = days.take(5)).ineffective) // 5/6 ≥ 80%
     assert(!TxSidecar.resolve(st, hits = days.take(4)).ineffective) // 4/6 < 80%
     // below 5 indexed partitions the flag never fires (tiny warehouses)
-    val small = TxSidecar.State(days.take(4).map(d => sidecarOf(d, 1L to 5L)), Nil)
+    val small = TxSidecar.State(days.take(4).map(d => metaOf(sidecarOf(d, 1L to 5L))), Nil)
     assert(!TxSidecar.resolve(small, hits = days.take(4)).ineffective)
   }
 
@@ -81,11 +84,18 @@ class TxSidecarSpec extends SparkSpec {
         .write.parquet(s"$dir/${TxSidecar.tableName}")
       val st = TxSidecar.readState(spark, s"$dir/${TxSidecar.tableName}",
         s"$dir/fact_transactions")
-      assert(st.rows.map(_.loadDate) === Seq("2025-03-01"))
+      assert(st.metas.map(_.loadDate) === Seq("2025-03-01"))
       assert(st.uncoveredDates === Seq("2025-03-02"))
-      // round-trip: the persisted bloom still answers probes
-      assert(TxSidecar.probeHitDates(idsDf(Seq(1L)), "transaction_id", st.rows)
-        === Seq("2025-03-01"))
+      // two-phase round-trip: a range-overlapping batch fetches the
+      // persisted bloom (pushed load_date filter) and probes true...
+      val batch1 = TxSidecar.buildBatchBloom(idsDf(Seq(1L)), "transaction_id", 1024).get
+      assert(TxSidecar.probeState(idsDf(Seq(1L)), "transaction_id", st, batch1,
+        spark, s"$dir/${TxSidecar.tableName}") === (Seq("2025-03-01"), 1))
+      // ...and a range-disjoint batch ends at the metadata screen: zero
+      // hits, zero bloom rows fetched, no probe job at all
+      val batch2 = TxSidecar.buildBatchBloom(idsDf(Seq(500L)), "transaction_id", 1024).get
+      assert(TxSidecar.probeState(idsDf(Seq(500L)), "transaction_id", st, batch2,
+        spark, s"$dir/${TxSidecar.tableName}") === (Seq.empty, 0))
     } finally graft.io.Fs.deleteRecursively(dir, conf)
   }
 
@@ -107,7 +117,7 @@ class TxSidecarSpec extends SparkSpec {
       val bb = TxSidecar.buildBatchBloom(incoming, "transaction_id", 4096).get
       val hits = TxSidecar.probeHitDates(incoming, "transaction_id", sidecars)
       assert(hits === Seq("2025-03-01")) // day 2's range never probes true
-      val res = TxSidecar.resolve(TxSidecar.State(sidecars, Nil), hits)
+      val res = TxSidecar.resolve(TxSidecar.State(sidecars.map(metaOf), Nil), hits)
 
       val prunedJoin = Dedup.antiJoinExistingPartitionPruned(incoming, existing,
         "transaction_id", "load_date",
