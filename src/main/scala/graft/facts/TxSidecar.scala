@@ -22,13 +22,14 @@ import org.apache.spark.util.sketch.BloomFilter
   * probed before any data read), re-expressed over plain parquet
   * partitions.
   *
-  * Correctness invariant (the only one): every sidecar row for date `d`
-  * must cover a SUPERSET of the ids actually present in partition `d`.
-  * Ranges and blooms both have no false negatives for covered ids, so a
-  * history id equal to an incoming id always lands its partition in the
-  * scan set and the exact anti-join still drops that incoming row; a
-  * false positive merely scans a partition that yields no match.
-  * The writer preserves the invariant under every crash window:
+  * Correctness invariant (the only one): every sidecar row must cover a
+  * SUPERSET of the ids actually present in the fact partitions of its
+  * `[load_date, date_max]` window. Ranges and blooms both have no false
+  * negatives for covered ids, so a history id equal to an incoming id
+  * always lands its partition(s) in the scan set and the exact anti-join
+  * still drops that incoming row; a false positive merely scans a
+  * partition that yields no match. The writer preserves the invariant
+  * under every crash window:
   *  - the bloom is built over the INCOMING batch ids (pre-anti-join,
   *    pre-orphan-skip) — a superset of what the append will write;
   *  - the sidecar row is appended BEFORE the fact append promotes, so a
@@ -37,9 +38,12 @@ import org.apache.spark.util.sketch.BloomFilter
   *  - re-runs of the same day append ANOTHER row for that date; probe
   *    semantics are "hit if ANY of the date's rows hits" (set union —
   *    no bloom merging, so rows never need compatible sizing);
-  *  - a fact partition with NO sidecar row (pre-sidecar warehouse,
-  *    external writer) is unconditionally in the scan set
-  *    ([[State.uncoveredDates]]), converging as new days are indexed.
+  *  - a fact partition covered by NO sidecar row's date window
+  *    (pre-sidecar warehouse, external writer) is unconditionally in the
+  *    scan set ([[State.uncoveredDates]]), converging as days are indexed;
+  *  - [[compact]] replaces old daily rows with per-month RANGE rows whose
+  *    window/id-range cover the union of what they replace (and swaps
+  *    atomically, the new table staged first) — a superset at every step.
   *
   * Scale posture: the sidecar table is one row per day (plus re-runs),
   * each a few MB of bloom bytes sized to the day's batch. Reads are
@@ -48,9 +52,17 @@ import org.apache.spark.util.sketch.BloomFilter
   * for rows whose id range overlaps the batch — monotone-id corpora
   * (the OLTP norm) fetch ZERO bloom bytes on a typical day, so the
   * per-run index cost is flat in history, not even index-linear. The
-  * metadata collect is linear in days at KBs/day; at multi-year
-  * horizons the standard move is tiering (roll closed months into one
-  * coarse range row).
+  * remaining linearity — one metadata row and one index FILE per day,
+  * forever — is closed by TIERING ([[compact]], triggered from the run
+  * by [[maybeCompact]]): daily rows older than the keep window roll up
+  * into one coarse row per month carrying only the month's date window
+  * and id range (bloom = null — blooms of different sizes cannot merge,
+  * and on monotone-id corpora the range screen alone clears old months).
+  * The trade is granularity on the cold path: a backfill whose ids range-
+  * overlap a compacted month scans that month's partitions, not one day —
+  * the classic hot/cold index tier. The rewrite also collapses the
+  * one-file-per-append accumulation, so the index read stays a few files
+  * at any horizon.
   */
 object TxSidecar {
 
@@ -58,33 +70,49 @@ object TxSidecar {
     * table, appended with the same staged all-or-nothing writer). */
   val tableName = "fact_tx_id_blooms"
 
+  /** `date_max` (v2, nullable — null in pre-tiering files means "this row
+    * covers exactly `load_date`") widens a row's coverage to the window
+    * `[load_date, date_max]`; [[compact]] writes month rows with it. */
   val schema: StructType = StructType(Seq(
     StructField("load_date", DateType),
     StructField("min_id", LongType),
     StructField("max_id", LongType),
     StructField("n_rows", LongType),
-    StructField("bloom", BinaryType)))
+    StructField("bloom", BinaryType),
+    StructField("date_max", DateType)))
 
-  /** One sidecar index row, driver-side. `loadDate` is ISO yyyy-MM-dd. */
-  final case class Sidecar(loadDate: String, minId: Long, maxId: Long,
-                           nRows: Long, bloom: Array[Byte])
+  /** One sidecar index row, driver-side. Dates are ISO yyyy-MM-dd
+    * (`dateMax` == `loadDate` for a daily row). `bloom` is null for a
+    * compacted tier row — probe semantics degrade to the id-range test,
+    * which still has no false negatives for the row's window. */
+  final case class Sidecar(loadDate: String, dateMax: String, minId: Long,
+                           maxId: Long, nRows: Long, bloom: Array[Byte])
 
   /** A sidecar row's RANGE metadata only — what [[readState]] collects.
-    * Bloom bytes stay on disk until a range actually overlaps the batch
-    * ([[probeState]]): the index read must not become the new linear
-    * cost it was built to remove (measured at sf100: collecting every
-    * day's ~28 MB bloom cost fact_plan ~24 s/day with a +0.4 s/day
+    * Bloom bytes stay on disk until an id range actually overlaps the
+    * batch ([[probeState]]): the index read must not become the new
+    * linear cost it was built to remove (measured at sf100: collecting
+    * every day's ~28 MB bloom cost fact_plan ~24 s/day with a +0.4 s/day
     * slope; metas are KBs forever). */
-  final case class Meta(loadDate: String, minId: Long, maxId: Long, nRows: Long)
+  final case class Meta(loadDate: String, dateMax: String, minId: Long,
+                        maxId: Long, nRows: Long) {
+    /** ISO-8601 strings compare chronologically. */
+    def covers(date: String): Boolean = loadDate <= date && date <= dateMax
+  }
 
   /** The prune inputs for one run: every sidecar row's range metadata
-    * plus the fact partitions that have no sidecar (always scanned). */
-  final case class State(metas: Seq[Meta], uncoveredDates: Seq[String]) {
-    def isEmpty: Boolean = metas.isEmpty && uncoveredDates.isEmpty
+    * plus the fact table's partition dates (needed both to find
+    * partitions no sidecar window covers — always scanned — and to
+    * expand a tier-row hit back into concrete partitions). */
+  final case class State(metas: Seq[Meta], factDates: Seq[String]) {
+    /** Fact partitions outside every sidecar row's date window. */
+    val uncoveredDates: Seq[String] =
+      factDates.filterNot(d => metas.exists(_.covers(d))).sorted
+    def isEmpty: Boolean = metas.isEmpty && factDates.isEmpty
   }
 
   /** A resolved prune decision, handed to [[TxLoad.load]]: the fact
-    * partitions the anti-join must read (probe hits ∪ sidecar-less
+    * partitions the anti-join must read (probe hits ∪ uncovered
     * partitions) and the batch bloom to row-prune inside them. An empty
     * `scanDates` means the whole history read is skipped. */
   final case class Prune(scanDates: Seq[String], pruneBloom: Option[Array[Byte]])
@@ -95,15 +123,15 @@ object TxSidecar {
     def prune(pruneBloom: Option[Array[Byte]]): Prune = Prune(scanDates, pruneBloom)
   }
 
-  /** Combine probe hits with the always-scanned sidecar-less partitions,
+  /** Combine probe hits with the always-scanned uncovered partitions,
     * and flag the q19-regression signature (VERDICT r14 "what's wrong"
-    * #3): a probe that rules out <20% of ≥5 indexed partitions means the
+    * #3): a probe that rules out <20% of ≥5 known partitions means the
     * incoming batch is not the bounded daily increment the design
     * assumes (whole-corpus replay, adversarially interleaved ids) — the
     * caller should log it somewhere a replay artifact picks up. */
   def resolve(st: State, hits: Seq[String]): Resolution = {
     val scanDates = (hits ++ st.uncoveredDates).distinct.sorted
-    val allDates = (st.metas.map(_.loadDate) ++ st.uncoveredDates).distinct.size
+    val allDates = (st.factDates ++ st.metas.map(_.loadDate)).distinct.size
     Resolution(scanDates, allDates,
       allDates >= 5 && scanDates.size * 10 >= allDates * 8)
   }
@@ -118,20 +146,27 @@ object TxSidecar {
 
   /** Read the sidecar state for a fact table: every sidecar row's RANGE
     * metadata (column-pruned — bloom bytes never leave disk here), plus
-    * fact partitions lacking a sidecar. Bounded work — one row per day
-    * of KB-scale columns, and the partition list is a single directory
-    * listing (no parquet footer reads). */
+    * the fact table's partition dates. Bounded work — one row per day
+    * (or per compacted month) of KB-scale columns, and the partition
+    * list is a single directory listing (no parquet footer reads).
+    * Self-heals first: [[compact]] rewrites via the staged snapshot
+    * swap, so a crash mid-swap leaves debris [[graft.io.Fs
+    * .recoverSnapshot]] promotes/restores before the read resolves. */
   def readState(spark: SparkSession, sidecarPath: String, factPath: String,
                 partitionCol: String = "load_date"): State = {
     val conf = spark.sessionState.newHadoopConf()
+    graft.io.Fs.recoverSnapshot(sidecarPath, conf)
     val factDates = graft.io.Fs.partitionValues(factPath, partitionCol, conf)
     val metas: Seq[Meta] =
       if (!graft.io.Fs.hasParquetData(sidecarPath, conf)) Seq.empty
       else spark.read.schema(schema).parquet(sidecarPath)
-        .select("load_date", "min_id", "max_id", "n_rows").collect().toSeq
-        .map(r => Meta(r.getDate(0).toString, r.getLong(1), r.getLong(2), r.getLong(3)))
-    val covered = metas.map(_.loadDate).toSet
-    State(metas, factDates.filterNot(covered))
+        .select("load_date", "min_id", "max_id", "n_rows", "date_max").collect().toSeq
+        .map { r =>
+          val d = r.getDate(0).toString
+          Meta(d, if (r.isNullAt(4)) d else r.getDate(4).toString,
+            r.getLong(1), r.getLong(2), r.getLong(3))
+        }
+    State(metas, factDates)
   }
 
   /** The full probe for one run, paying only for what the batch's id
@@ -142,9 +177,13 @@ object TxSidecar {
     *     index bytes read;
     *  2. bloom fetch: ONLY the overlapping rows' bloom bytes, through a
     *     pushed `load_date` filter (each append is its own file, so
-    *     footer min/max stats skip every other day's file);
-    *  3. the one-pass id probe ([[probeHitDates]]) over those rows.
-    * Returns (hit dates, range-overlapping row count). */
+    *     footer min/max stats skip every other day's file; a tier row's
+    *     bloom is null on disk — nothing to read);
+    *  3. the one-pass id probe ([[probeHitDates]]) over those rows, a
+    *     hit row's date window then expanded over the fact table's
+    *     actual partition dates (identity for daily rows; a compacted
+    *     month scans its member partitions).
+    * Returns (hit partition dates, range-overlapping row count). */
   def probeState(incoming: DataFrame, key: String, st: State, batch: BatchBloom,
                  spark: SparkSession, sidecarPath: String): (Seq[String], Int) = {
     val overlapping = st.metas.filter(m =>
@@ -155,9 +194,17 @@ object TxSidecar {
       val rows = spark.read.schema(schema).parquet(sidecarPath)
         .filter(col("load_date").isin(dates.map(java.sql.Date.valueOf): _*))
         .collect().toSeq
-        .map(r => Sidecar(r.getDate(0).toString, r.getLong(1), r.getLong(2),
-          r.getLong(3), r.getAs[Array[Byte]]("bloom")))
-      (probeHitDates(incoming, key, rows), overlapping.size)
+        .map { r =>
+          val d = r.getDate(0).toString
+          Sidecar(d, if (r.isNullAt(5)) d else r.getDate(5).toString,
+            r.getLong(1), r.getLong(2), r.getLong(3), r.getAs[Array[Byte]]("bloom"))
+        }
+      val hit = probeHitDates(incoming, key, rows).toSet
+      val expanded = rows.filter(r => hit(r.loadDate)).flatMap { r =>
+        if (r.dateMax == r.loadDate) Seq(r.loadDate)
+        else st.factDates.filter(d => r.loadDate <= d && d <= r.dateMax)
+      }.distinct.sorted
+      (expanded, overlapping.size)
     }
   }
 
@@ -179,10 +226,63 @@ object TxSidecar {
   }
 
   /** The sidecar row for `today` as a 1-row frame ready to append. */
-  def sidecarRow(spark: SparkSession, today: String, bb: BatchBloom): DataFrame =
+  def sidecarRow(spark: SparkSession, today: String, bb: BatchBloom): DataFrame = {
+    val d = java.sql.Date.valueOf(today)
     spark.createDataFrame(
-      java.util.Arrays.asList(Row(java.sql.Date.valueOf(today), bb.minId,
-        bb.maxId, bb.nRows, bb.bloom)), schema)
+      java.util.Arrays.asList(Row(d, bb.minId, bb.maxId, bb.nRows, bb.bloom, d)),
+      schema)
+  }
+
+  /** Tier the index when enough cold daily rows have accumulated:
+    * [[compact]] iff the rows whose whole window predates
+    * `today - spark.graft.j5.sidecarKeepDays` (default 45) outnumber
+    * their target months by at least `spark.graft.j5.sidecarCompactMin`
+    * (default 30) — i.e. at least that many rows would actually
+    * disappear. Counting the SHRINKAGE (rows − months), not the rows,
+    * makes the trigger self-quenching: already-compacted tier rows
+    * contribute 0 and never re-fire a rewrite. The decision reuses the
+    * run's already-collected [[State]] — no extra read or job.
+    * Returns (rows compacted, tier rows written) when it ran. */
+  def maybeCompact(spark: SparkSession, sidecarPath: String, st: State,
+                   today: String): Option[(Int, Int)] = {
+    val keepDays = spark.conf.get("spark.graft.j5.sidecarKeepDays", "45").toInt
+    val compactMin = spark.conf.get("spark.graft.j5.sidecarCompactMin", "30").toInt
+    val cutoff = java.time.LocalDate.parse(today).minusDays(keepDays.toLong).toString
+    val cold = st.metas.filter(_.dateMax < cutoff)
+    val months = cold.map(_.loadDate.substring(0, 7)).distinct
+    if (cold.size - months.size < math.max(compactMin, 1)) None
+    else {
+      compact(spark, sidecarPath, cutoff)
+      Some((cold.size, months.size))
+    }
+  }
+
+  /** Roll every sidecar row whose window ends before `cutoff` (ISO date)
+    * into one RANGE row per calendar month — `[min(load_date),
+    * max(date_max)]`, `[min(min_id), max(max_id)]`, summed `n_rows`,
+    * bloom = null — and atomically swap in the rewritten table (recent
+    * rows verbatim). Superset at every step: a month row's window and id
+    * range contain every member's, and the staged-snapshot swap
+    * ([[graft.io.Fs.overwriteViaStaging]]) never exposes a partial
+    * table, so no covered id ever loses coverage (the crash windows
+    * recover via [[graft.io.Fs.recoverSnapshot]] in [[readState]]).
+    * Idempotent: a tier row regroups into itself. One Spark job over a
+    * KB/MB-scale table, expected a few times a quarter. */
+  def compact(spark: SparkSession, sidecarPath: String, cutoff: String): Unit = {
+    val all = spark.read.schema(schema).parquet(sidecarPath)
+      .withColumn("date_max", coalesce(col("date_max"), col("load_date")))
+    val cutoffD = lit(java.sql.Date.valueOf(cutoff))
+    val kept = all.filter(!(col("date_max") < cutoffD))
+    val tiers = all.filter(col("date_max") < cutoffD)
+      .groupBy(date_format(col("load_date"), "yyyy-MM").as("m"))
+      .agg(min("load_date").as("load_date"), min("min_id").as("min_id"),
+        max("max_id").as("max_id"), sum("n_rows").as("n_rows"),
+        max("date_max").as("date_max"))
+      .withColumn("bloom", lit(null).cast(BinaryType))
+    val fields = schema.fieldNames.map(col).toSeq
+    graft.io.Fs.overwriteViaStaging(
+      kept.select(fields: _*).unionByName(tiers.select(fields: _*)), sidecarPath)
+  }
 
   // Deserialized bloom cache, keyed by broadcast id: the probe UDF runs
   // once per task and must not re-parse MBs of bloom bytes per task. A
@@ -195,12 +295,14 @@ object TxSidecar {
         e: java.util.Map.Entry[Long, Array[(String, Long, Long, BloomFilter)]]): Boolean = size > 4
   }
 
-  /** Which sidecar dates any incoming id might belong to — ONE pass over
-    * the batch (range check first, bloom probe only on range overlap),
-    * then a tiny distinct. Empty result = no incoming id can exist
-    * anywhere in indexed history. The probe is an interpreted UDF by
-    * design: the per-day blooms are driver-held MBs that must ship ONCE
-    * per executor (broadcast), not per-task in a codegen'd literal. */
+  /** Which sidecar rows any incoming id might belong to — ONE pass over
+    * the batch (range check first, bloom probe only on range overlap;
+    * a null bloom — a compacted tier row — admits on range alone), then
+    * a tiny distinct; returns the hit rows' `loadDate`s. Empty result =
+    * no incoming id can exist anywhere in indexed history. The probe is
+    * an interpreted UDF by design: the per-day blooms are driver-held
+    * MBs that must ship ONCE per executor (broadcast), not per-task in
+    * a codegen'd literal. */
   def probeHitDates(incoming: DataFrame, key: String, rows: Seq[Sidecar]): Seq[String] = {
     if (rows.isEmpty) return Seq.empty
     val spark = incoming.sparkSession
@@ -215,7 +317,9 @@ object TxSidecar {
             var f = probeCache.get(bc.id)
             if (f == null) {
               f = bc.value.map { case (d, mn, mx, bytes) =>
-                (d, mn, mx, BloomFilter.readFrom(new java.io.ByteArrayInputStream(bytes)))
+                (d, mn, mx,
+                  if (bytes == null) null
+                  else BloomFilter.readFrom(new java.io.ByteArrayInputStream(bytes)))
               }
               probeCache.put(bc.id, f)
             }
@@ -223,7 +327,8 @@ object TxSidecar {
           }
           val v = id.longValue()
           filters.collect {
-            case (d, mn, mx, bf) if v >= mn && v <= mx && bf.mightContainLong(v) => d
+            case (d, mn, mx, bf)
+              if v >= mn && v <= mx && (bf == null || bf.mightContainLong(v)) => d
           }.distinct
         }
       }

@@ -277,7 +277,7 @@ final class EtlRun(spark: SparkSession, warehouse: String) {
           // history bytes on a disjoint-id day. Partitions without a
           // sidecar row (pre-sidecar warehouse) are always scanned, so
           // results are identical on any warehouse state.
-          val (txFacts, txWarnings, dateRows, sidecarRowDf) = stage("fact_plan") {
+          val (txFacts, txWarnings, dateRows, sidecarRowDf, sidecarState) = stage("fact_plan") {
             val st = graft.facts.TxSidecar.readState(
               spark, path(graft.facts.TxSidecar.tableName), path("fact_transactions"))
             val estItems = if (lastTxInserted > 0L) math.max(2L * lastTxInserted, 65536L)
@@ -302,7 +302,7 @@ final class EtlRun(spark: SparkSession, warehouse: String) {
             val (f, w, d) = TxLoad.load(validTx, dimUserNow, dimProductNow,
               table("fact_transactions", Schemas.factTransactions), today,
               sidecarPrune = Some(res.prune(bb.map(_.bloom))))
-            (f, w, d, bb.map(graft.facts.TxSidecar.sidecarRow(spark, today, _)))
+            (f, w, d, bb.map(graft.facts.TxSidecar.sidecarRow(spark, today, _)), st)
           }
           // dim_date backfill for today + every loaded tx date
           // (etl.py:320-324, 431) — merge-distinct against the calendar
@@ -361,6 +361,20 @@ final class EtlRun(spark: SparkSession, warehouse: String) {
             fStock.map((_, 0L)), fTx.map((_, 0L)), fDates.map((_, 0L)), fErrors))
           nErrors = e
           nWarnings = w
+          // ---- INDEX TIERING (after the day's sidecar row landed): roll
+          // cold daily sidecar rows into per-month range rows so the
+          // index's metadata rows and file count stay flat at any
+          // horizon (TxSidecar scale posture). The decision reuses the
+          // state already collected by fact_plan — zero extra reads on
+          // the ~daily no-op path — and the rewrite itself is a rare
+          // one-job pass over the KB/MB index, never the fact table.
+          stage("sidecar_tier") {
+            graft.facts.TxSidecar.maybeCompact(
+              spark, path(graft.facts.TxSidecar.tableName), sidecarState, today)
+          }.foreach { case (nCold, nTiers) =>
+            notes += s";tier=$nCold->$nTiers"
+            spark.catalog.refreshByPath(path(graft.facts.TxSidecar.tableName))
+          }
           (uIns, pIns, sIns, tIns)
         } finally pool.shutdown()
 

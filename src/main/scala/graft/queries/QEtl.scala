@@ -382,8 +382,8 @@ object QEtl {
             min("l_orderkey").as("mn"), max("l_orderkey").as("mx"),
             count(lit(1)).as("n"))
           .collect().toSeq.map(r => TxSidecar.Sidecar(r.getAs[Long]("kb").toString,
-            r.getAs[Long]("mn"), r.getAs[Long]("mx"), r.getAs[Long]("n"),
-            r.getAs[Array[Byte]]("b")))
+            r.getAs[Long]("kb").toString, r.getAs[Long]("mn"), r.getAs[Long]("mx"),
+            r.getAs[Long]("n"), r.getAs[Array[Byte]]("b")))
         val incoming = t(s, dir, "lineitem")
           .filter("l_orderkey >= 1000 AND l_orderkey < 3000")
           .select("l_orderkey", "l_linenumber", "l_quantity")
@@ -391,6 +391,59 @@ object QEtl {
         val hits = TxSidecar.probeHitDates(incoming, "l_orderkey", sidecars)
         Dedup.antiJoinExistingPartitionPruned(incoming, hist, "l_orderkey",
           "kb", hits.map(_.toLong), bb.map(_.bloom))
+      },
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        |WHERE l_orderkey >= 1000 AND l_orderkey < 3000
+        |  AND l_orderkey NOT IN (SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F')""".stripMargin)),
+
+    // J5 scale path, TIERED index state (TxSidecar.compact's read side):
+    // the cold 3/4 of the bucket index is rolled up into range-only rows
+    // (bloom = null — exactly what compact() writes per month), the hot
+    // 1/4 keeps per-bucket blooms. The probe admits on range alone for
+    // tier rows, a tier hit expands to its member buckets (coarse scan,
+    // never a false negative), and the anti-join reads only the expanded
+    // scan set. Same oracle as q181/q182: the prune must be invisible in
+    // the result at any tiering state.
+    Qry("q183_anti_join_sidecar_tiered",
+      (s, dir) => {
+        import graft.facts.TxSidecar
+        val bucketW = 1L + t(s, dir, "orders")
+          .agg(max("o_orderkey")).head().getLong(0) / 64L
+        val hist = t(s, dir, "orders").filter(col("o_orderstatus") === "F")
+          .select(col("o_orderkey").as("l_orderkey"),
+            (col("o_orderkey") / bucketW).cast("long").as("kb"))
+        // hot buckets (48..63): per-bucket bloom rows, as daily rows would be
+        val hot = hist.filter(col("kb") >= 48).groupBy("kb").agg(
+            graft.functions.Bloom.bloomAgg(col("l_orderkey"), 65536L).as("b"),
+            min("l_orderkey").as("mn"), max("l_orderkey").as("mx"),
+            count(lit(1)).as("n"))
+          .collect().toSeq.map(r => TxSidecar.Sidecar(r.getAs[Long]("kb").toString,
+            r.getAs[Long]("kb").toString, r.getAs[Long]("mn"), r.getAs[Long]("mx"),
+            r.getAs[Long]("n"), r.getAs[Array[Byte]]("b")))
+        // cold buckets compacted: one RANGE row per 16-bucket group
+        val cold = hist.filter(col("kb") < 48)
+          .groupBy((col("kb") / 16).cast("long").as("g")).agg(
+            min("l_orderkey").as("mn"), max("l_orderkey").as("mx"),
+            count(lit(1)).as("n"))
+          .collect().toSeq.map { r =>
+            val g = r.getAs[Long]("g")
+            TxSidecar.Sidecar(s"tier$g", s"tier$g", r.getAs[Long]("mn"),
+              r.getAs[Long]("mx"), r.getAs[Long]("n"), null)
+          }
+        val incoming = t(s, dir, "lineitem")
+          .filter("l_orderkey >= 1000 AND l_orderkey < 3000")
+          .select("l_orderkey", "l_linenumber", "l_quantity")
+        val bb = TxSidecar.buildBatchBloom(incoming, "l_orderkey", 4096L)
+        val hits = TxSidecar.probeHitDates(incoming, "l_orderkey", hot ++ cold).toSet
+        val scanKbs: Seq[Long] = hot.collect {
+            case sc if hits(sc.loadDate) => Seq(sc.loadDate.toLong)
+          }.flatten ++ cold.collect {
+            case sc if hits(sc.loadDate) =>
+              val g = sc.loadDate.stripPrefix("tier").toLong
+              (g * 16L) until ((g + 1) * 16L)
+          }.flatten
+        Dedup.antiJoinExistingPartitionPruned(incoming, hist, "l_orderkey",
+          "kb", scanKbs, bb.map(_.bloom))
       },
       Some("""SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
         |WHERE l_orderkey >= 1000 AND l_orderkey < 3000

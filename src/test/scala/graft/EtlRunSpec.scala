@@ -435,4 +435,57 @@ class EtlRunSpec extends SparkSpec {
     assert(rerun.contains("overlap=1;"), rerun) // only day9's range overlaps
     assert(tbl("fact_transactions").count() === factsBefore) // nothing reloaded
   }
+
+  test("J5 sidecar tiering e2e: mid-replay compaction keeps re-runs idempotent at month granularity") {
+    val whT = Files.createTempDirectory("graft_e2e_tier").toString
+    val etlT = new EtlRun(spark, whT)
+    val nU = 20; val nP = 8; val txPerDay = 30
+    // two cold months' worth of days, then a far-future day that compacts
+    val days = Seq("2025-01-01", "2025-01-02", "2025-01-03",
+      "2025-02-01", "2025-02-02", "2025-02-03")
+    def runDay(d: String, firstId: Long): Unit = {
+      Synthetic.users(spark, nU).write.mode("overwrite").parquet(s"$whT/users")
+      Synthetic.products(spark, nP).write.mode("overwrite").parquet(s"$whT/products")
+      Synthetic.transactions(spark, txPerDay, d, nU, nP, firstId = firstId)
+        .write.mode("overwrite").partitionBy("date").parquet(s"$whT/transactions")
+      Seq("users", "products", "transactions")
+        .foreach(t => spark.catalog.refreshByPath(s"$whT/$t"))
+      etlT.run(d)
+    }
+    def notesOf(runId: Int) = etlT.table("etl_run_log", Schemas.etlRunLog)
+      .filter(col("run_id") === runId).select("notes").first().getString(0)
+
+    days.zipWithIndex.foreach { case (d, i) => runDay(d, 1L + i.toLong * txPerDay) }
+    spark.conf.set("spark.graft.j5.sidecarKeepDays", "30")
+    spark.conf.set("spark.graft.j5.sidecarCompactMin", "3")
+    try {
+      // day 7 (June): 6 cold dailies − 2 months = 4 ≥ 3 → tiering fires
+      runDay("2025-06-01", firstId = 1000L)
+      assert(notesOf(7).contains(";tier=6->2"), notesOf(7))
+      val sidecars = etlT.table(graft.facts.TxSidecar.tableName, graft.facts.TxSidecar.schema)
+      assert(sidecars.count() === 3) // 2 month rows + June's daily row
+      assert(sidecars.filter(col("bloom").isNull).count() === 2)
+
+      // re-run a COMPACTED day: the tier row (range-only) admits the old
+      // ids, the scan expands to that month's partitions, and the exact
+      // anti-join keeps the re-run idempotent — zero facts reloaded
+      val factsBefore = etlT.table("fact_transactions", Schemas.factTransactions).count()
+      runDay("2025-01-02", firstId = 1L + txPerDay) // same ids as original day 2
+      assert(etlT.table("fact_transactions", Schemas.factTransactions).count() === factsBefore)
+      val rerun = notesOf(8)
+      // month granularity: the January partitions are scanned (the tier
+      // row's range admits the replayed ids), but the prune still rules
+      // out February and June — scanned strictly between 0 and all
+      val scan = "scan=(\\d+)/(\\d+)".r.findFirstMatchIn(rerun).get
+      assert(scan.group(1).toInt >= 1 && scan.group(1).toInt < scan.group(2).toInt, rerun)
+      assert(!rerun.contains("ineffective"), rerun)
+
+      // a fresh far-id day still ends at the range screen: zero scan
+      runDay("2025-06-02", firstId = 5000L)
+      assert(notesOf(9).contains("hit=0;uncovered=0;scan=0/"), notesOf(9))
+    } finally {
+      spark.conf.unset("spark.graft.j5.sidecarKeepDays")
+      spark.conf.unset("spark.graft.j5.sidecarCompactMin")
+    }
+  }
 }

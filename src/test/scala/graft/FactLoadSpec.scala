@@ -152,12 +152,13 @@ class FactLoadSpec extends SparkSpec {
 
       def sidecarOf(date: String, ids: Seq[Long]) = {
         val bb = TxSidecar.buildBatchBloom(ids.toDF("transaction_id"), "transaction_id", 4096).get
-        TxSidecar.Sidecar(date, bb.minId, bb.maxId, bb.nRows, bb.bloom)
+        TxSidecar.Sidecar(date, date, bb.minId, bb.maxId, bb.nRows, bb.bloom)
       }
       val sidecars = Seq(sidecarOf("2024-01-01", 2L to 300L by 2),
         sidecarOf("2024-01-02", 302L to 600L by 2))
       val st = TxSidecar.State(sidecars.map(s =>
-        TxSidecar.Meta(s.loadDate, s.minId, s.maxId, s.nRows)), Nil)
+        TxSidecar.Meta(s.loadDate, s.dateMax, s.minId, s.maxId, s.nRows)),
+        Seq("2024-01-01", "2024-01-02"))
       val bb = TxSidecar.buildBatchBloom(batch, "transaction_id", 4096).get
       val hits = TxSidecar.probeHitDates(batch, "transaction_id", sidecars)
       // ids 1..400 overlap both partitions' ranges (2..300 and 302..600)

@@ -18,11 +18,11 @@ class TxSidecarSpec extends SparkSpec {
 
   private def sidecarOf(date: String, ids: Seq[Long]): TxSidecar.Sidecar = {
     val bb = TxSidecar.buildBatchBloom(idsDf(ids), "transaction_id", 4096).get
-    TxSidecar.Sidecar(date, bb.minId, bb.maxId, bb.nRows, bb.bloom)
+    TxSidecar.Sidecar(date, date, bb.minId, bb.maxId, bb.nRows, bb.bloom)
   }
 
   private def metaOf(s: TxSidecar.Sidecar): TxSidecar.Meta =
-    TxSidecar.Meta(s.loadDate, s.minId, s.maxId, s.nRows)
+    TxSidecar.Meta(s.loadDate, s.dateMax, s.minId, s.maxId, s.nRows)
 
   test("buildBatchBloom: empty batch is None; ranges and counts are exact") {
     assert(TxSidecar.buildBatchBloom(idsDf(Nil), "transaction_id", 4096).isEmpty)
@@ -54,7 +54,7 @@ class TxSidecarSpec extends SparkSpec {
 
   test("resolve: sidecar-less partitions are always scanned; hits add to the set") {
     val st = TxSidecar.State(Seq(metaOf(sidecarOf("2025-03-02", 1L to 10L))),
-      uncoveredDates = Seq("2025-03-01"))
+      factDates = Seq("2025-03-01", "2025-03-02"))
     val r = TxSidecar.resolve(st, hits = Seq("2025-03-02"))
     assert(r.scanDates === Seq("2025-03-01", "2025-03-02"))
     assert(r.allDates === 2)
@@ -63,11 +63,11 @@ class TxSidecarSpec extends SparkSpec {
 
   test("resolve: flags the q19 signature — >=80% of >=5 indexed partitions scanned") {
     val days = (1 to 6).map(i => s"2025-03-0$i")
-    val st = TxSidecar.State(days.map(d => metaOf(sidecarOf(d, 1L to 5L))), Nil)
+    val st = TxSidecar.State(days.map(d => metaOf(sidecarOf(d, 1L to 5L))), days)
     assert(TxSidecar.resolve(st, hits = days.take(5)).ineffective) // 5/6 ≥ 80%
     assert(!TxSidecar.resolve(st, hits = days.take(4)).ineffective) // 4/6 < 80%
     // below 5 indexed partitions the flag never fires (tiny warehouses)
-    val small = TxSidecar.State(days.take(4).map(d => metaOf(sidecarOf(d, 1L to 5L))), Nil)
+    val small = TxSidecar.State(days.take(4).map(d => metaOf(sidecarOf(d, 1L to 5L))), days.take(4))
     assert(!TxSidecar.resolve(small, hits = days.take(4)).ineffective)
   }
 
@@ -99,6 +99,138 @@ class TxSidecarSpec extends SparkSpec {
     } finally graft.io.Fs.deleteRecursively(dir, conf)
   }
 
+  test("tiering: compact rolls cold daily rows into month range rows; coverage is a superset") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sidecar_tier").toString
+    val conf = spark.sessionState.newHadoopConf()
+    val scPath = s"$dir/${TxSidecar.tableName}"
+    try {
+      // 2 months of daily rows + 2 recent days; fact partitions to match
+      val days = (1 to 28).map(i => f"2025-01-$i%02d") ++
+        (1 to 28).map(i => f"2025-02-$i%02d") ++ Seq("2025-04-01", "2025-04-02")
+      days.zipWithIndex.foreach { case (d, i) =>
+        val bb = TxSidecar.buildBatchBloom(
+          idsDf(Seq(i * 100L, i * 100L + 1L)), "transaction_id", 1024).get
+        TxSidecar.sidecarRow(spark, d, bb).write.mode("append").parquet(scPath)
+      }
+      days.map((_, 1L)).toDF("load_date", "transaction_id")
+        .withColumn("load_date", to_date(col("load_date")))
+        .write.partitionBy("load_date").parquet(s"$dir/fact")
+
+      TxSidecar.compact(spark, scPath, cutoff = "2025-03-01")
+      val st = TxSidecar.readState(spark, scPath, s"$dir/fact")
+      // 56 cold dailies collapsed to 2 month rows; 2 recent dailies verbatim
+      assert(st.metas.size === 4)
+      val tiers = st.metas.filter(m => m.dateMax > m.loadDate).sortBy(_.loadDate)
+      assert(tiers.map(m => (m.loadDate, m.dateMax)) ===
+        Seq(("2025-01-01", "2025-01-28"), ("2025-02-01", "2025-02-28")))
+      assert(tiers.map(_.nRows) === Seq(56L, 56L)) // summed member counts
+      // every fact partition is still covered (superset invariant)
+      assert(st.uncoveredDates.isEmpty)
+      // id ranges are the union of members: Jan ids 0..2701, Feb 2800..5501
+      assert(tiers.map(m => (m.minId, m.maxId)) === Seq((0L, 2701L), (2800L, 5501L)))
+
+      // probe a batch whose ids fall inside January's range: the tier row
+      // has no bloom, so the range admits it and the hit expands to the
+      // month's fact partitions — coarse, but never a false negative
+      val bbJan = TxSidecar.buildBatchBloom(idsDf(Seq(150L)), "transaction_id", 1024).get
+      val (hits, nOv) = TxSidecar.probeState(idsDf(Seq(150L)), "transaction_id",
+        st, bbJan, spark, scPath)
+      assert(nOv === 1)
+      assert(hits === (1 to 28).map(i => f"2025-01-$i%02d"))
+      // disjoint ids still end at the range screen: zero scan
+      val bbNew = TxSidecar.buildBatchBloom(idsDf(Seq(999999L)), "transaction_id", 1024).get
+      assert(TxSidecar.probeState(idsDf(Seq(999999L)), "transaction_id",
+        st, bbNew, spark, scPath) === (Seq.empty, 0))
+
+      // idempotent: recompaction regroups tier rows into themselves
+      TxSidecar.compact(spark, scPath, cutoff = "2025-03-01")
+      val st2 = TxSidecar.readState(spark, scPath, s"$dir/fact")
+      assert(st2.metas.sortBy(m => (m.loadDate, m.minId))
+        === st.metas.sortBy(m => (m.loadDate, m.minId)))
+    } finally graft.io.Fs.deleteRecursively(dir, conf)
+  }
+
+  test("tiering: v1 sidecar files (no date_max) read as daily rows; maybeCompact self-quenches") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sidecar_v1").toString
+    val conf = spark.sessionState.newHadoopConf()
+    val scPath = s"$dir/${TxSidecar.tableName}"
+    try {
+      // write rows with the PRE-tiering 5-column schema (date_max absent)
+      val v1Schema = org.apache.spark.sql.types.StructType(
+        TxSidecar.schema.fields.filterNot(_.name == "date_max"))
+      // 28 January days + 12 February days, one v1 row each
+      val dates = (1 to 28).map(i => f"2025-01-$i%02d") ++ (1 to 12).map(i => f"2025-02-$i%02d")
+      val rows = dates.zipWithIndex.map { case (d, i) =>
+        val bb = TxSidecar.buildBatchBloom(idsDf(Seq(i.toLong)), "transaction_id", 1024).get
+        org.apache.spark.sql.Row(java.sql.Date.valueOf(d), bb.minId, bb.maxId, bb.nRows, bb.bloom)
+      }
+      spark.createDataFrame(spark.sparkContext.parallelize(rows.toSeq, 2), v1Schema)
+        .write.parquet(scPath)
+      dates.map((_, 1L)).toDF("load_date", "transaction_id")
+        .withColumn("load_date", to_date(col("load_date")))
+        .write.partitionBy("load_date").parquet(s"$dir/fact")
+
+      val st = TxSidecar.readState(spark, scPath, s"$dir/fact")
+      assert(st.metas.forall(m => m.dateMax === m.loadDate)) // null date_max → daily
+      assert(st.uncoveredDates.isEmpty)
+
+      // 40 cold dailies − 2 target months = 38 ≥ compactMin(30): fires
+      spark.conf.set("spark.graft.j5.sidecarKeepDays", "45")
+      spark.conf.set("spark.graft.j5.sidecarCompactMin", "30")
+      try {
+        val fired = TxSidecar.maybeCompact(spark, scPath, st, today = "2025-06-01")
+        assert(fired === Some((40, 2)))
+        val st2 = TxSidecar.readState(spark, scPath, s"$dir/fact")
+        assert(st2.metas.size === 2)
+        assert(st2.uncoveredDates.isEmpty)
+        // self-quenching: tier rows contribute rows − months = 0, no re-fire
+        assert(TxSidecar.maybeCompact(spark, scPath, st2, today = "2025-06-01").isEmpty)
+      } finally {
+        spark.conf.unset("spark.graft.j5.sidecarKeepDays")
+        spark.conf.unset("spark.graft.j5.sidecarCompactMin")
+      }
+    } finally graft.io.Fs.deleteRecursively(dir, conf)
+  }
+
+  test("tiering: anti-join over a compacted index is identical to the plain anti-join") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sidecar_tier_join").toString
+    val conf = spark.sessionState.newHadoopConf()
+    val scPath = s"$dir/${TxSidecar.tableName}"
+    try {
+      // history: odd ids on two old January days, evens on a recent day
+      val hist = ((1L to 199L by 2).map((_, "2025-01-05")) ++
+        (201L to 399L by 2).map((_, "2025-01-20")) ++
+        (1000L to 1100L by 2).map((_, "2025-04-01")))
+        .toDF("transaction_id", "load_date")
+        .withColumn("load_date", to_date(col("load_date")))
+      hist.write.partitionBy("load_date").parquet(s"$dir/fact")
+      val existing = spark.read.parquet(s"$dir/fact")
+      Seq(("2025-01-05", 1L to 199L by 2), ("2025-01-20", 201L to 399L by 2),
+        ("2025-04-01", 1000L to 1100L by 2)).foreach { case (d, ids) =>
+        val bb = TxSidecar.buildBatchBloom(idsDf(ids), "transaction_id", 1024).get
+        TxSidecar.sidecarRow(spark, d, bb).write.mode("append").parquet(scPath)
+      }
+      TxSidecar.compact(spark, scPath, cutoff = "2025-03-01")
+      val st = TxSidecar.readState(spark, scPath, s"$dir/fact")
+
+      // a backfill batch hitting the compacted month: scans BOTH January
+      // partitions (month granularity) but not April, and the result is
+      // row-identical to the plain anti-join
+      val incoming = idsDf((1L to 250L).toSeq)
+      val bb = TxSidecar.buildBatchBloom(incoming, "transaction_id", 4096).get
+      val (hits, _) = TxSidecar.probeState(incoming, "transaction_id", st, bb, spark, scPath)
+      assert(hits === Seq("2025-01-05", "2025-01-20"))
+      val res = TxSidecar.resolve(st, hits)
+      assert(!res.scanDates.contains("2025-04-01"))
+      val pruned = Dedup.antiJoinExistingPartitionPruned(incoming, existing,
+        "transaction_id", "load_date", res.scanDates.map(java.sql.Date.valueOf),
+        Some(bb.bloom))
+      val plain = Dedup.antiJoinExisting(incoming, existing, Seq("transaction_id"))
+      assert(sortedRows(pruned) === sortedRows(plain))
+      assert(pruned.as[Long].collect().toSet === (2L to 250L by 2).toSet)
+    } finally graft.io.Fs.deleteRecursively(dir, conf)
+  }
+
   test("partition-pruned anti-join: identical to the plain anti-join under the superset contract") {
     val dir = java.nio.file.Files.createTempDirectory("graft_sidecar_join").toString
     val conf = spark.sessionState.newHadoopConf()
@@ -117,7 +249,8 @@ class TxSidecarSpec extends SparkSpec {
       val bb = TxSidecar.buildBatchBloom(incoming, "transaction_id", 4096).get
       val hits = TxSidecar.probeHitDates(incoming, "transaction_id", sidecars)
       assert(hits === Seq("2025-03-01")) // day 2's range never probes true
-      val res = TxSidecar.resolve(TxSidecar.State(sidecars.map(metaOf), Nil), hits)
+      val res = TxSidecar.resolve(
+        TxSidecar.State(sidecars.map(metaOf), Seq("2025-03-01", "2025-03-02")), hits)
 
       val prunedJoin = Dedup.antiJoinExistingPartitionPruned(incoming, existing,
         "transaction_id", "load_date",
