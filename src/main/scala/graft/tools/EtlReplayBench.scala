@@ -48,6 +48,8 @@ import graft.gen.Synthetic
   *                             already holds days 0..FROM-1)
   *       SPARK_GRAFT_J5_BLOOM_MIN  forwarded to spark.graft.j5.bloomMinRows
   *       SPARK_GRAFT_STAGE_POOL    forwarded to spark.graft.etl.stagePool
+  *       SPARK_GRAFT_SIDECAR_KEEP         forwarded to spark.graft.j5.sidecarKeepDays
+  *       SPARK_GRAFT_SIDECAR_COMPACT_MIN  forwarded to spark.graft.j5.sidecarCompactMin
   *                             (1 = serialize stages: solo per-stage times
   *                             free of 4-way pool contention)
   */
@@ -84,6 +86,10 @@ object EtlReplayBench {
       .foreach(v => spark.conf.set("spark.graft.j5.bloomMinRows", v))
     sys.env.get("SPARK_GRAFT_STAGE_POOL")
       .foreach(v => spark.conf.set("spark.graft.etl.stagePool", v))
+    sys.env.get("SPARK_GRAFT_SIDECAR_KEEP")
+      .foreach(v => spark.conf.set("spark.graft.j5.sidecarKeepDays", v))
+    sys.env.get("SPARK_GRAFT_SIDECAR_COMPACT_MIN")
+      .foreach(v => spark.conf.set("spark.graft.j5.sidecarCompactMin", v))
 
     // per-stage attribution: EtlRun labels each phase's jobs "etl:<stage>"
     val active = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
