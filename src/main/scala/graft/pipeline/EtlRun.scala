@@ -280,8 +280,18 @@ final class EtlRun(spark: SparkSession, warehouse: String) {
           val (txFacts, txWarnings, dateRows, sidecarRowDf, sidecarState) = stage("fact_plan") {
             val st = graft.facts.TxSidecar.readState(
               spark, path(graft.facts.TxSidecar.tableName), path("fact_transactions"))
-            val estItems = if (lastTxInserted > 0L) math.max(2L * lastTxInserted, 65536L)
-              else spark.conf.get("spark.graft.j5.bloomEstItems", "4000000").toLong
+            // bloom sizing: 2× the last run's inserted count (batches
+            // drift slowly; mis-sizing only moves the fp rate). On the
+            // BOOTSTRAP run there is no prior count — size from the
+            // batch itself (one scan of the already-cached validTx;
+            // the conf, when set, overrides both). The old 4M blanket
+            // fallback built an ~MB bloom buffer PER PARTIAL-AGG TASK
+            // for fixture-scale day-1 batches — measured 1.7 s of
+            // fact_plan on q180's 15k-row day, vs KBs when fit.
+            val estItems = spark.conf.getOption("spark.graft.j5.bloomEstItems")
+              .map(_.toLong)
+              .getOrElse(math.max(2L * (if (lastTxInserted > 0L) lastTxInserted
+                else validTx.count()), 65536L))
             val bb = graft.facts.TxSidecar.buildBatchBloom(validTx, "transaction_id", estItems)
             val (hits, nOverlap) = bb.fold((Seq.empty[String], 0))(b =>
               graft.facts.TxSidecar.probeState(validTx, "transaction_id", st, b,
