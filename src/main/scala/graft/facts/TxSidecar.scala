@@ -268,7 +268,12 @@ object TxSidecar {
     * recover via [[graft.io.Fs.recoverSnapshot]] in [[readState]]).
     * Idempotent: a tier row regroups into itself. One Spark job over a
     * KB/MB-scale table, expected a few times a quarter. */
-  def compact(spark: SparkSession, sidecarPath: String, cutoff: String): Unit = {
+  def compact(spark: SparkSession, sidecarPath: String, cutoff: String): Unit =
+    graft.io.Fs.overwriteViaStaging(compactedFrame(spark, sidecarPath, cutoff), sidecarPath)
+
+  /** The post-compaction table contents as a frame (separated from the
+    * swap so the crash-window spec can stage it without committing). */
+  def compactedFrame(spark: SparkSession, sidecarPath: String, cutoff: String): DataFrame = {
     val all = spark.read.schema(schema).parquet(sidecarPath)
       .withColumn("date_max", coalesce(col("date_max"), col("load_date")))
     val cutoffD = lit(java.sql.Date.valueOf(cutoff))
@@ -280,8 +285,7 @@ object TxSidecar {
         max("date_max").as("date_max"))
       .withColumn("bloom", lit(null).cast(BinaryType))
     val fields = schema.fieldNames.map(col).toSeq
-    graft.io.Fs.overwriteViaStaging(
-      kept.select(fields: _*).unionByName(tiers.select(fields: _*)), sidecarPath)
+    kept.select(fields: _*).unionByName(tiers.select(fields: _*))
   }
 
   // Deserialized bloom cache, keyed by broadcast id: the probe UDF runs

@@ -192,6 +192,50 @@ class TxSidecarSpec extends SparkSpec {
     } finally graft.io.Fs.deleteRecursively(dir, conf)
   }
 
+  test("tiering crash windows: an interrupted compaction swap self-heals at the next read") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sidecar_crash").toString
+    val conf = spark.sessionState.newHadoopConf()
+    val scPath = s"$dir/${TxSidecar.tableName}"
+    import org.apache.hadoop.fs.Path
+    try {
+      val idsByDay = Seq("2025-01-05" -> (1L to 50L), "2025-01-20" -> (100L to 150L),
+        "2025-04-01" -> (1000L to 1050L))
+      idsByDay.foreach { case (d, ids) =>
+        val bb = TxSidecar.buildBatchBloom(idsDf(ids), "transaction_id", 1024).get
+        TxSidecar.sidecarRow(spark, d, bb).write.mode("append").parquet(scPath)
+      }
+      idsByDay.flatMap { case (d, ids) => ids.map((_, d)) }
+        .toDF("transaction_id", "load_date")
+        .withColumn("load_date", to_date(col("load_date")))
+        .write.partitionBy("load_date").parquet(s"$dir/fact")
+      val fsys = new Path(scPath).getFileSystem(conf)
+
+      // window A: compaction staged (_SUCCESS complete), crash right
+      // after the demote — no table at the path at all
+      graft.io.Fs.stageSnapshot(
+        TxSidecar.compactedFrame(spark, scPath, "2025-03-01"), scPath)
+      assert(fsys.rename(new Path(scPath), new Path(scPath + "__old")))
+      spark.catalog.refreshByPath(scPath)
+      val st = TxSidecar.readState(spark, scPath, s"$dir/fact") // promotes staging
+      assert(st.metas.size === 2) // January tier + April daily
+      assert(st.metas.exists(m => m.loadDate === "2025-01-05" && m.dateMax === "2025-01-20"))
+      assert(st.uncoveredDates.isEmpty) // no covered partition lost coverage
+      fsys.delete(new Path(scPath + "__old"), true)
+
+      // window B: crash mid-staging-JOB (marker-less staging) after a
+      // demote — recovery must restore the demoted snapshot, not promote
+      // the torn staging
+      assert(fsys.rename(new Path(scPath), new Path(scPath + "__old")))
+      fsys.delete(new Path(scPath + "__staging"), true)
+      fsys.mkdirs(new Path(scPath + "__staging")) // no _SUCCESS inside
+      spark.catalog.refreshByPath(scPath)
+      val st2 = TxSidecar.readState(spark, scPath, s"$dir/fact") // restores __old
+      assert(st2.metas.sortBy(m => (m.loadDate, m.minId))
+        === st.metas.sortBy(m => (m.loadDate, m.minId)))
+      assert(st2.uncoveredDates.isEmpty)
+    } finally graft.io.Fs.deleteRecursively(dir, conf)
+  }
+
   test("tiering: anti-join over a compacted index is identical to the plain anti-join") {
     val dir = java.nio.file.Files.createTempDirectory("graft_sidecar_tier_join").toString
     val conf = spark.sessionState.newHadoopConf()
