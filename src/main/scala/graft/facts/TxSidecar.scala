@@ -155,7 +155,9 @@ object TxSidecar {
   def readState(spark: SparkSession, sidecarPath: String, factPath: String,
                 partitionCol: String = "load_date"): State = {
     val conf = spark.sessionState.newHadoopConf()
-    graft.io.Fs.recoverSnapshot(sidecarPath, conf)
+    // a heal moved files — drop any pre-crash listing this session cached
+    if (graft.io.Fs.recoverSnapshot(sidecarPath, conf))
+      spark.catalog.refreshByPath(sidecarPath)
     val factDates = graft.io.Fs.partitionValues(factPath, partitionCol, conf)
     val metas: Seq[Meta] =
       if (!graft.io.Fs.hasParquetData(sidecarPath, conf)) Seq.empty

@@ -93,16 +93,23 @@ object Fs {
     * if the target is missing, promote a `_SUCCESS`-complete staging dir
     * forward, else restore the `__old` snapshot. Idempotent and cheap
     * (2-3 existence probes when the target is healthy — it never touches
-    * a table that has no swap debris). */
-  def recoverSnapshot(path: String, conf: Configuration): Unit = {
+    * a table that has no swap debris). Returns whether it healed
+    * anything: a heal changes the files behind `path`, so a caller whose
+    * session may have cached the pre-crash listing (the file-status
+    * cache pins listings for the session, `metadataCacheTTLSeconds=-1` —
+    * the r13 stale-cache lesson) must `refreshByPath` on true before
+    * reading. */
+  def recoverSnapshot(path: String, conf: Configuration): Boolean = {
     val target = new Path(path)
     val f = fs(target, conf)
-    if (!f.exists(target)) {
+    if (f.exists(target)) false
+    else {
       val staging = new Path(stagingOf(path))
       val old = new Path(oldOf(path))
       if (f.exists(staging) && hasSuccessMarker(stagingOf(path), conf))
         f.rename(staging, target)
       else if (f.exists(old)) f.rename(old, target)
+      else false
     }
   }
 

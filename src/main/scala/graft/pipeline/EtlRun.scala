@@ -36,7 +36,9 @@ final class EtlRun(spark: SparkSession, warehouse: String) {
     * swap leaves recoverable debris that [[graft.io.Fs.recoverSnapshot]]
     * promotes/restores before the read resolves. */
   def table(name: String, schema: StructType): DataFrame = {
-    graft.io.Fs.recoverSnapshot(path(name), hconf)
+    // a heal moved files — drop any pre-crash listing this session cached
+    if (graft.io.Fs.recoverSnapshot(path(name), hconf))
+      spark.catalog.refreshByPath(path(name))
     if (graft.io.Fs.hasParquetData(path(name), hconf))
       spark.read.schema(schema).parquet(path(name))
     else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)

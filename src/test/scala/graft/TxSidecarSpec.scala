@@ -215,7 +215,9 @@ class TxSidecarSpec extends SparkSpec {
       graft.io.Fs.stageSnapshot(
         TxSidecar.compactedFrame(spark, scPath, "2025-03-01"), scPath)
       assert(fsys.rename(new Path(scPath), new Path(scPath + "__old")))
-      spark.catalog.refreshByPath(scPath)
+      // NO manual cache refresh: the heal itself must invalidate the
+      // session's pre-crash listing (recoverSnapshot returns healed=true
+      // and readState refreshes — the r13 stale-cache lesson)
       val st = TxSidecar.readState(spark, scPath, s"$dir/fact") // promotes staging
       assert(st.metas.size === 2) // January tier + April daily
       assert(st.metas.exists(m => m.loadDate === "2025-01-05" && m.dateMax === "2025-01-20"))
@@ -228,7 +230,6 @@ class TxSidecarSpec extends SparkSpec {
       assert(fsys.rename(new Path(scPath), new Path(scPath + "__old")))
       fsys.delete(new Path(scPath + "__staging"), true)
       fsys.mkdirs(new Path(scPath + "__staging")) // no _SUCCESS inside
-      spark.catalog.refreshByPath(scPath)
       val st2 = TxSidecar.readState(spark, scPath, s"$dir/fact") // restores __old
       assert(st2.metas.sortBy(m => (m.loadDate, m.minId))
         === st.metas.sortBy(m => (m.loadDate, m.minId)))
