@@ -706,6 +706,11 @@ object QCurate {
     // broadcast stratum-count table, never a global sort.
     Qry("q137_dsir_selection",
       (s, dir) => {
+        // NOTE (r15): caching wl here was tried and REJECTED — dsirFn
+        // already caches its token frame, so the two wl consumers reuse
+        // that; an outer cache blocks column pruning for the slim count
+        // leg and materializes the wide frame eagerly (measured 2.39 →
+        // 5.25 s, reverted).
         val wl = dsirFn(s, dir)
           .join(t(s, dir, "documents").select(col("doc_id"), col("lang")),
             Seq("doc_id"))

@@ -1651,8 +1651,18 @@ object QLlm {
             x => TextOps.hash64(x))).as("hs"))
           .cache()
         val isBench = col("doc_id") < 10000 && col("doc_id") % 50 === 0
+        // EXPLICIT partition count for the bench-gram distinct (r15, the
+        // q131 pattern): the bench set is BOUNDED BY CONSTRUCTION
+        // (doc_id < 10000 → ≤200 docs at every sf), so its exchange never
+        // needs AQE's 512-start fan-out insurance — the explicit count
+        // satisfies the distinct's required distribution (no second
+        // exchange) and sidesteps the 512-way bookkeeping this query
+        // pays twice (the distinct feeds both the bloom-agg action and
+        // the semi-join broadcast build).
+        val np = s.sparkContext.defaultParallelism
         val benchGrams = d.filter(isBench)
-          .select(explode(col("hs")).as("h")).distinct().cache()
+          .select(explode(col("hs")).as("h"))
+          .repartition(np, col("h")).distinct().cache()
         // ONE bounded row to the driver, embedded as a plan literal —
         // might_contain requires a constant bloom (same class of bounded
         // metadata as the SRP hyperplane constants; ~180 KB for 200k
