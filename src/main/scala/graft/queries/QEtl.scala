@@ -1512,30 +1512,26 @@ object QEtl {
         |  CAST(count(DISTINCT o.o_custkey) AS BIGINT) AS n_active
         |FROM o JOIN c USING (o_custkey) GROUP BY 1, 2""".stripMargin)),
 
-    // market-basket co-occurrence: part pairs sharing an order. The pair
-    // fan-out is ORDER-local, so it is quadratic only in basket size —
-    // bounded and small — never in table size. r15 (optimization guide
-    // §2.4/§3.3): the original distinct + self-join computed the distinct
-    // subtree twice and joined it with itself — 3 exchanges at sf0.1 with
-    // AQE broadcasting a TABLE-SIZED side (a cliff: past the broadcast
-    // threshold the join becomes a sort-merge with two more full
-    // exchanges). Collapsed to one per-order collect_set (partial_agg
-    // combines map-side; dedups (order, part) exactly as distinct() did)
-    // + codegen'd higher-order pair expansion (x before y in the sorted
-    // array ≡ part_a < part_b) + the pair count: TWO exchanges and zero
-    // joins at EVERY scale, one pass over lineitem instead of two.
-    // Measured (min-of-5, 32 cpus, sf0.1): 2.17 → 1.22 s; identical
-    // result (same oracle row, re-checked at sf0.01 this round).
+    // market-basket co-occurrence: part pairs sharing an order. The self
+    // join is ORDER-local (equi-join on l_orderkey), so the fan-out is
+    // quadratic only in basket size — bounded and small — never in table
+    // size; support-2 floor keeps the output the interesting tail.
+    // NOTE (r15): a per-order collect_set + higher-order pair-expansion
+    // rewrite was tried and REJECTED by the scale gate: −44% at sf0.1
+    // (2.17 → 1.22 s min-of-5) but +63% at sf10 on the same box
+    // (38.2 → 62.1 s min-of-2) — collect_set is an object-based
+    // TypedImperativeAggregate that falls back to SORT-based
+    // aggregation past ~128 in-memory groups per partition, so at
+    // corpus scale the "no join" shape pays a full sort of lineitem
+    // PLUS per-group array-buffer overhead, which loses to the
+    // codegen'd sort-merge self-join. The join stays.
     Qry("q92_basket_pairs",
       (s, dir) => {
-        t(s, dir, "lineitem")
-          .select(col("l_orderkey"), col("l_partkey"))
-          .groupBy("l_orderkey")
-          .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
-          .select(explode(expr("flatten(transform(parts, (x, i) -> " +
-            "transform(slice(parts, i + 2, size(parts)), " +
-            "y -> struct(x AS part_a, y AS part_b))))")).as("p"))
-          .select(col("p.part_a"), col("p.part_b"))
+        val li = t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey")).distinct()
+        val a = li.select(col("l_orderkey").as("ok"), col("l_partkey").as("part_a"))
+        val b = li.select(col("l_orderkey").as("ok"), col("l_partkey").as("part_b"))
+        a.join(b, Seq("ok")).filter(col("part_a") < col("part_b"))
           .groupBy("part_a", "part_b").agg(count(lit(1)).as("n_orders"))
           .filter(col("n_orders") >= 2)
       },
