@@ -177,7 +177,6 @@ object Bench {
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""failed":$fails,"runs":$nRuns,"agg":"min","n_timed":${times.size},""" +
       s""""labels_build_s":$labelsBuildS,"q180_stage_s":$q180StageS,"sf":${jstr(sfDir)}}"""
-    println(line)
     // stdout goes through sbt's logger (prefixing/truncation can mangle
     // the line for machine consumers) — also write the raw JSON to a file
     val outPath = sys.env.getOrElse("SPARK_GRAFT_OUT", "/tmp/bench.json")
@@ -185,16 +184,17 @@ object Bench {
       java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
         (line + "\n").getBytes("UTF-8"))
     } catch { case e: Throwable => System.err.println(s"[bench] write $outPath: $e") }
-    // the full line above can exceed a tail-scrape's window (175 queries ≈
-    // 6 KB) — ALSO print a compact headline (totals + failures only, well
-    // under 2000 chars) as the LAST stdout line so a truncated scrape can
-    // always parse the headline; the full per-query map lives in the line
-    // above and in the artifact file
+    // compact headline (totals + failures, no per-query map) FIRST, as a
+    // truncation fallback; the full per-query line must be the LAST stdout
+    // line because the driver parses the last line for its round-over-round
+    // per-query comparison (r15 verdict: printing the compact line last left
+    // PERF per_query empty for two rounds)
     val compact = s"""{"metric":"total","value":$total,"unit":"sec",""" +
       s""""queries":{},"failed":$fails,"runs":$nRuns,"agg":"min",""" +
       s""""n_timed":${times.size},"labels_build_s":$labelsBuildS,""" +
       s""""q180_stage_s":$q180StageS,"sf":${jstr(sfDir)},"detail":${jstr(outPath)}}"""
     println(compact)
+    println(line)
     spark.stop()
   }
 }
