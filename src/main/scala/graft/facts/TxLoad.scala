@@ -58,10 +58,27 @@ object TxLoad {
     *                  ([[graft.ops.Dedup.antiJoinExistingPartitionPruned]]).
     *                  Ignored when `incomingBounded` is false — the probe
     *                  premise is the same bounded-batch one. */
+  /** @param share    caller-owned persistence hook for the shared load
+    *                  intermediate (r16). The facts, the orphan/duplicate
+    *                  warnings and the dim_date rows all derive from ONE
+    *                  joined+deduped frame; a caller that consumes more
+    *                  than one of them as SEPARATE actions (EtlRun's
+    *                  fact_tx / error_log / dim_date stages) re-evaluates
+    *                  the whole anti-join + PIT + window subtree per
+    *                  action — 3 evaluations of the day's batch, measured
+    *                  as the dominant fact_tx/error_log/dim_date cost in
+    *                  the sf10/sf100 replays. Passing a hook (typically
+    *                  `df => { df.cache(); track(df); df }`) makes the
+    *                  shared frame materialize once; the caller owns
+    *                  unpersist. None (default) keeps the exact r15 plan
+    *                  shape — single-consumer callers (q19) pay no cache
+    *                  write and lose no column pruning. Results are
+    *                  identical either way (FactLoadSpec pins it). */
   def load(validTx: DataFrame, dimUser: DataFrame, dimProduct: DataFrame,
            existingFact: DataFrame, today: String,
            incomingBounded: Boolean = true,
-           sidecarPrune: Option[TxSidecar.Prune] = None): (DataFrame, DataFrame, DataFrame) = {
+           sidecarPrune: Option[TxSidecar.Prune] = None,
+           share: Option[DataFrame => DataFrame] = None): (DataFrame, DataFrame, DataFrame) = {
 
     // J5 — fidelity: keyed on transaction_id ALONE (etl.py:308-311), so a
     // partially loaded multi-product tx is never completed on re-run.
@@ -107,20 +124,41 @@ object TxLoad {
     val withBoth = AsOfJoin.pitLookup(withUser, dimProduct,
       col("product_id"), "product_id", col("tx_date"), Seq("product_sk"))
 
-    val orphanUser = withBoth.filter(col("pit_user_sk").isNull)
-    val orphanProduct = withBoth.filter(col("pit_user_sk").isNotNull && col("pit_product_sk").isNull)
-    val resolved = withBoth.filter(col("pit_user_sk").isNotNull && col("pit_product_sk").isNotNull)
-
     // J6 — in-batch composite-PK dedup. The reference's "first" is
     // insertion order, which parquet does not preserve — so the tiebreak
     // among PK-duplicate rows that DIFFER (the injected 'duplicate' kind
     // mutates other columns) must name every remaining column, or the
     // kept row varies across partitionings (ordering by the PK alone is
     // a total tie inside its own window partition).
-    val tiebreak = resolved.columns
+    val tiebreak = withBoth.columns
       .filterNot(Seq("transaction_id", "pit_product_sk").contains).map(col).toSeq
-    val (kept, dups) = Dedup.firstWins(resolved,
-      Seq("transaction_id", "pit_product_sk"), tiebreak)
+    val (orphanUser, orphanProduct, kept, dups) = share match {
+      case Some(persist) =>
+        // shared shape: ONE frame carries orphan flags AND the dedup rank,
+        // materialized once by the caller's hook; every consumer is a
+        // filter over it. The rank window adds the orphan flags to the
+        // partition key, so resolved rows group exactly as the plain
+        // firstWins partition (the flags are constant false there) and
+        // orphan rows — excluded from dedup by contract — only ever group
+        // among themselves (their ranks are computed but never read).
+        val w = Window.partitionBy(col("pit_user_sk").isNull,
+            col("pit_product_sk").isNull,
+            col("transaction_id"), col("pit_product_sk"))
+          .orderBy(tiebreak: _*)
+        val ann = persist(withBoth.withColumn("dedup_rn", row_number().over(w)))
+        val res = col("pit_user_sk").isNotNull && col("pit_product_sk").isNotNull
+        (ann.filter(col("pit_user_sk").isNull).drop("dedup_rn"),
+          ann.filter(col("pit_user_sk").isNotNull && col("pit_product_sk").isNull).drop("dedup_rn"),
+          ann.filter(res && col("dedup_rn") === 1).drop("dedup_rn"),
+          ann.filter(res && col("dedup_rn") > 1).drop("dedup_rn"))
+      case None =>
+        val orphanU = withBoth.filter(col("pit_user_sk").isNull)
+        val orphanP = withBoth.filter(col("pit_user_sk").isNotNull && col("pit_product_sk").isNull)
+        val resolved = withBoth.filter(col("pit_user_sk").isNotNull && col("pit_product_sk").isNotNull)
+        val (k, d) = Dedup.firstWins(resolved,
+          Seq("transaction_id", "pit_product_sk"), tiebreak)
+        (orphanU, orphanP, k, d)
+    }
 
     val facts = kept.select(
       col("transaction_id"),

@@ -311,9 +311,27 @@ final class EtlRun(spark: SparkSession, warehouse: String) {
               s"uncovered=${st.uncoveredDates.size};" +
               s"scan=${res.scanDates.size}/${res.allDates};batch_ids=${bb.map(_.nRows).getOrElse(0L)}" +
               (if (res.ineffective) ";ineffective=1" else "")
+            // share hook (r16): fact_tx, error_log and dim_date each act on
+            // a frame derived from the SAME anti-join + PIT + dedup-window
+            // subtree — without a shared materialization the three pool
+            // stages re-evaluate the whole day's load three times (measured
+            // at sf100: fact_tx 22.8 s + dim_date 23.3 s + error_log's tx
+            // leg, all the same work). One cached frame, three filters.
+            // SIZE-GATED (guide §5: cache only when recompute beats the
+            // memory/IO pressure): below the threshold the three cheap
+            // re-evaluations win — measured at the 15k-row fixture day,
+            // caching cost q180 3.6 → 5.7 s (cache-block overhead + lost
+            // stage-pool overlap), while the multi-M-row replay days are
+            // where the 3× recompute dominates. The batch count is already
+            // known here from the bloom build — the gate costs no jobs.
+            val shareMin = spark.conf.get("spark.graft.etl.shareMinRows",
+              "1000000").toLong
+            val share = bb.filter(_.nRows >= shareMin).map { _ =>
+              (df: org.apache.spark.sql.DataFrame) => { val c = df.cache(); cached += c; c }
+            }
             val (f, w, d) = TxLoad.load(validTx, dimUserNow, dimProductNow,
               table("fact_transactions", Schemas.factTransactions), today,
-              sidecarPrune = Some(res.prune(bb.map(_.bloom))))
+              sidecarPrune = Some(res.prune(bb.map(_.bloom))), share = share)
             (f, w, d, bb.map(graft.facts.TxSidecar.sidecarRow(spark, today, _)), st)
           }
           // dim_date backfill for today + every loaded tx date

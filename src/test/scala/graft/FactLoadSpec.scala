@@ -174,6 +174,31 @@ class FactLoadSpec extends SparkSpec {
     } finally graft.io.Fs.deleteRecursively(dir, spark.sessionState.newHadoopConf())
   }
 
+  test("share hook: facts, warnings and dates are IDENTICAL to the unshared shape") {
+    // mixed batch: resolved rows, PK duplicates that differ in attributes
+    // (tiebreak must pick the same winner in both shapes), an orphan user,
+    // an orphan product, and an already-loaded id
+    val batch = tx(
+      (1L, "2024-02-01", 10L, 100L, 1, 10.0),
+      (1L, "2024-02-01", 10L, 100L, 2, 20.0), // PK dup, differing attrs
+      (2L, "2024-02-03", 10L, 100L, 1, 10.0),
+      (3L, "2024-02-01", 99L, 100L, 1, 10.0), // orphan user
+      (4L, "2024-02-01", 10L, 999L, 1, 10.0), // orphan product
+      (6L, "2024-02-01", 10L, 100L, 1, 10.0)) // already loaded
+    val existing = Seq(6L).toDF("transaction_id")
+    val (pf, pw, pd) = TxLoad.load(batch, dimUser, dimProduct, existing, "2024-02-04")
+    var hooked: Option[org.apache.spark.sql.DataFrame] = None
+    val (sf, sw, sd) = TxLoad.load(batch, dimUser, dimProduct, existing, "2024-02-04",
+      share = Some { df => hooked = Some(df.cache()); df })
+    try {
+      assert(sortedRows(sf) === sortedRows(pf))
+      assert(sortedRows(sw) === sortedRows(pw))
+      assert(sortedRows(sd) === sortedRows(pd))
+      // the shared frame really carries every consumer's rows (one source)
+      assert(hooked.isDefined && hooked.get.count() === batch.count() - 1) // anti-joined id 6 gone
+    } finally hooked.foreach(_.unpersist())
+  }
+
   test("stock orphan (no current dim row) is warned and skipped") {
     val products = Seq((300L, "r", "cat", 5.0, 1))
       .toDF("product_id", "name", "category", "price", "stock")
